@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** Event-stream operators over the `events` table, in their batch form.
+  * The same transformations run under Structured Streaming in
+  * [[graft.streaming.EventStreams]] (readStream + watermark); batch and
+  * stream share the plan, so the DuckDB oracle on the batch form also
+  * validates the streaming logic.
+  *
+  * Timestamps are emitted as formatted strings so the oracle compare is
+  * independent of parquet timestamp physical encodings (µs-UTC vs
+  * naive-ns).
+  */
+object EventQueries {
+
+  private def fmt(c: org.apache.spark.sql.Column) =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Tumbling-window aggregate (1 hour): the watermark+window shape. */
+  private def hourlyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(fmt(col("w.start")).as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap — the batch
+    * equivalent of flatMapGroupsWithState session windows: lag() to
+    * mark session starts, running sum to number them. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        count(lit(1)).as("n_events"),
+        fmt(min(col("ts"))).as("session_start"),
+        fmt(max(col("ts"))).as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** Event-type rates per day — the monitoring rollup. */
+  private def dailyTypeCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(fmt(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("day", "event_type")
+
+  val all: Seq[Q] = Seq(
+    Q("q_hourly_events", hourlyEvents, Some(
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, " +
+      "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      headline = true),
+    Q("q_sessionize", sessionize, Some(
+      "WITH x AS (SELECT user_id, event_id, ts, value, " +
+      "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap " +
+      "FROM events), " +
+      "y AS (SELECT user_id, ts, value, CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid " +
+      "FROM x) " +
+      "SELECT user_id, sid, count(*) AS n_events, " +
+      "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+      "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, " +
+      "round(sum(value), 2) AS session_value " +
+      "FROM y GROUP BY user_id, sid ORDER BY user_id, sid")),
+    Q("q_daily_type_counts", dailyTypeCounts, Some(
+      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
+      "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.query.BipartiteExpand
+import graft.sources.Tables
+
+/** Graph/traversal operator surface (SURVEY.md §2.5) mapped onto the
+  * synthetic star schema: the bipartite customer↔part co-purchase graph
+  * (customer —bought→ part via orders ⋈ lineitem) stands in for the
+  * reference's actor↔movie graph, with customer 0 as the query root.
+  *
+  * These queries run through the REAL engine path
+  * ([[graft.query.BipartiteExpand]]) — the driver-loop BFS with
+  * visited-set anti-join — not a hand-inlined SQL translation, so the
+  * oracle checks the engine itself.
+  */
+object GraphQueries {
+
+  /** The bipartite edge table: G1's adjacency (both ETS tables of the
+    * reference are the two orientations of this one edge list). */
+  def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+
+  private val edgesCte =
+    "WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part " +
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"
+
+  /** G4+G6 level=2: one two-hop expansion — "customers who bought a part
+    * that customer 0 bought" (co-stars of X). */
+  private def graphLevel2(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 2)
+      .orderBy("cust")
+
+  /** G4+G6 level=3: two expansions (co-customers of co-customers). */
+  private def graphLevel3(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 3)
+      .orderBy("cust")
+
+  /** G7: the discovered co-occurrence edge list at level 2 —
+    * (root, shared part, co-customer) triples. */
+  private def graphEdgesLevel2(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand
+      .expandWithEdges(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 2)
+      .edges
+      .orderBy("cust", "part", "cust_peer")
+
+  /** Degree histogram of the bipartite graph (scale diagnostic: the
+    * skew profile that decides salting/AQE at 100 TB). */
+  private def degreeHistogram(s: SparkSession, d: String): DataFrame =
+    copurchaseEdges(s, d)
+      .groupBy("cust").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_custs"))
+      .orderBy("degree")
+
+  val all: Seq[Q] = Seq(
+    Q("q_graph_level2", graphLevel2, Some(
+      edgesCte +
+      " SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust = 0 ORDER BY cust"),
+      headline = true),
+    Q("q_graph_level3", graphLevel3, Some(
+      edgesCte + ", " +
+      "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0) " +
+      "SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust IN (SELECT cust FROM l2) ORDER BY cust")),
+    Q("q_graph_edges_level2", graphEdgesLevel2, Some(
+      edgesCte +
+      " SELECT DISTINCT e1.cust AS cust, e1.part AS part, e2.cust AS cust_peer " +
+      "FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust = 0 AND e2.cust <> e1.cust ORDER BY cust, part, cust_peer")),
+    Q("q_degree_histogram", degreeHistogram, Some(
+      edgesCte + ", deg AS (SELECT cust, count(*) AS degree FROM edges GROUP BY cust) " +
+      "SELECT degree, count(*) AS n_custs FROM deg GROUP BY degree ORDER BY degree")),
+  )
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q
+import graft.sources.Tables
+
+/** Relational operator surface: scans, projections, filters, joins,
+  * aggregations, windows, sorts, set ops, scalar functions.
+  *
+  * Mirrors SURVEY.md §2.1-§2.4, §2.6, §2.7 of the reference
+  * (RubenFr-zz/IMDB_MapReduce) re-expressed over the synthetic star
+  * schema. Each query is deterministic (explicit ORDER BY + tie-break
+  * keys, rounded floating-point aggregates) so the driver's
+  * DuckDB-oracle hash compare is stable.
+  *
+  * Scale notes (100 TB design point):
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them down (verified via explain: PushedFilters/ReadSchema);
+  *  - `nation`/`region` are broadcast explicitly — they are bounded-size
+  *    dimensions at any scale factor;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key and
+  *    rely on AQE for skew handling; no driver-side collection anywhere.
+  */
+object RelationalQueries {
+
+  /** S1/P1-P3: projection + filter, pushed to the parquet scan.
+    * Reference: parse_title projection, server.erl:261-268. */
+  private def scanFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .filter(col("l_quantity") < 10)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S3: split + explode (the reference's pre-joined `a,b,c` ingest,
+    * server.erl:111-124). */
+  private def explodeSplit(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+      .orderBy("p_partkey", "word")
+
+  /** P4: isin filter (category ∈ {actor, actress}, server.erl:136). */
+  private def filterIsin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** J1: star join with broadcast dimensions (the reference's names
+    * lookup service, master.erl:89-95 → broadcast hash join). */
+  private def broadcastJoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+
+  /** J2: fact-fact co-partitioned join (principals ⋈ basics on tconst,
+    * server.erl:140-148 → shuffle join on the shared key). */
+  private def shuffleJoinAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
+  /** J4: left outer join keeping unmatched rows (sort_data.py:14-15). */
+  private def leftJoinCount(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Semi join (EXISTS). */
+  private def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** G5: anti join — the visited-set semantics of the BFS
+    * (master.erl:295-304 → left_anti). */
+  private def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** A-series: full aggregate suite with map-side partial aggregation
+    * (the reference's upsert-or-append ingest agg, server.erl:140-148). */
+  private def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1: group → collect_list, canonicalized with array_sort
+    * (cast accumulation, server.erl:142-147; deviation 2 in SURVEY §7). */
+  private def collectList(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list("o_orderkey")).as("orderkeys"))
+      .orderBy("o_custkey")
+
+  /** A2: inverted index via collect_set (actors_db, server.erl:117-122). */
+  private def collectSet(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(array_sort(collect_set("l_suppkey")).as("suppliers"))
+      .orderBy("l_partkey")
+
+  /** Distinct aggregation. */
+  private def countDistinctQ(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Rollup (grouping-set aggregate beyond the reference's surface).
+    * Expressed through the SQL entry point: `Dataset.rollup` over a
+    * multi-join trips Spark 4.1's DetectAmbiguousSelfJoin false
+    * positive (the Expand node re-references the grouping attrs), while
+    * the SQL path plans the identical Aggregate+Expand correctly. */
+  private def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_rollup_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_rollup_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_rollup_region")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM graft_rollup_customer
+        |JOIN graft_rollup_nation ON c_nationkey = n_nationkey
+        |JOIN graft_rollup_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** Ranking window: top-3 orders per customer. */
+  private def windowTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-frame window: cumulative revenue per customer. */
+  private def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k (sort + limit). */
+  private def topkLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** O4: distinct (sets:from_list, master.erl:315). */
+  private def distinctQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_type").distinct()
+      .orderBy("event_type")
+
+  /** O2: sort by last space-separated token (surname key,
+    * graph.erl:93-98) — expression, no UDF. */
+  private def sortLastToken(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), -1).as("last_word"))
+      .orderBy("last_word", "p_partkey")
+
+  private def statusKeys(s: SparkSession, d: String, status: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === status).select("o_custkey")
+
+  /** O5: set difference (Servers -- [Node], master.erl:151). */
+  private def exceptQ(s: SparkSession, d: String): DataFrame =
+    statusKeys(s, d, "F").except(statusKeys(s, d, "O")).orderBy("o_custkey")
+
+  private def intersectQ(s: SparkSession, d: String): DataFrame =
+    statusKeys(s, d, "F").intersect(statusKeys(s, d, "O")).orderBy("o_custkey")
+
+  private def unionQ(s: SparkSession, d: String): DataFrame =
+    statusKeys(s, d, "F").union(statusKeys(s, d, "O")).distinct().orderBy("o_custkey")
+
+  /** F2/F4/F5: scalar string functions — prefix-strip + int parse
+    * (server.erl:263), DOT sanitize regex [^A-Za-z1-9] with its quirky
+    * 0-less class (graph.erl:30), list join (server.erl:387). */
+  private def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[^A-Za-z1-9]", "_").as("sanitized"),
+        substring(col("c_name"), 10, 9).cast("int").as("id_num"),
+        concat_ws(", ", col("c_mktsegment"), col("c_name")).as("joined"),
+        lower(col("c_mktsegment")).as("seg_lower"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
+  /** Date/time extraction + aggregate. */
+  private def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr", "mo")
+
+  val all: Seq[Q] = Seq(
+    Q("q_scan_filter_project", scanFilterProject, Some(
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),
+    Q("q_explode_split", explodeSplit, Some(
+      "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part ORDER BY p_partkey, word")),
+    Q("q_filter_isin", filterIsin, Some(
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus IN ('F','P') ORDER BY o_orderkey")),
+    Q("q_broadcast_join_agg", broadcastJoinAgg, Some(
+      "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+      headline = true),
+    Q("q_shuffle_join_agg", shuffleJoinAgg, Some(
+      "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      headline = true),
+    Q("q_left_join_count", leftJoinCount, Some(
+      "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey ORDER BY c_custkey")),
+    Q("q_semi_join", semiJoin, Some(
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') ORDER BY c_custkey")),
+    Q("q_anti_join", antiJoin, Some(
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+      "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+    Q("q_agg_stats", aggStats, Some(
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+      "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+      "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+      "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, " +
+      "max(l_quantity) AS max_qty, min(l_extendedprice) AS min_price, count(*) AS count_order " +
+      "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      headline = true),
+    Q("q_collect_list", collectList, Some(
+      "SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+    Q("q_collect_set", collectSet, Some(
+      "SELECT l_partkey, list_sort(list(DISTINCT l_suppkey)) AS suppliers FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
+    Q("q_count_distinct", countDistinctQ, Some(
+      "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+    Q("q_rollup", rollupAgg, Some(
+      "SELECT r_name, n_name, count(*) AS n_cust FROM customer " +
+      "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name NULLS FIRST, n_name NULLS FIRST")),
+    Q("q_window_topk", windowTopk, Some(
+      "SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM " +
+      "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+      "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+      headline = true),
+    Q("q_window_running", windowRunning, Some(
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) " +
+      "AS running_total FROM orders ORDER BY o_custkey, o_orderkey")),
+    Q("q_topk_limit", topkLimit, Some(
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+    Q("q_distinct", distinctQ, Some(
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type")),
+    Q("q_sort_last_token", sortLastToken, Some(
+      "SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS last_word FROM part ORDER BY last_word, p_partkey")),
+    Q("q_except", exceptQ, Some(
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT " +
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_custkey")),
+    Q("q_intersect", intersectQ, Some(
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT " +
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_custkey")),
+    Q("q_union", unionQ, Some(
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' UNION " +
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_custkey")),
+    Q("q_string_funcs", stringFuncs, Some(
+      "SELECT c_custkey, regexp_replace(c_name, '[^A-Za-z1-9]', '_', 'g') AS sanitized, " +
+      "CAST(substring(c_name, 10, 9) AS INT) AS id_num, " +
+      "concat_ws(', ', c_mktsegment, c_name) AS joined, lower(c_mktsegment) AS seg_lower, " +
+      "CAST(length(c_name) AS INT) AS name_len FROM customer ORDER BY c_custkey")),
+    Q("q_date_funcs", dateFuncs, Some(
+      "SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, " +
+      "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total " +
+      "FROM orders GROUP BY 1, 2 ORDER BY 1, 2")),
+  )
+}

@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (north-star extensions beyond the
+  * reference, SURVEY.md §7): exact dedup, n-gram Jaccard near-dup,
+  * MinHash + LSH banding, SimHash, token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` (split /
+  * regexp_extract_all / transform / filter / aggregate higher-order
+  * functions) — no Scala UDFs in the hot path, so whole-stage codegen
+  * spans the full pipeline. The shingle → minhash → band pipeline
+  * shuffles only on (doc_id) and the short band signature, never on
+  * raw text, which is what makes it viable at 100 TB (text stays in
+  * the scan stage; only 32-char digests move).
+  */
+object TextQueries {
+
+  /** Tokenize: non-whitespace runs (robust to repeated separators). */
+  private def words(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Distinct word-3-gram shingles per document. */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ",
+          element_at(col("w"), i),
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))))).as("shingle"))
+
+  private val shinglesCte =
+    "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM " +
+    "(SELECT doc_id, unnest(list_transform(range(1, len(w)-1), " +
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle " +
+    "FROM w WHERE len(w) >= 3) q)"
+
+  /** Exact dedup: keep the smallest doc_id per content hash. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** Exact-duplicate groups (hash → multiplicity). */
+  private def dedupGroups(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** N-gram Jaccard near-dup: pairs with shingle-set Jaccard ≥ 0.8.
+    * The candidate join is on the shingle value (inverted-index style);
+    * n_common / union arithmetic is exact integer→double, so the 0.8
+    * threshold is engine-stable. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures (K=8 permutations simulated as keyed md5):
+    * one row per (doc_id, k) with the min digest — the partial-agg
+    * shape Spark turns into map-side combine. */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(7))).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("shingle")))).as("mh"))
+      .orderBy("doc_id", "k")
+
+  private val minhashCte = shinglesCte + ", " +
+    "mh AS (SELECT doc_id, CAST(k AS INT) AS k, " +
+    "min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh " +
+    "FROM sh, range(0, 8) t(k) GROUP BY doc_id, k)"
+
+  /** LSH banding over the minhash signature (4 bands × 2 rows):
+    * candidate pairs = documents sharing any band signature. Only the
+    * 32-char band digest is shuffled — the 100 TB-safe join key. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val mh = minhashSig(s, d)
+    val bands = mh
+      .withColumn("band", floor(col("k") / 2).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          x => x.getField("mh")), "|")).as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (16-bit; bit j = sign of Σ_words ±1 from the parity of
+    * hex char j of md5(word)), emitted as a bit string to stay
+    * engine-portable. */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("h"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("weight",
+        (ascii(col("h").substr(col("j") + 1, lit(1))) % 2) * 2 - 1)
+      .groupBy("doc_id", "j")
+      .agg(sum("weight").as("sw"))
+      .withColumn("b", when(col("sw") > 0, "1").otherwise("0"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("b")))),
+          x => x.getField("b")), "").as("simhash"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  private def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * average word length — the standard pre-training text filters. */
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_len"),
+        size(w).as("n_words"),
+        round(length(regexp_replace(col("text"), "[a-z0-9\\s]", "")) / length(col("text")), 4)
+          .as("punct_ratio"),
+        round(size(filter(w, x => x.isin(stopwords: _*))) / size(w), 4)
+          .as("stopword_ratio"),
+        round(length(translate(col("text"), " ", "")) / size(w), 4)
+          .as("avg_word_len"))
+      .orderBy("doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "los", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "et", "les", "une"))
+
+  /** Language-ID heuristic: CJK codepoint check + stopword votes with a
+    * fixed priority order (en > es > de > fr) — a deterministic n-gram
+    * style classifier computed identically by engine and oracle. */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val scores = langMarkers.map { case (l, ms) =>
+      l -> size(filter(w, x => x.isin(ms: _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = when(col("text").rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
+      .when(best === 0, "unknown")
+      .otherwise(scores.foldRight(lit("unknown"): Column) { case ((l, sc), acc) =>
+        when(sc === best, l).otherwise(acc)
+      })
+    Tables.documents(s, d)
+      .select(
+        (Seq(col("doc_id")) ++
+          scores.map { case (l, sc) => sc.as(s"s_$l") } :+
+          pred.as("pred_lang") :+
+          col("lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized text. */
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .orderBy("doc_id")
+
+  private def langCase: String = {
+    // Build the nested CASE mirroring the Scala fold: priority en > es > de > fr.
+    val cond = langMarkers.reverse.foldLeft("'unknown'") { case (acc, (l, _)) =>
+      s"CASE WHEN s_$l = best THEN '$l' ELSE $acc END"
+    }
+    cond
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_dedup_exact", dedupExact, Some(
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
+    Q("q_dedup_groups", dedupGroups, Some(
+      "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h")),
+    Q("q_ngram_jaccard", ngramJaccard, Some(
+      shinglesCte + ", " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard " +
+      "FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8 ORDER BY doc_a, doc_b"),
+      headline = true),
+    Q("q_minhash_sig", minhashSig, Some(
+      minhashCte + " SELECT doc_id, k, mh FROM mh ORDER BY doc_id, k")),
+    Q("q_lsh_pairs", lshPairs, Some(
+      minhashCte + ", " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh GROUP BY doc_id, k // 2) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
+      "ORDER BY doc_a, doc_b")),
+    Q("q_simhash", simhash, Some(
+      "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+      "h AS (SELECT doc_id, md5(word) AS h FROM words), " +
+      "bits AS (SELECT doc_id, j, CASE WHEN " +
+      "sum((ascii(substr(h, CAST(j AS INT) + 1, 1)) % 2) * 2 - 1) > 0 THEN '1' ELSE '0' END AS b " +
+      "FROM h, range(0, 16) t(j) GROUP BY doc_id, j) " +
+      "SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id")),
+    Q("q_token_counts", tokenCounts, Some(
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_ws_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_re_tokens " +
+      "FROM documents ORDER BY doc_id")),
+    Q("q_quality_score", qualityScore, Some(
+      "SELECT doc_id, CAST(length(text) AS INT) AS n_len, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words, " +
+      "round(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) / length(text), 4) AS punct_ratio, " +
+      "round(len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('the','a','of','and','to','in'))) " +
+      "/ len(regexp_extract_all(text, '\\S+')), 4) AS stopword_ratio, " +
+      "round(length(replace(text, ' ', '')) / len(regexp_extract_all(text, '\\S+')), 4) AS avg_word_len " +
+      "FROM documents ORDER BY doc_id")),
+    Q("q_lang_id", langId, Some(
+      "WITH s AS (SELECT doc_id, lang, text, " +
+      langMarkers.map { case (l, ms) =>
+        s"CAST(len(list_filter(regexp_extract_all(text, '\\S+'), " +
+        s"x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS INT) AS s_$l"
+      }.mkString(", ") +
+      " FROM documents), " +
+      "g AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM s) " +
+      "SELECT doc_id, s_en, s_es, s_de, s_fr, " +
+      "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' " +
+      s"WHEN best = 0 THEN 'unknown' ELSE $langCase END AS pred_lang, lang " +
+      "FROM g ORDER BY doc_id")),
+    Q("q_fingerprint", fingerprint, Some(
+      "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id")),
+  )
+}
