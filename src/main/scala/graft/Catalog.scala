@@ -27,7 +27,8 @@ object Catalog {
     graft.operators.GraphQueries.all ++
     graft.operators.TextQueries.all ++
     graft.operators.VectorQueries.all ++
-    graft.operators.EventQueries.all
+    graft.operators.EventQueries.all ++
+    graft.operators.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, batch-shaped decode / feature-extraction over partitions.
+  *
+  * The decode step itself is STUBBED — image/audio codec libraries are
+  * not in this container — with [[FakeCodec]], a deterministic
+  * byte-level stand-in. Everything around it is the real Spark shape a
+  * production pipeline needs at 100 TB:
+  *  - payloads live in a `binary` column (parquet keeps them out of
+  *    dictionary encoding; column pruning skips them when untouched);
+  *  - metadata travels in a narrow struct so planning-level filters
+  *    (mime, size) prune before any byte is decoded;
+  *  - decode runs via `mapPartitions` so a per-partition "codec handle"
+  *    (in reality: a model/session object) is initialized once per
+  *    task, not once per row — the same batch shape `mapInPandas`
+  *    gives Python pipelines;
+  *  - feature vectors come back as `array<float>`, feeding directly
+  *    into [[graft.operators.VectorQueries]]'s similarity operators.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mime: String, n_bytes: Long, width: Int, height: Int)
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])
+
+  /** Deterministic stand-in for a real codec (???-equivalent, clearly
+    * marked): "decodes" a payload into a fixed-dim feature vector via
+    * a rolling byte hash. Replace with a real decode + model forward
+    * pass where codec/model libs exist; the call shape is identical. */
+  object FakeCodec {
+    val dim = 8
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Wrap the documents table as fake media rows: utf-8 payload bytes +
+    * deterministic metadata (the schema/partitioning shape of a real
+    * image table). */
+  def fromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("text/plain").as("mime"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (col("doc_id") % 64 + 1).cast("int").as("width"),
+          (col("doc_id") % 48 + 1).cast("int").as("height")).as("meta"))
+      .as[MediaRow]
+  }
+
+  /** Batch decode: one codec handle per partition, rows streamed
+    * through it. The metadata filter runs BEFORE decode so planning
+    * prunes payload bytes for rows that fail it. */
+  def extractFeatures(rows: Dataset[MediaRow], minBytes: Long = 0L): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows
+      .filter(_.meta.n_bytes >= minBytes)
+      .mapPartitions { it =>
+        // per-partition init (stands in for loading a codec/model once)
+        val codec = FakeCodec
+        it.map { r =>
+          MediaFeatures(r.doc_id, r.meta.n_bytes,
+            codec.checksum(r.payload), codec.decode(r.payload))
+        }
+      }
+  }
+
+  /** Full pipeline as a DataFrame (used by the multimodal query). */
+  def features(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(fromDocuments(s, dir)).toDF()
+}

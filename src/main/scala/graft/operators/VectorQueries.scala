@@ -3,33 +3,37 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (Array[Float], dim=64):
-  * brute-force cosine top-k as the correctness baseline, plus cluster
-  * (label) centroid statistics — the scaffolding an IVF index builds on.
+  * brute-force cosine top-k as the correctness baseline, cosine
+  * near-dup pairing, and an IVF-style probed search as the scale path.
   *
   * Implementation notes:
-  *  - dot products use `zip_with` + `aggregate` higher-order functions
-  *    (codegen'd, no UDF); elements are cast to double FIRST so both
-  *    engines do identical double arithmetic (float32 multiply would
-  *    round differently from the oracle);
-  *  - the query vector is a 1-row broadcast — at 100 TB the scan side
-  *    streams while the query side is a broadcast nested loop, which is
-  *    exactly the right plan for brute-force ANN scoring;
-  *  - top-k goes through `orderBy(...).limit(k)`, which Spark executes
-  *    as TakeOrderedAndProject (per-partition heap + driver merge), not
-  *    a global sort.
+  *  - dot products run through [[graft.functions.VecDot]] — a native
+  *    codegen'd Catalyst expression (tight primitive loop, no
+  *    intermediate arrays, stays inside whole-stage codegen);
+  *  - elements are cast to double FIRST so both engines do identical
+  *    double arithmetic (float32 multiply would round differently from
+  *    the oracle);
+  *  - per-vector norms are computed BEFORE any join (linear work),
+  *    so the quadratic pair stage only evaluates the cross dot;
+  *  - top-k goes through `orderBy(...).limit(k)` = TakeOrderedAndProject
+  *    (per-partition heaps + driver merge), never a global sort;
+  *  - the IVF query prunes the candidate set with a broadcast semi-join
+  *    on the probed labels — at 100 TB this is the difference between
+  *    scanning everything and scanning nprobe/ncluster of it.
   */
 object VectorQueries {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   private def cosineTopk(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
@@ -43,6 +47,56 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.5.
+    * Norms are precomputed per vector (linear), so the O(n²) stage is
+    * one fused dot per pair. */
+  private def embedNeardup(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", sqrt(dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("va"), col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("e").as("eb"), col("n").as("nb"))
+    a.crossJoin(b)
+      .filter(col("va") < col("vb"))
+      .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("c") >= 0.5)
+      .select(col("va"), col("vb"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+
+  /** IVF-style probed search: coarse-quantize by per-label centroid,
+    * probe the 2 closest clusters to the query, brute-force only there. */
+  private def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    // coarse quantizer: per-label mean vector
+    val cent = emb
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+      .select(col("label"), transform(col("cs"), x => x.getField("m")).as("cvec"))
+    val probed = cent.crossJoin(broadcast(q))
+      .select(col("label"),
+        (dot(col("cvec"), col("qe")) /
+          (sqrt(dot(col("cvec"), col("cvec"))) * sqrt(dot(col("qe"), col("qe"))))).as("c"))
+      .orderBy(col("c").desc, col("label"))
+      .limit(2)
+      .select("label")
+    emb.join(broadcast(probed), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(asDouble(col("embedding")), col("qe")) /
+          (sqrt(dot(asDouble(col("embedding")), asDouble(col("embedding")))) *
+           sqrt(dot(col("qe"), col("qe"))))).as("c"))
+      .select(col("vec_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -54,12 +108,14 @@ object VectorQueries {
       .orderBy("label")
 
   /** Vector norms — scan-side feature extraction over the array column. */
-  private def vectorNorms(s: SparkSession, d: String): DataFrame =
+  private def vectorNorms(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         round(sqrt(dot(asDouble(col("embedding")), asDouble(col("embedding")))), 4)
           .as("l2_norm"))
       .orderBy("vec_id")
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_cosine_topk", cosineTopk, Some(
@@ -72,6 +128,32 @@ object VectorQueries {
       "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
       "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
       headline = true),
+    Q("q_embed_neardup", embedNeardup, Some(
+      "WITH sc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
+      "sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS na, " +
+      "sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS nb " +
+      "FROM embeddings a, embeddings b, range(1, 65) t(i) " +
+      "WHERE a.vec_id < b.vec_id GROUP BY 1, 2) " +
+      "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+      "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.5 ORDER BY va, vb"),
+      headline = true),
+    Q("q_ivf_topk", ivfTopk, Some(
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "cent AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
+      "FROM embeddings, range(1, 65) t(i) GROUP BY label, i), " +
+      "cdist AS (SELECT label, sum(m * q.qe[i]::DOUBLE) / " +
+      "(sqrt(sum(m * m)) * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS c " +
+      "FROM cent, q GROUP BY label), " +
+      "probe AS (SELECT label FROM cdist ORDER BY c DESC, label LIMIT 2), " +
+      "sc AS (SELECT e.vec_id, " +
+      "sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE) AS d, " +
+      "sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS na, " +
+      "sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE) AS nb " +
+      "FROM embeddings e JOIN probe USING (label), q, range(1, 65) t(i) " +
+      "GROUP BY e.vec_id) " +
+      "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+      "ORDER BY cos_sim DESC, vec_id LIMIT 5")),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md
+  * §2.8 + north-star): the reference's ingest is a bounded push stream
+  * with a barrier; the real streaming capabilities added here are
+  * watermarked window aggregation and stateful sessionization.
+  *
+  * The transformations are shared with the batch forms in
+  * [[graft.operators.EventQueries]] — same windows, same session-gap
+  * rule — so the DuckDB-checked batch results also pin the streaming
+  * semantics (verified by the streaming specs running both and
+  * comparing).
+  */
+object EventStreams {
+
+  /** Physical schema of events.parquet (`ts` is TIMESTAMP(NANOS),
+    * readable only as long — see [[graft.sources.Tables.events]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of the events table (one file per micro-batch
+    * locally; a directory listing feed at scale). */
+  def readEventStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregate — the streaming form of
+    * q_hourly_events. Late events beyond 10 minutes are dropped;
+    * state is bounded by (watermark horizon × types). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class Ev(user_id: Long, tsUs: Long, value: Double)
+  final case class SessionState(
+      sid: Long, startUs: Long, lastUs: Long, n: Long, value: Double)
+  final case class Session(
+      user_id: Long, sid: Long, n_events: Long,
+      session_start: Long, session_end: Long, session_value: Double)
+
+  val gapUs: Long = 1800L * 1000000L  // 30-minute inactivity gap
+
+  /** Stateful sessionization via flatMapGroupsWithState: per user,
+    * order the batch's events by time, close a session whenever the
+    * gap exceeds 30 minutes, carry the open session in state. The
+    * same gap rule as the batch q_sessionize. */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsUs))
+          var cur = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          var nextSid = if (cur == null) 0L else cur.sid
+          sorted.foreach { e =>
+            if (cur == null) {
+              cur = SessionState(nextSid, e.tsUs, e.tsUs, 1L, e.value)
+            } else if (e.tsUs - cur.lastUs > gapUs) {
+              closed += Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value)
+              nextSid = cur.sid + 1
+              cur = SessionState(nextSid, e.tsUs, e.tsUs, 1L, e.value)
+            } else {
+              cur = cur.copy(lastUs = e.tsUs, n = cur.n + 1, value = cur.value + e.value)
+            }
+          }
+          if (cur != null) state.update(cur)
+          closed.result().iterator
+      }
+  }
+}

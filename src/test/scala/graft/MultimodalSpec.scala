@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media rows carry binary payloads + typed metadata") {
+    val rows = Multimodal.fromDocuments(spark, dir)
+    val r = rows.filter(_.doc_id == 0).collect()(0)
+    assert(r.meta.mime == "text/plain")
+    assert(r.meta.n_bytes == r.payload.length.toLong)
+    assert(r.meta.width == 1 && r.meta.height == 1)
+  }
+
+  test("feature extraction is deterministic and batch-shaped") {
+    val f1 = Multimodal.features(spark, dir).orderBy("doc_id").collect()
+    val f2 = Multimodal.features(spark, dir).orderBy("doc_id").collect()
+    assert(f1.length == 500)
+    assert(f1.map(_.getLong(2)).toSeq == f2.map(_.getLong(2)).toSeq)
+    val feats = f1(0).getSeq[Float](3)
+    assert(feats.length == Multimodal.FakeCodec.dim)
+    assert(feats.exists(_ > 0f))
+  }
+
+  test("metadata filter prunes before decode") {
+    val all = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(spark, dir), minBytes = 0L).count()
+    val some = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(spark, dir), minBytes = 300L).count()
+    assert(some < all && some > 0)
+  }
+}

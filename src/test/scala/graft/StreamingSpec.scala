@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Streaming semantics pinned against the batch forms (which are
+  * themselves DuckDB-oracle-checked): same windows, same session rule. */
+class StreamingSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly window agg equals the batch q_hourly_events") {
+    val stream = EventStreams.hourlyCounts(EventStreams.readEventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly_out")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = Catalog.byName("q_hourly_events").fn(spark, dir).collect().toSeq
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch gap rule") {
+    import spark.implicits._
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"), col("value"))
+      .as[EventStreams.Ev]
+    val stream = EventStreams.sessionize(evs.repartition(4))
+
+    // batch oracle: q_sessionize (oracle-checked); a single-batch FMGWS
+    // run emits every session except each user's last (still open in state)
+    val batch = Catalog.byName("q_sessionize").fn(spark, dir)
+    val lastSid = batch.groupBy("user_id").agg(max("sid").as("last"))
+    val wantClosed = batch.join(lastSid, "user_id")
+      .filter(col("sid") < col("last"))
+      .select(col("user_id"), col("sid"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSeq
+
+    val got = stream.toDF()
+      .select(col("user_id"), col("sid"), col("n_events"),
+        round(col("session_value"), 2).as("v"))
+      .orderBy("user_id", "sid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .toSeq
+    assert(got == wantClosed, s"fmgws ${got.size} vs batch-closed ${wantClosed.size}")
+    assert(got.nonEmpty)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+class VectorFunctionsSpec extends SparkSpec {
+
+  test("VecDot matches zip_with/aggregate on real embeddings") {
+    VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val both = emb.select(
+      VectorFunctions.vecDot(col("e"), col("e")).as("native"),
+      aggregate(zip_with(col("e"), col("e"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("VecDot handles nulls and empty arrays") {
+    VectorFunctions.register(spark)
+    val df = spark.sql(
+      "SELECT graft_vec_dot(CAST(array() AS array<double>), CAST(array() AS array<double>)) AS z, " +
+      "graft_vec_dot(CAST(NULL AS array<double>), CAST(array(1.0d) AS array<double>)) AS n, " +
+      "graft_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+    val r = df.collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("VecDot stays inside whole-stage codegen") {
+    VectorFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = emb.select(VectorFunctions.vecDot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Project [vecdot"), plan.take(500))
+  }
+}
