@@ -19,12 +19,14 @@ import graft.sources.Tables
 object GraphQueries {
 
   /** The bipartite edge table: G1's adjacency (both ETS tables of the
-    * reference are the two orientations of this one edge list). */
+    * reference are the two orientations of this one edge list).
+    * Multiplicity is NOT removed here — every consumer either dedups
+    * per hop (BipartiteExpand's distinct after each join) or dedups
+    * itself, which avoids a full shuffle of the fact join output. */
   def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
 
   private val edgesCte =
     "WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part " +
@@ -53,7 +55,7 @@ object GraphQueries {
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
     copurchaseEdges(s, d)
-      .groupBy("cust").agg(count(lit(1)).as("degree"))
+      .groupBy("cust").agg(countDistinct("part").as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_custs"))
       .orderBy("degree")
 

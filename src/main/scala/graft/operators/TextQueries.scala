@@ -66,8 +66,15 @@ object TextQueries {
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // A shingle seen in exactly one document cannot produce a pair:
+    // pruning singletons (the vast majority) before the quadratic join
+    // shrinks it by orders of magnitude without changing any result.
+    val shared = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("shingle"),
+      Seq("shingle"))
+    val a = shared.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shared.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
