@@ -31,10 +31,15 @@ object Bench {
       try q.fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Median of 3 runs per query: single-shot timings on a shared
+    // machine showed 6-10x noise spikes; the median is stable.
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -202,6 +202,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Rolling-hash fingerprint (winnowing-style): per-word integer
+    * hashes combined over a sliding window of 4 words with base-131
+    * polynomial weights; the document fingerprint is the minimum window
+    * hash. Pure integer arithmetic end to end, so engine-exact. */
+  private def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    val B1 = 131L; val B2 = 17161L; val B3 = 2248091L  // 131^1..131^3
+    def wordHash(w: Column): Column =
+      (1 to 8).map(j => ascii(substring(md5(w), j, 1)) * lit(j)).reduce(_ + _)
+        .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 4)
+      .withColumn("us", transform(col("w"), wordHash(_)))
+      .withColumn("whs", transform(
+        sequence(lit(1), size(col("us")) - 3),
+        i => element_at(col("us"), i) * B3 +
+             element_at(col("us"), i + 1) * B2 +
+             element_at(col("us"), i + 2) * B1 +
+             element_at(col("us"), i + 3)))
+      .select(col("doc_id"), size(col("whs")).as("n_windows"),
+        array_min(col("whs")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized text. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -273,5 +297,14 @@ object TextQueries {
       "FROM g ORDER BY doc_id")),
     Q("q_fingerprint", fingerprint, Some(
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id")),
+    Q("q_rolling_fingerprint", rollingFingerprint, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h AS (SELECT doc_id, list_transform(range(1, len(us) - 2), " +
+      "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u) " +
+      "SELECT doc_id, CAST(len(whs) AS INT) AS n_windows, list_min(whs) AS fp " +
+      "FROM h ORDER BY doc_id")),
   )
 }
