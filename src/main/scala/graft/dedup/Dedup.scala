@@ -1,0 +1,101 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level deduplication API — the operator a training-data
+  * pipeline calls on a 100 TB document table. All methods return
+  * DataFrames and never collect; the survivor rule is deterministic
+  * (smallest id wins) so reruns are stable.
+  *
+  * Strategy layering, cheapest first:
+  *  1. [[exact]] — one hash-groupBy over content digests;
+  *  2. [[lshCandidates]] — MinHash+LSH banding: only 32-char digests
+  *     shuffle, candidate recall tunable via (k, rowsPerBand);
+  *  3. [[nearDupPairs]] — exact shingle-Jaccard verification, run on
+  *     the full corpus here but intended to be fed LSH candidates at
+  *     scale (verify-what-you-bucket, never all-pairs).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest-id row per distinct content.
+    * Survivors join back to the full rows (no wide shuffle of the
+    * payload — only (digest, id) pairs move). NULL contents form one
+    * group (all-null rows dedup to a single survivor). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keepers = df
+      .select(col(idCol), md5(col(contentCol)).as("graft_h"))
+      .groupBy("graft_h")
+      .agg(min(idCol).as(idCol))
+      .select(idCol)
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash+LSH candidate duplicate pairs (id_a < id_b). */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = TextFunctions.shingles(df, idCol, textCol, shingleN)
+    val bands = TextFunctions.lshBands(
+      TextFunctions.minhashRows(sh, idCol, k), idCol, rowsPerBand)
+    TextFunctions.lshCandidatePairs(bands, idCol)
+  }
+
+  /** Exact shingle-Jaccard near-duplicate pairs ≥ threshold. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame =
+    TextFunctions.jaccardPairs(
+      TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, threshold)
+
+  /** Full near-dedup: drop every document that is the larger id of a
+    * verified near-duplicate pair (transitively this keeps at least
+    * one representative per duplicate cluster). */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** §2.9 typed-aggregate surface (the reference's never-used
+    * mapreduce.erl skeleton, done properly): a MinHash signature as an
+    * `Aggregator[IN, BUF, OUT]` — one pass, mergeable partial buffers,
+    * usable as a typed column or registered as a UDAF via
+    * `functions.udaf`. IN = pre-hashed shingle, BUF = running minima.
+    */
+  class MinHashSigAgg(val k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(buf: Array[Long], shingleHash: Long): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        // k cheap derived permutations of the input hash
+        val h = shingleHash * (2L * i + 1) + i
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Per-document MinHash signatures through the typed Aggregator path
+    * (registered as a UDAF): (idCol, sig array<long>[k]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8): DataFrame = {
+    val agg = udaf(new MinHashSigAgg(k), Encoders.scalaLong)
+    TextFunctions.shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+      .groupBy(idCol)
+      .agg(agg(col("sh")).as("sig"))
+  }
+}

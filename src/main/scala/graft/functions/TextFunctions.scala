@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable text primitives shared by the query catalog
+  * ([[graft.operators.TextQueries]]) and the corpus-level dedup API
+  * ([[graft.dedup.Dedup]]). All codegen'd `functions._` compositions —
+  * no UDFs — so they inline into whole-stage codegen wherever used.
+  */
+object TextFunctions {
+
+  /** Tokenize: non-whitespace runs (robust to repeated separators). */
+  def words(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Distinct word n-gram shingles of a tokens array. */
+  def shingleArray(ws: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+
+  /** Exploded distinct shingles: (idCol, shingle) rows; documents with
+    * fewer than `n` words produce none. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(shingleArray(col("w"), n)).as("shingle"))
+
+  /** MinHash rows: (idCol, k, mh) — K permutations simulated as keyed
+    * md5, min-reduced per document with map-side partial aggregation.
+    * Only 32-char digests ever shuffle, never raw text. */
+  def minhashRows(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.select(col(idCol), col("shingle"),
+        explode(sequence(lit(0), lit(k - 1))).as("k"))
+      .groupBy(idCol, "k")
+      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("shingle")))).as("mh"))
+
+  /** LSH band signatures: (idCol, band, sig) from minhash rows. */
+  def lshBands(mh: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    mh.withColumn("band", floor(col("k") / rowsPerBand).cast("int"))
+      .groupBy(idCol, "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+          x => x.getField("mh")), "|")).as("sig"))
+
+  /** Candidate pairs sharing any LSH band bucket: (id_a, id_b). */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val b = bands.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for all pairs ≥ threshold:
+    * (id_a, id_b, jaccard). Shingles seen in a single document are
+    * pruned before the quadratic join (they cannot form a pair). */
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val cached = sh.persist()
+    val sizes = cached.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val shared = cached.join(
+      cached.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("shingle"),
+      Seq("shingle"))
+    val a = shared.select(col(idCol).as("id_a"), col("shingle"))
+    val b = shared.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

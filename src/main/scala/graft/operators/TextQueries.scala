@@ -21,20 +21,12 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** Tokenize: non-whitespace runs (robust to repeated separators). */
-  private def words(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+  import graft.functions.TextFunctions.words
 
   /** Distinct word-3-gram shingles per document. */
   def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ",
-          element_at(col("w"), i),
-          element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2))))).as("shingle"))
+    graft.functions.TextFunctions.shingles(
+      Tables.documents(s, d), "doc_id", "text", n = 3)
 
   private val shinglesCte =
     "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
@@ -63,40 +55,17 @@ object TextQueries {
     * The candidate join is on the shingle value (inverted-index style);
     * n_common / union arithmetic is exact integer→double, so the 0.8
     * threshold is engine-stable. */
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // A shingle seen in exactly one document cannot produce a pair:
-    // pruning singletons (the vast majority) before the quadratic join
-    // shrinks it by orders of magnitude without changing any result.
-    val shared = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("shingle"),
-      Seq("shingle"))
-    val a = shared.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = shared.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    graft.functions.TextFunctions.jaccardPairs(shingles(s, d), "doc_id", 0.8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** MinHash signatures (K=8 permutations simulated as keyed md5):
     * one row per (doc_id, k) with the min digest — the partial-agg
     * shape Spark turns into map-side combine. */
   private def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(7))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min(md5(concat(col("k").cast("string"), lit("|"), col("shingle")))).as("mh"))
+    graft.functions.TextFunctions.minhashRows(shingles(s, d), "doc_id", k = 8)
       .orderBy("doc_id", "k")
 
   private val minhashCte = shinglesCte + ", " +
@@ -108,19 +77,10 @@ object TextQueries {
     * candidate pairs = documents sharing any band signature. Only the
     * 32-char band digest is shuffled — the 100 TB-safe join key. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    val mh = minhashSig(s, d)
-    val bands = mh
-      .withColumn("band", floor(col("k") / 2).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-          x => x.getField("mh")), "|")).as("sig"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    val mh = graft.functions.TextFunctions.minhashRows(shingles(s, d), "doc_id", k = 8)
+    val bands = graft.functions.TextFunctions.lshBands(mh, "doc_id", rowsPerBand = 2)
+    graft.functions.TextFunctions.lshCandidatePairs(bands, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .orderBy("doc_a", "doc_b")
   }
 

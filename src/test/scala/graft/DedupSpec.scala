@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Corpus-level dedup API on sf0.1, which has 8 planted exact
+  * duplicates (5000 docs, 4992 distinct texts) and near-duplicates
+  * with Jaccard ≈ 0.98. */
+class DedupSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.1"
+  private lazy val docs = Tables.documents(spark, dir).persist()
+
+  test("exact dedup keeps one smallest-id row per distinct text") {
+    val cleaned = Dedup.exact(docs, "doc_id", "text")
+    assert(cleaned.count() == 4992L)
+    assert(cleaned.select("text").distinct().count() == 4992L)
+    // survivor rule: every kept id is the min id of its text group
+    val viol = cleaned.as("c")
+      .join(docs.groupBy("text").agg(min("doc_id").as("keeper")), "text")
+      .filter(col("doc_id") =!= col("keeper")).count()
+    assert(viol == 0)
+  }
+
+  test("LSH candidates cover every exact duplicate pair") {
+    val exactPairs = docs.as("a")
+      .join(docs.as("b"), col("a.text") === col("b.text") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text")
+    assert(exactPairs.join(cands, Seq("id_a", "id_b"), "left_anti").count() == 0)
+  }
+
+  test("near-dedup removes at least the verified near-dup partners") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val n = pairs.count()
+    assert(n >= 8, s"expected >= 8 near-dup pairs, got $n")  // 8 exact dups have jaccard 1.0
+    val cleaned = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.8)
+    assert(cleaned.count() == docs.count() - pairs.select("id_b").distinct().count())
+  }
+
+  test("typed MinHash Aggregator agrees with itself across partitionings") {
+    val s1 = Dedup.minhashSignatures(docs.repartition(3), "doc_id", "text")
+    val s2 = Dedup.minhashSignatures(docs.repartition(17), "doc_id", "text")
+    assert(s1.as("x").join(s2.as("y"), Seq("doc_id"))
+      .filter(col("x.sig") =!= col("y.sig")).count() == 0)
+    // exact duplicate texts -> identical signatures
+    val dupSigs = s1.join(docs, "doc_id")
+      .groupBy("text").agg(countDistinct("sig").as("n"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    assert(dupSigs.filter(col("n") =!= 1).count() == 0)
+  }
+}
