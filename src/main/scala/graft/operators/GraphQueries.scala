@@ -51,6 +51,16 @@ object GraphQueries {
       .edges
       .orderBy("cust", "part", "cust_peer")
 
+  /** G1: the sharded point lookup (ets:lookup dispatched to all
+    * shards, server.erl:299-317) — as a predicate-pushdown scan: the
+    * root filter reaches the parquet scan, so only matching row groups
+    * are read; no scatter/gather RPC exists to write. */
+  private def pointLookup(s: SparkSession, d: String): DataFrame =
+    copurchaseEdges(s, d)
+      .filter(col("cust") === 0)
+      .select("part").distinct()
+      .orderBy("part")
+
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
@@ -75,6 +85,9 @@ object GraphQueries {
       " SELECT DISTINCT e1.cust AS cust, e1.part AS part, e2.cust AS cust_peer " +
       "FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
       "WHERE e1.cust = 0 AND e2.cust <> e1.cust ORDER BY cust, part, cust_peer")),
+    Q("q_point_lookup", pointLookup, Some(
+      "SELECT DISTINCT l_partkey AS part FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+      "WHERE o_custkey = 0 ORDER BY part")),
     Q("q_degree_histogram", degreeHistogram, Some(
       edgesCte + ", deg AS (SELECT cust, count(*) AS degree FROM edges GROUP BY cust) " +
       "SELECT degree, count(*) AS n_custs FROM deg GROUP BY degree ORDER BY degree")),

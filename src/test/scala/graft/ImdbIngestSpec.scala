@@ -50,6 +50,23 @@ class ImdbIngestSpec extends SparkSpec {
     assert(titleCast.filter(size(col("cast")) === 0).count() == 0)
   }
 
+  test("S4/S5: grouped TSV sink and parquet snapshot roundtrip") {
+    val e = EdgeBuilder.edges(spark,
+      s"$dir/basic1000.tsv", s"$dir/principals1000.tsv", s"$dir/names1000.tsv")
+    val grouped = EdgeBuilder.titleToCast(e)
+    val tsvDir = java.nio.file.Files.createTempDirectory("tsvsink").toString
+    ImdbTsv.writeGroupedTsv(grouped, "title", "cast", tsvDir)
+    // the reference's `key \t v1, v2` shape (tab2file, server.erl:379-389)
+    val line = spark.read.option("sep", "\t").csv(tsvDir).collect()(0)
+    assert(line.length == 2 && line.getString(0).nonEmpty)
+
+    val snapDir = java.nio.file.Files.createTempDirectory("snap").toString + "/edges"
+    ImdbTsv.snapshot(e, snapDir)
+    val back = ImdbTsv.readSnapshot(spark, snapDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == ImdbOracle.edges(dir))
+  }
+
   test("S3: pre-joined step0 path yields the same edges") {
     // build a step0 file from the oracle edges (sort_data.py's output shape)
     val tmp = java.nio.file.Files.createTempFile("prejoined", ".tsv")

@@ -22,6 +22,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("multi-micro-batch stream converges to the same result") {
+    // split events into 4 files -> maxFilesPerTrigger=1 gives 4 batches
+    val splitDir = java.nio.file.Files.createTempDirectory("evsplit").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .repartition(4).write.mode("overwrite").parquet(splitDir)
+    val stream = EventStreams.hourlyCounts(
+      spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(splitDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_multi")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.length >= 4, s"expected >=4 micro-batches, saw ${q.recentProgress.length}")
+    val got = spark.table("hourly_multi")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = Catalog.byName("q_hourly_events").fn(spark, dir).collect().toSeq
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gap rule") {
     import spark.implicits._
     val evs = graft.sources.Tables.events(spark, dir)
