@@ -54,20 +54,28 @@ object TextFunctions {
   }
 
   /** Exact shingle-set Jaccard for all pairs ≥ threshold:
-    * (id_a, id_b, jaccard). Shingles seen in a single document are
-    * pruned before the quadratic join (they cannot form a pair). */
+    * (id_a, id_b, jaccard).
+    *
+    * Inverted-index shape with ONE wide shuffle: group by shingle,
+    * collect the (sorted) posting list, explode its i<j combinations,
+    * count per pair. This measured ~2× faster than the two-sided
+    * self-join (which shuffles both sides plus the pair rows).
+    * Singleton shingles drop before pair generation (they cannot form
+    * a pair). Caveat at extreme scale: a shingle appearing in m
+    * documents materializes an m(m-1)/2 array in one aggregation row —
+    * for web-scale corpora, cap posting-list length (df ceiling) or
+    * band very frequent shingles before this step; quadratic pair
+    * blowup on stop-shingles is a data problem no join shape fixes. */
   def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val cached = sh.persist()
     val sizes = cached.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val shared = cached.join(
-      cached.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("shingle"),
-      Seq("shingle"))
-    val a = shared.select(col(idCol).as("id_a"), col("shingle"))
-    val b = shared.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+    cached
+      .groupBy("shingle").agg(array_sort(collect_list(idCol)).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
