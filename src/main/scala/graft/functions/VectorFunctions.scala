@@ -55,15 +55,89 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 norm — the single-traversal form of `VecDot(x, x)`.
+  * Exists because codegen evaluates each child of a BinaryExpression
+  * independently: `vec_dot(x, x)` materializes/loads the array twice,
+  * while this reads it once. Produced by [[SelfDotToNorm]]. */
+case class VecNorm2(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: `vec_dot(x, x)` → `vec_norm2(x)` when both sides
+  * are semantically the same expression — halves array evaluation in
+  * every norm computation (used by all cosine queries). Injectable via
+  * [[GraftExtensions]] at session build, or added to an existing
+  * session through `experimental.extraOptimizations` (what
+  * [[VectorFunctions.register]] does, since the driver owns session
+  * construction). */
+object SelfDotToNorm
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case VecDot(a, b) if a.semanticEquals(b) => VecNorm2(a)
+    }
+}
+
+/** SparkSessionExtensions entry point for sessions the caller builds:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)...`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.fnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, VectorFunctions.fnName),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => SelfDotToNorm)
+  }
+}
+
 object VectorFunctions {
   val fnName = "graft_vec_dot"
 
   /** Idempotently register the expression with the session's function
     * registry (the supported way to reach a custom Expression from the
-    * public Column API in Spark 4). */
-  def register(spark: SparkSession): Unit =
+    * public Column API in Spark 4) and hook [[SelfDotToNorm]] into the
+    * session's optimizer. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotToNorm
+  }
 
   /** Dot product of two array<double> columns via the native expression.
     * Call [[register]] on the session first. */

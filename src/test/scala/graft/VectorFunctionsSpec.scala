@@ -35,7 +35,8 @@ class VectorFunctionsSpec extends SparkSpec {
         col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>")).as("d"))
       .queryExecution.executedPlan.toString
-    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
-    assert(plan.contains("*(1) Project [vecdot"), plan.take(500))
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+    // SelfDotToNorm has rewritten the self-dot into vecnorm2 by now
+    assert(plan.contains("*(1) Project [vecnorm2"), plan.take(500))
   }
 }
