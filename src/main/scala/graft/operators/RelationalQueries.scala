@@ -238,7 +238,51 @@ object RelationalQueries {
         round(sum("o_totalprice"), 2).as("total"))
       .orderBy("yr", "mo")
 
+  /** Exact interpolated percentiles (the analytic summary the
+    * reference has no analogue for; Spark `percentile` and DuckDB
+    * `quantile_cont` share linear-interpolation semantics). */
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(transform(
+        expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"),
+        x => round(x, 4)).as("pcts"))
+      .orderBy("o_orderstatus")
+
+  /** CUBE grouping sets over segment × nation (SQL path: see
+    * rollupAgg's note on the Dataset-API analyzer false positive). */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_cube_customer")
+    Tables.nation(s, d).createOrReplaceTempView("graft_cube_nation")
+    s.sql(
+      """SELECT c_mktsegment, n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM graft_cube_customer
+        |JOIN graft_cube_nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(c_mktsegment, n_name)
+        |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** HLL sketch cardinality (approx_count_distinct). No SQL oracle —
+    * sketch implementations differ across engines; the driver records
+    * the rows-only check and `RelationalExtraSpec` bounds the error. */
+  private def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
+    Q("q_percentiles", percentiles, Some(
+      "SELECT o_orderstatus, list_transform(quantile_cont(o_totalprice, [0.5, 0.9, 0.99]), " +
+      "x -> round(x, 4)) AS pcts FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+    Q("q_cube", cubeAgg, Some(
+      "SELECT c_mktsegment, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY CUBE(c_mktsegment, n_name) " +
+      "ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST")),
+    Q("q_approx_distinct", approxDistinct, None),
     Q("q_scan_filter_project", scanFilterProject, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),
     Q("q_explode_split", explodeSplit, Some(
