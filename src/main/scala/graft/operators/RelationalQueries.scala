@@ -178,6 +178,14 @@ object RelationalQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Grouped top-k via the single-pass bounded-heap Aggregator
+    * ([[graft.functions.TopK]]) — same rows as the window form, no
+    * full per-group sort. */
+  private def topkGrouped(s: SparkSession, d: String): DataFrame =
+    graft.functions.TopK.perKey(
+        Tables.orders(s, d), "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   /** Global top-k (sort + limit). */
   private def topkLimit(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -336,6 +344,11 @@ object RelationalQueries {
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER " +
       "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) " +
       "AS running_total FROM orders ORDER BY o_custkey, o_orderkey")),
+    Q("q_topk_grouped", topkGrouped, Some(
+      "SELECT o_custkey, o_orderkey, o_totalprice FROM " +
+      "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER " +
+      "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+      "WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey")),
     Q("q_topk_limit", topkLimit, Some(
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
     Q("q_distinct", distinctQ, Some(
