@@ -60,7 +60,23 @@ object EventQueries {
         countDistinct("user_id").as("n_users"))
       .orderBy("day", "event_type")
 
+  /** JSON property extraction from the `props` column — the
+    * semi-structured-payload operator a pipeline engine needs (absent
+    * from the reference; north-star surface). */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("k")
+
   val all: Seq[Q] = Seq(
+    // TRY_CAST keeps the oracle's malformed-JSON behavior aligned with
+    // Spark's get_json_object (null, not error)
+    Q("q_json_extract", jsonExtract, Some(
+      "SELECT CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT) AS k, count(*) AS n_events " +
+      "FROM events GROUP BY 1 ORDER BY 1")),
     Q("q_hourly_events", hourlyEvents, Some(
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, " +
       "count(*) AS n_events, round(sum(value), 2) AS total_value " +

@@ -1,0 +1,34 @@
+package graft
+
+/** The driver's own smoke contract: entry() must return rows at
+  * sf0.001, and the two maps must stay consistent. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("catalog names are unique and well-formed") {
+    val names = Catalog.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.matches("q_[a-z0-9_]+")))
+  }
+
+  test("every query runs and is non-empty at smoke scale except known-empty ones") {
+    // queries whose correct sf0.001 result can be empty (dup/near-dup
+    // detectors on a corpus with no duplicates)
+    val mayBeEmpty = Set("q_dedup_groups", "q_ngram_jaccard", "q_lsh_pairs",
+      "q_embed_neardup", "q_anti_join", "q_intersect", "q_except")
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+}
