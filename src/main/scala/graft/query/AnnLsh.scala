@@ -1,0 +1,64 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Signed-random-projection (SRP) LSH for approximate nearest
+  * neighbor — the bucketed scale path next to [[graft.operators
+  * .VectorQueries]]'s IVF variant: `nBits` fixed hyperplanes hash
+  * every vector to a sign-bit bucket; a query searches only buckets
+  * within Hamming distance ≤ `probes` of its own (multi-probe), so
+  * the scan cost is corpus/2^nBits × probed buckets instead of the
+  * full table.
+  *
+  * Hyperplanes are generated from a fixed seed — deterministic across
+  * runs and partitionings (re-runs give identical buckets), shipped to
+  * executors as literal arrays (tiny: nBits × dim doubles).
+  */
+object AnnLsh {
+
+  def planes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def bucketCol(vecCol: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, j) =>
+      when(VectorFunctions.vecDot(vecCol, typedlit(p.toSeq)) > 0, 1 << j)
+        .otherwise(0)
+    }.reduce(_ + _)
+
+  /** Assign every row its SRP bucket (column `bucket`). */
+  def bucketed(df: DataFrame, vecCol: String, ps: Array[Array[Double]]): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.withColumn("bucket", bucketCol(col(vecCol).cast("array<double>"), ps))
+  }
+
+  private def bucketOf(q: Array[Double], ps: Array[Array[Double]]): Int =
+    ps.zipWithIndex.map { case (p, j) =>
+      if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0
+    }.sum
+
+  /** Multi-probe top-k cosine search: scan only buckets within Hamming
+    * distance ≤ `probes` of the query's bucket. */
+  def search(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, ps: Array[Array[Double]],
+      probes: Int = 1): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val qb = bucketOf(query, ps)
+    val candidates: Seq[Int] =
+      if (probes == 0) Seq(qb)
+      else qb +: ps.indices.map(j => qb ^ (1 << j))
+    val qc = typedlit(query.toSeq)
+    val v = col(vecCol).cast("array<double>")
+    bucketed(df, vecCol, ps)
+      .filter(col("bucket").isin(candidates: _*))
+      .select(col(idCol),
+        (VectorFunctions.vecDot(v, qc) /
+          (sqrt(VectorFunctions.vecDot(v, v)) *
+           sqrt(VectorFunctions.vecDot(qc, qc)))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

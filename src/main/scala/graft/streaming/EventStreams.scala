@@ -52,6 +52,15 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming dedup: drop repeated event_ids arriving within the
+    * watermark horizon (exactly-once-per-key downstream semantics over
+    * an at-least-once transport). State is bounded by the watermark —
+    * the 100 TB-stream-safe form of exact dedup. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(user_id: Long, tsUs: Long, value: Double)
   final case class SessionState(
       sid: Long, startUs: Long, lastUs: Long, n: Long, value: Double)

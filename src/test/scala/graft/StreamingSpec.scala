@@ -44,6 +44,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark dedups repeats across micro-batches") {
+    // two files with the SAME events -> every id arrives twice
+    val dupDir = java.nio.file.Files.createTempDirectory("evdup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val once = spark.read.parquet(s"$dir/events.parquet")
+    once.coalesce(1).write.mode("overwrite").parquet(dupDir)
+    once.coalesce(1).write.mode("append").parquet(dupDir)
+    val stream = EventStreams.dedupWithinWatermark(
+      spark.readStream.schema(EventStreams.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dupDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val total = spark.table("dedup_out").count()
+    val distinctIds = once.select("event_id").distinct().count()
+    assert(total == distinctIds, s"emitted $total, want $distinctIds unique events")
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gap rule") {
     import spark.implicits._
     val evs = graft.sources.Tables.events(spark, dir)
