@@ -80,6 +80,11 @@ object BipartiteExpand {
     var l = 1
     var exhausted = frontier.isEmpty
     while (l < level && !exhausted) {
+      // Will another iteration consume this one's output? Only then is
+      // cutting lineage (localCheckpoint) or early-exit probing
+      // (isEmpty) worth a job — the final level pipelines straight
+      // into the consumer.
+      val more = l + 1 < level
       // hop 1: frontier src-vertices → their dst neighbors
       val mids = hint(frontier, broadcastFrontier)
         .join(e, srcCol).select(col(dstCol)).distinct()
@@ -87,11 +92,12 @@ object BipartiteExpand {
       val next = hint(mids, broadcastFrontier)
         .join(e, dstCol).select(col(srcCol)).distinct()
       // G5 visited-set dedup, global-BFS form
-      val fresh = next
+      val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
-        .localCheckpoint()
-      exhausted = fresh.isEmpty
-      visited = visited.union(fresh).localCheckpoint()
+      val fresh = if (more) fresh0.localCheckpoint() else fresh0
+      exhausted = if (more) fresh.isEmpty else false
+      visited = if (more) visited.union(fresh).localCheckpoint()
+                else visited.union(fresh)
       frontier = fresh
       l += 1
     }
@@ -121,9 +127,12 @@ object BipartiteExpand {
     var l = 1
     var exhausted = frontier.isEmpty
     while (l < level && !exhausted) {
+      val more = l + 1 < level
       // frontier-incident edges are small (they hang off the frontier);
       // broadcast them so the big `other` side streams from cache
       val incident = hint(frontier, broadcastFrontier).join(e, srcCol)
+      // discovered edges feed BOTH the result accumulator and (when
+      // iterating further) the next frontier — checkpoint either way
       val discovered = hint(incident, broadcastFrontier)
         .join(other, dstCol)
         .filter(col(srcCol) =!= col(s"${srcCol}_peer"))
@@ -131,11 +140,12 @@ object BipartiteExpand {
         .distinct()
         .localCheckpoint()
       val next = discovered.select(col(s"${srcCol}_peer").as(srcCol)).distinct()
-      val fresh = next
+      val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
-        .localCheckpoint()
-      exhausted = fresh.isEmpty
-      visited = visited.union(fresh).localCheckpoint()
+      val fresh = if (more) fresh0.localCheckpoint() else fresh0
+      exhausted = if (more) fresh.isEmpty else false
+      visited = if (more) visited.union(fresh).localCheckpoint()
+                else visited.union(fresh)
       acc = Some(acc.map(_.union(discovered)).getOrElse(discovered))
       frontier = fresh
       l += 1
