@@ -58,6 +58,20 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster-exact near-dedup: connected components over the verified
+    * pair graph, keeping exactly the min-id document per cluster —
+    * a chain a~b~c (where a,c were never directly compared) still
+    * collapses to one survivor. */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold)
+    val comps = graft.query.ConnectedComponents.run(pairs, "id_a", "id_b")
+    // non-minimal members of each component are the losers
+    val losers = comps.filter(col("vertex") =!= col("component"))
+      .select(col("vertex").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** §2.9 typed-aggregate surface (the reference's never-used
     * mapreduce.erl skeleton, done properly): a MinHash signature as an
     * `Aggregator[IN, BUF, OUT]` — one pass, mergeable partial buffers,

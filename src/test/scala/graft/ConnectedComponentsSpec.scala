@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.query.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, and singleton-pair components") {
+    val got = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> all label 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle -> label 10
+      (20L, 21L)))                    // pair -> label 20
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges within maxIter") {
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 16)
+  }
+
+  test("empty pair list yields empty labels") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("dedupClusters keeps exactly one survivor per duplicate cluster") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val pairs = graft.dedup.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)
+    val comps = ConnectedComponents.run(pairs, "id_a", "id_b")
+    val nClusters = comps.select("component").distinct().count()
+    val nMembers = comps.count()
+    val cleaned = graft.dedup.Dedup.dedupClusters(docs, "doc_id", "text", 0.8)
+    assert(cleaned.count() == docs.count() - (nMembers - nClusters))
+    // survivors contain every component's min id
+    val keepers = comps.filter(col("vertex") === col("component"))
+    assert(cleaned.join(keepers,
+      cleaned("doc_id") === keepers("vertex"), "left_semi").count() == nClusters)
+  }
+}
