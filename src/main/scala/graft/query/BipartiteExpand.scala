@@ -40,17 +40,25 @@ object BipartiteExpand {
     * level-L src→dst edges that discovered them (G7, master.erl:255-263). */
   final case class Expansion(vertices: DataFrame, edges: DataFrame)
 
+  /** Returns the prepared edge side plus whether WE own its cache
+    * (a caller-persisted, un-transformed edge table is reused as-is —
+    * persisting it again would double the memory footprint). */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
-      dedupEdges: Boolean): DataFrame = {
-    val base = edges.select(srcCol, dstCol)
-    val e =
-      if (dedupEdges)
-        // One shuffle, reused by every level: HashPartitioning(src)
-        // satisfies the dedup aggregate's ClusteredDistribution(src, dst)
-        // so dropDuplicates piggybacks on the repartition.
-        base.repartition(col(srcCol)).dropDuplicates(srcCol, dstCol)
-      else base
-    e.persist(StorageLevel.MEMORY_AND_DISK)
+      dedupEdges: Boolean): (DataFrame, Boolean) = {
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    if (!dedupEdges && callerCached && edges.columns.toSeq == Seq(srcCol, dstCol))
+      (edges, false)
+    else {
+      val base = edges.select(srcCol, dstCol)
+      val e =
+        if (dedupEdges)
+          // One shuffle, reused by every level: HashPartitioning(src)
+          // satisfies the dedup aggregate's ClusteredDistribution(src, dst)
+          // so dropDuplicates piggybacks on the repartition.
+          base.repartition(col(srcCol)).dropDuplicates(srcCol, dstCol)
+        else base
+      (e.persist(StorageLevel.MEMORY_AND_DISK), true)
+    }
   }
 
   private def hint(df: DataFrame, bcast: Boolean): DataFrame =
@@ -71,7 +79,7 @@ object BipartiteExpand {
       level: Int,
       dedupEdges: Boolean = false,
       broadcastFrontier: Boolean = true): DataFrame = {
-    val e = prepare(edges, srcCol, dstCol, dedupEdges)
+    val (e, ownCache) = prepare(edges, srcCol, dstCol, dedupEdges)
 
     var visited = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
       .localCheckpoint()
@@ -101,7 +109,7 @@ object BipartiteExpand {
       frontier = fresh
       l += 1
     }
-    e.unpersist()
+    if (ownCache) e.unpersist()
     visited
   }
 
@@ -116,7 +124,7 @@ object BipartiteExpand {
       level: Int,
       dedupEdges: Boolean = false,
       broadcastFrontier: Boolean = true): Expansion = {
-    val e = prepare(edges, srcCol, dstCol, dedupEdges)
+    val (e, ownCache) = prepare(edges, srcCol, dstCol, dedupEdges)
     val other = e.withColumnRenamed(srcCol, s"${srcCol}_peer")
 
     var visited = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
@@ -150,7 +158,7 @@ object BipartiteExpand {
       frontier = fresh
       l += 1
     }
-    e.unpersist()
+    if (ownCache) e.unpersist()
     val emptyEdges = acc.getOrElse {
       e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
