@@ -51,6 +51,23 @@ object EventQueries {
       .orderBy("user_id", "sid")
   }
 
+  /** Sessionization via Spark's built-in `session_window` (gap-merged
+    * session aggregation — the form that also runs under Structured
+    * Streaming with state cleanup). Same 30-minute gap rule as
+    * [[sessionize]]; session_end is reported as max(ts) (the built-in
+    * window's `end` is last-ts + gap, which the oracle can't express
+    * portably). */
+  private def sessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        fmt(min(col("ts"))).as("session_start"),
+        fmt(max(col("ts"))).as("session_end"),
+        round(sum("value"), 2).as("session_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+      .orderBy("user_id", "session_start")
+
   /** Event-type rates per day — the monitoring rollup. */
   private def dailyTypeCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -94,6 +111,17 @@ object EventQueries {
       "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, " +
       "round(sum(value), 2) AS session_value " +
       "FROM y GROUP BY user_id, sid ORDER BY user_id, sid")),
+    Q("q_session_window", sessionWindow, Some(
+      "WITH x AS (SELECT user_id, event_id, ts, value, " +
+      "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap " +
+      "FROM events), " +
+      "y AS (SELECT user_id, ts, value, sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid " +
+      "FROM x) " +
+      "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+      "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, " +
+      "count(*) AS n_events, round(sum(value), 2) AS session_value " +
+      "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start")),
     Q("q_daily_type_counts", dailyTypeCounts, Some(
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
