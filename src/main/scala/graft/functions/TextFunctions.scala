@@ -53,6 +53,26 @@ object TextFunctions {
       .distinct()
   }
 
+  /** SimHash bit strings: per document, bit j is the sign of the
+    * word-count-weighted vote of bit j across word hashes (bit j =
+    * parity of hex char j of md5(word)). `bits` ≤ 32. Near-duplicate
+    * documents differ in few bit positions (compare via Hamming
+    * distance on the fixed-width string). */
+  def simhashBits(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("word"))
+      .select(col(idCol), md5(col("word")).as("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .withColumn("weight",
+        (ascii(col("h").substr(col("j") + 1, lit(1))) % 2) * 2 - 1)
+      .groupBy(idCol, "j")
+      .agg(sum("weight").as("sw"))
+      .withColumn("b", when(col("sw") > 0, "1").otherwise("0"))
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("b")))),
+          x => x.getField("b")), "").as("simhash"))
+
   /** Exact shingle-set Jaccard for all pairs ≥ threshold:
     * (id_a, id_b, jaccard).
     *

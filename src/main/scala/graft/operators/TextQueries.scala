@@ -88,19 +88,8 @@ object TextQueries {
     * hex char j of md5(word)), emitted as a bit string to stay
     * engine-portable. */
   private def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("h"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("weight",
-        (ascii(col("h").substr(col("j") + 1, lit(1))) % 2) * 2 - 1)
-      .groupBy("doc_id", "j")
-      .agg(sum("weight").as("sw"))
-      .withColumn("b", when(col("sw") > 0, "1").otherwise("0"))
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("b")))),
-          x => x.getField("b")), "").as("simhash"))
+    graft.functions.TextFunctions
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */

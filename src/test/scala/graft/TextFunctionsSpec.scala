@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Unit tests for the text primitives on hand-built inputs (the
+  * catalog queries cover them on real data; these pin edge cases). */
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sh(texts: (Long, String)*): Map[Long, Set[String]] =
+    TextFunctions.shingles(texts.toDF("id", "text"), "id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+
+  test("shingles: exactly 3 words yields one shingle; <3 yields none") {
+    val got = sh((1L, "a b c"), (2L, "a b"), (3L, "one"), (4L, ""))
+    assert(got == Map(1L -> Set("a b c")))
+  }
+
+  test("shingles: repeated shingles dedup per document") {
+    val got = sh((1L, "x y x y x y"))   // "x y x"/"y x y" repeat
+    assert(got(1L) == Set("x y x", "y x y"))
+  }
+
+  test("shingles: whitespace runs collapse") {
+    val got = sh((1L, "a  b\tc"))
+    assert(got(1L) == Set("a b c"))
+  }
+
+  test("jaccard: identical docs score 1.0, disjoint docs don't pair") {
+    val docs = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t"), (3L, "u v w x y")).toDF("id", "text")
+    val pairs = TextFunctions.jaccardPairs(
+      TextFunctions.shingles(docs, "id", "text"), "id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical docs get identical signatures, length == bits") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("id", "text")
+    val sig = TextFunctions.simhashBits(docs, "id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+
+  test("minhash: signatures are permutation-count wide and stable") {
+    val docs = Seq((1L, "m n o p q")).toDF("id", "text")
+    val mh = TextFunctions.minhashRows(
+      TextFunctions.shingles(docs, "id", "text"), "id", k = 4)
+      .collect()
+    assert(mh.length == 4)
+    assert(mh.map(_.getInt(1)).sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+}
