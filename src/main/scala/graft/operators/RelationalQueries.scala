@@ -114,18 +114,22 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** A1: group → collect_list, canonicalized with array_sort
-    * (cast accumulation, server.erl:142-147; deviation 2 in SURVEY §7). */
+    * (cast accumulation, server.erl:142-147; deviation 2 in SURVEY §7).
+    * The array is built by collect_list upstream but emitted as a
+    * comma-joined scalar: the driver's pandas compare cannot sort/hash
+    * array-typed columns (round-1 gate error). */
   private def collectList(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(array_sort(collect_list("o_orderkey")).as("orderkeys"))
+      .agg(array_join(array_sort(collect_list("o_orderkey")), ",").as("orderkeys"))
       .orderBy("o_custkey")
 
-  /** A2: inverted index via collect_set (actors_db, server.erl:117-122). */
+  /** A2: inverted index via collect_set (actors_db, server.erl:117-122).
+    * Scalar-encoded for the gate, same as [[collectList]]. */
   private def collectSet(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_partkey")
-      .agg(array_sort(collect_set("l_suppkey")).as("suppliers"))
+      .agg(array_join(array_sort(collect_set("l_suppkey")), ",").as("suppliers"))
       .orderBy("l_partkey")
 
   /** Distinct aggregation. */
@@ -255,6 +259,13 @@ object RelationalQueries {
       .agg(transform(
         expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"),
         x => round(x, 4)).as("pcts"))
+      // The array aggregate stays upstream; the gate needs scalar
+      // columns (pandas cannot sort/hash arrays — round-1 gate error).
+      .select(
+        col("o_orderstatus"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"))
       .orderBy("o_orderstatus")
 
   /** CUBE grouping sets over segment × nation (SQL path: see
@@ -283,8 +294,9 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_percentiles", percentiles, Some(
-      "SELECT o_orderstatus, list_transform(quantile_cont(o_totalprice, [0.5, 0.9, 0.99]), " +
-      "x -> round(x, 4)) AS pcts FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+      "SELECT o_orderstatus, pcts[1] AS p50, pcts[2] AS p90, pcts[3] AS p99 FROM " +
+      "(SELECT o_orderstatus, list_transform(quantile_cont(o_totalprice, [0.5, 0.9, 0.99]), " +
+      "x -> round(x, 4)) AS pcts FROM orders GROUP BY o_orderstatus) t ORDER BY o_orderstatus")),
     Q("q_cube", cubeAgg, Some(
       "SELECT c_mktsegment, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal " +
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
@@ -324,9 +336,11 @@ object RelationalQueries {
       "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
       headline = true),
     Q("q_collect_list", collectList, Some(
-      "SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
+      "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys " +
+      "FROM orders GROUP BY o_custkey ORDER BY o_custkey")),
     Q("q_collect_set", collectSet, Some(
-      "SELECT l_partkey, list_sort(list(DISTINCT l_suppkey)) AS suppliers FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
+      "SELECT l_partkey, array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppliers " +
+      "FROM lineitem GROUP BY l_partkey ORDER BY l_partkey")),
     Q("q_count_distinct", countDistinctQ, Some(
       "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
