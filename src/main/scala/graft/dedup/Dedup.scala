@@ -42,18 +42,28 @@ object Dedup {
     TextFunctions.lshCandidatePairs(bands, idCol)
   }
 
+  /** Default document-frequency ceiling for shingle posting lists: a
+    * shingle shared by more than this many documents is a
+    * stop-shingle — it carries ~no dedup signal but quadratic pair
+    * cost (see [[TextFunctions.jaccardPairs]]'s scale note). Capping
+    * is recall-only (Jaccard can only be underestimated, never
+    * overestimated), so it is ON by default for the corpus-level API. */
+  val DefaultMaxDf: Int = 1000
+
   /** Exact shingle-Jaccard near-duplicate pairs ≥ threshold. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame =
+      threshold: Double, shingleN: Int = 3,
+      maxDf: Int = DefaultMaxDf): DataFrame =
     TextFunctions.jaccardPairs(
-      TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, threshold)
+      TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, threshold,
+      maxDf)
 
   /** Full near-dedup: drop every document that is the larger id of a
     * verified near-duplicate pair (transitively this keeps at least
     * one representative per duplicate cluster). */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, threshold)
+      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, maxDf = maxDf)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -63,8 +73,8 @@ object Dedup {
     * a chain a~b~c (where a,c were never directly compared) still
     * collapses to one survivor. */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, textCol, threshold)
+      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, maxDf = maxDf)
     val comps = graft.query.ConnectedComponents.run(pairs, "id_a", "id_b")
     // non-minimal members of each component are the losers
     val losers = comps.filter(col("vertex") =!= col("component"))

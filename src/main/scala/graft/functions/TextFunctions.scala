@@ -81,17 +81,26 @@ object TextFunctions {
     * count per pair. This measured ~2× faster than the two-sided
     * self-join (which shuffles both sides plus the pair rows).
     * Singleton shingles drop before pair generation (they cannot form
-    * a pair). Caveat at extreme scale: a shingle appearing in m
-    * documents materializes an m(m-1)/2 array in one aggregation row —
-    * for web-scale corpora, cap posting-list length (df ceiling) or
-    * band very frequent shingles before this step; quadratic pair
-    * blowup on stop-shingles is a data problem no join shape fixes. */
-  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    * a pair).
+    *
+    * `maxDf` is the document-frequency ceiling: shingles appearing in
+    * more than `maxDf` documents are dropped BEFORE pair explosion.
+    * Without it, one stop-shingle present in m documents materializes
+    * an m(m-1)/2 pair array inside a single aggregation buffer — a
+    * one-task OOM at web scale that no join shape fixes. The trade is
+    * recall-only: per-document shingle counts stay uncapped, so
+    * dropping a shared shingle can only LOWER a pair's computed
+    * Jaccard (n_common undercounts, hence the derived union
+    * sz_a+sz_b-n_common overcounts) — the cap can suppress true
+    * near-dups whose overlap is concentrated in stop-shingles, but can
+    * never manufacture a false positive. */
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     val cached = sh.persist()
     val sizes = cached.groupBy(idCol).agg(count(lit(1)).as("sz"))
     cached
       .groupBy("shingle").agg(array_sort(collect_list(idCol)).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))

@@ -54,9 +54,12 @@ object TextQueries {
   /** N-gram Jaccard near-dup: pairs with shingle-set Jaccard ≥ 0.8.
     * The candidate join is on the shingle value (inverted-index style);
     * n_common / union arithmetic is exact integer→double, so the 0.8
-    * threshold is engine-stable. */
+    * threshold is engine-stable. The df-ceiling (maxDf=200) drops
+    * stop-shingles before pair explosion — the oracle applies the same
+    * ceiling, so the row stays hash-exact at any scale factor. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    graft.functions.TextFunctions.jaccardPairs(shingles(s, d), "doc_id", 0.8)
+    graft.functions.TextFunctions.jaccardPairs(shingles(s, d), "doc_id", 0.8,
+      maxDf = 200)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -198,8 +201,10 @@ object TextQueries {
     Q("q_ngram_jaccard", ngramJaccard, Some(
       shinglesCte + ", " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
       "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
-      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2) " +
       "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard " +
       "FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
       "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8 ORDER BY doc_a, doc_b"),

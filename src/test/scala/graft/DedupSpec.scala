@@ -39,6 +39,33 @@ class DedupSpec extends SparkSpec {
     assert(cleaned.count() == docs.count() - pairs.select("id_b").distinct().count())
   }
 
+  test("maxDf ceiling truncates hot-shingle posting lists (recall-only)") {
+    import spark.implicits._
+    // 6 docs share the stop-shingle text verbatim; 2 docs additionally
+    // share a rare tail, pushing their Jaccard to 1.0.
+    val hot = "aaa bbb ccc"
+    val rows = (0L to 5L).map(i => (i, if (i < 2) s"$hot xxx yyy zzz" else hot))
+    val df = rows.toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.shingles(df, "doc_id", "text")
+    // uncapped: every co-shingled pair appears
+    val full = graft.functions.TextFunctions
+      .jaccardPairs(sh, "doc_id", threshold = 0.0)
+    assert(full.count() == 15)  // all C(6,2) pairs share the hot shingle
+    // df ceiling below 6 drops the hot shingle: only the rare-tail pair
+    // survives, and its Jaccard is UNDERestimated (n_common counts 3 of
+    // 4 shared shingles, so the derived union overcounts: 4+4-3=5) —
+    // never overestimated.
+    val capped = graft.functions.TextFunctions
+      .jaccardPairs(sh, "doc_id", threshold = 0.0, maxDf = 5)
+    val got = capped.collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(r.getAs[Double]("jaccard") == 3.0 / 5.0)
+    // corpus API default has the ceiling on
+    assert(Dedup.DefaultMaxDf > 0)
+  }
+
   test("typed MinHash Aggregator agrees with itself across partitionings") {
     val s1 = Dedup.minhashSignatures(docs.repartition(3), "doc_id", "text")
     val s2 = Dedup.minhashSignatures(docs.repartition(17), "doc_id", "text")
