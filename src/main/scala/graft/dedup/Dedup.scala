@@ -82,6 +82,50 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH
+    * bucketing + exact cosine verification — the 100 TB replacement for
+    * the all-pairs cross join ([[graft.operators.VectorQueries]] keeps
+    * the exact form as the small-scale oracle baseline).
+    *
+    * Shape: one scan pass hashes every vector into `nTables`
+    * sign-random-projection buckets ([[graft.query.AnnLsh
+    * .bucketedMulti]]); candidates are pairs colliding in ANY table —
+    * an equi self-join on (table, bucket), never a cartesian product —
+    * then each candidate is verified with the exact codegen'd dot.
+    * Norms are precomputed per vector (linear) before the pair stage.
+    *
+    * Recall: a pair at angle θ is missed with probability
+    * (1 - (1 - θ/π)^nBits)^nTables. The defaults (4 bits × 24 tables)
+    * hold that under 0.5% even at cosine 0.5 (θ=60°); at the
+    * thresholds real embedding dedup uses (≥ 0.9) a handful of tables
+    * suffices. Fixed seed → deterministic buckets across runs. */
+  def embedNearDupBucketed(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, nBits: Int = 4, nTables: Int = 24,
+      seed: Long = 42L): DataFrame = {
+    val vf = graft.functions.VectorFunctions
+    vf.register(df.sparkSession)
+    val v = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .withColumn("n", sqrt(vf.vecDot(col("e"), col("e"))))
+    val bk = graft.query.AnnLsh
+      .bucketedMulti(df.select(col(idCol), col(vecCol)), vecCol, dim, nBits,
+        nTables, seed)
+      .select(col(idCol), col("table"), col("bucket"))
+    val cands = bk.as("x")
+      .join(bk.as("y"),
+        col("x.table") === col("y.table") &&
+        col("x.bucket") === col("y.bucket") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col(idCol).as("id_a"), col("e").as("ea"), col("n").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("e").as("eb"), col("n").as("nb")), "id_b")
+      .withColumn("cos_sim", vf.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** §2.9 typed-aggregate surface (the reference's never-used
     * mapreduce.erl skeleton, done properly): a MinHash signature as an
     * `Aggregator[IN, BUF, OUT]` — one pass, mergeable partial buffers,

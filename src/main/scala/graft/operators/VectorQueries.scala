@@ -65,6 +65,22 @@ object VectorQueries {
       .orderBy("va", "vb")
   }
 
+  /** Bucketed near-dup — the 100 TB shape for [[embedNeardup]]: the
+    * pair stage is an equi self-join on multi-table SRP (table, bucket)
+    * keys, never a cartesian product; candidates get the exact
+    * codegen'd cosine verify. Checked against the SAME all-pairs
+    * DuckDB oracle as the exact form: with 4 bits × 24 tables the
+    * deterministic (fixed-seed) bucketing catches every qualifying
+    * pair at the gate scale, so the row is hash-exact, and
+    * `AnnLshSpec` asserts the plan is cartesian-free. */
+  private def embedNeardupLsh(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup
+      .embedNearDupBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.5, dim = 64)
+      .select(col("id_a").as("va"), col("id_b").as("vb"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+
   /** IVF-style probed search: coarse-quantize by per-label centroid,
     * probe the 2 closest clusters to the query, brute-force only there. */
   private def ivfTopk(s: SparkSession, d: String): DataFrame = {
@@ -129,6 +145,16 @@ object VectorQueries {
       "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
       headline = true),
     Q("q_embed_neardup", embedNeardup, Some(
+      "WITH sc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
+      "sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS na, " +
+      "sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS nb " +
+      "FROM embeddings a, embeddings b, range(1, 65) t(i) " +
+      "WHERE a.vec_id < b.vec_id GROUP BY 1, 2) " +
+      "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+      "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.5 ORDER BY va, vb"),
+      headline = true),
+    Q("q_embed_neardup_lsh", embedNeardupLsh, Some(
       "WITH sc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
       "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
       "sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS na, " +

@@ -35,6 +35,21 @@ object AnnLsh {
     df.withColumn("bucket", bucketCol(col(vecCol).cast("array<double>"), ps))
   }
 
+  /** `nTables` independent SRP tables (OR-amplification): every row
+    * explodes to one (`table`, `bucket`) pair per table, all `nTables ×
+    * nBits` hyperplane dots evaluated in a single scan-stage pass.
+    * Pairs colliding in ANY table become candidates — per-pair miss
+    * probability is (1 - (1 - θ/π)^nBits)^nTables for angle θ, driven
+    * arbitrarily low by adding tables without touching bucket sizes. */
+  def bucketedMulti(df: DataFrame, vecCol: String, dim: Int, nBits: Int,
+      nTables: Int, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val buckets = array(
+      (0 until nTables).map(t => bucketCol(v, planes(dim, nBits, seed + t))): _*)
+    df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
+  }
+
   private def bucketOf(q: Array[Double], ps: Array[Array[Double]]): Int =
     ps.zipWithIndex.map { case (p, j) =>
       if (p.zip(q).map { case (a, b) => a * b }.sum > 0) 1 << j else 0

@@ -33,6 +33,20 @@ class AnnLshSpec extends SparkSpec {
     assert(top.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("bucketed near-dup matches the exact all-pairs result, cartesian-free") {
+    val exact = Catalog.byName("q_embed_neardup").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Catalog.byName("q_embed_neardup_lsh").fn(spark, dir)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact, s"bucketed=$got exact=$exact")
+    // the whole point: the candidate stage is an equi join, never a
+    // cartesian product / nested-loop join
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "plan contains BroadcastNestedLoopJoin")
+  }
+
   test("multi-probe search prunes the corpus and keeps good recall") {
     val scanned = AnnLsh.bucketed(emb, "embedding", ps)
     val qb = scanned.filter(col("vec_id") === 0).collect()(0).getInt(2)
