@@ -47,6 +47,51 @@ class AnnLshSpec extends SparkSpec {
       "plan contains BroadcastNestedLoopJoin")
   }
 
+  // plain-Scala exact ground truth (independent of the Spark path)
+  private lazy val allVecs: Array[(Long, Array[Double])] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def trueTop10(qid: Long, q: Array[Double]): Set[Long] =
+    allVecs.filter(_._1 != qid)
+      .map { case (id, v) => id -> cosine(q, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+
+  test("multi-table searchMulti holds recall@10 >= 0.8 at the default point") {
+    val queries = allVecs.filter(_._1 < 5)
+    val n = emb.count().toDouble
+    // the measured curve behind docs/ann_recall.md
+    val points = Seq((8, 1, 1), (8, 3, 1), (8, 5, 2), (8, 8, 2))
+    val results = points.map { case (bits, tables, radius) =>
+      val recalls = queries.map { case (qid, q) =>
+        val got = AnnLsh.searchMulti(emb, "vec_id", "embedding", q, k = 11,
+            dim = 64, nBits = bits, nTables = tables, probeRadius = radius)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        (got & trueTop10(qid, q)).size / 10.0
+      }
+      val scan = queries.map { case (_, q) =>
+        emb.filter(AnnLsh.probeCondition(col("embedding"), q, 64, bits,
+          tables, radius)).count() / n
+      }
+      val r = recalls.sum / recalls.size
+      val s = scan.sum / scan.size
+      info(f"bits=$bits tables=$tables radius=$radius recall@10=$r%.2f scan=$s%.2f")
+      (bits, tables, radius, r, s)
+    }
+    // default operating point (8 bits x 5 tables x radius 2)
+    val (_, _, _, defRecall, defScan) = results(2)
+    assert(defRecall >= 0.8, f"recall@10 $defRecall%.2f < 0.8 at default point")
+    assert(defScan < 1.0, "default point must prune something")
+    // the curve is monotone: more tables/probes -> more recall, more scan
+    assert(results.map(_._4).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+  }
+
   test("multi-probe search prunes the corpus and keeps good recall") {
     val scanned = AnnLsh.bucketed(emb, "embedding", ps)
     val qb = scanned.filter(col("vec_id") === 0).collect()(0).getInt(2)
