@@ -43,6 +43,19 @@ object GraphQueries {
     BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 3)
       .orderBy("cust")
 
+  /** G4+G6 level=4: the deepest traversal the reference GUI offers
+    * (client.erl:38,91 — level ∈ 1..4; loop at master.erl:271-288). */
+  private def graphLevel4(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 4)
+      .orderBy("cust")
+
+  /** The reference's second query direction (movie-rooted, client.erl:91):
+    * the SAME bipartite engine expanded from the part side — "parts
+    * sharing a customer with part 1", i.e. co-starring movies. */
+  private def graphMovieLevel2(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand.expand(s, copurchaseEdges(s, d), "part", "cust", lit(1L), 2)
+      .orderBy("part")
+
   /** G7: the discovered co-occurrence edge list at level 2 —
     * (root, shared part, co-customer) triples. */
   private def graphEdgesLevel2(s: SparkSession, d: String): DataFrame =
@@ -80,6 +93,17 @@ object GraphQueries {
       "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0) " +
       "SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
       "WHERE e1.cust IN (SELECT cust FROM l2) ORDER BY cust")),
+    Q("q_graph_level4", graphLevel4, Some(
+      edgesCte + ", " +
+      "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0), " +
+      "l3 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust IN (SELECT cust FROM l2)) " +
+      "SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust IN (SELECT cust FROM l3) ORDER BY cust")),
+    Q("q_graph_movie_level2", graphMovieLevel2, Some(
+      edgesCte +
+      " SELECT DISTINCT e2.part AS part FROM edges e1 JOIN edges e2 ON e1.cust = e2.cust " +
+      "WHERE e1.part = 1 ORDER BY part")),
     Q("q_graph_edges_level2", graphEdgesLevel2, Some(
       edgesCte +
       " SELECT DISTINCT e1.cust AS cust, e1.part AS part, e2.cust AS cust_peer " +
