@@ -73,6 +73,17 @@ object TextFunctions {
         transform(array_sort(collect_list(struct(col("j"), col("b")))),
           x => x.getField("b")), "").as("simhash"))
 
+  /** Winnowing (Schleimer et al., SIGMOD 2003) over a k-gram hash
+    * sequence: slide a window of `w` consecutive hashes and keep each
+    * window's minimum — any shared substring spanning ≥ w+k-1 tokens
+    * is then guaranteed to contribute at least one common fingerprint.
+    * Sequences shorter than `w` yield their global minimum (one
+    * window). Returns the sorted distinct local-minima array. */
+  def winnowMins(hashes: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+      i => array_min(slice(hashes, i, lit(w))))))
+
   /** Exact shingle-set Jaccard for all pairs ≥ threshold:
     * (id_a, id_b, jaccard).
     *

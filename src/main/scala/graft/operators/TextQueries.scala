@@ -154,16 +154,16 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Rolling-hash fingerprint (winnowing-style): per-word integer
-    * hashes combined over a sliding window of 4 words with base-131
-    * polynomial weights; the document fingerprint is the minimum window
-    * hash. Pure integer arithmetic end to end, so engine-exact. */
-  private def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+  /** Per-document 4-word rolling window hashes (base-131 polynomial
+    * over per-word integer hashes) — the k-gram hash sequence feeding
+    * both [[rollingFingerprint]] and [[winnow]]. Pure integer
+    * arithmetic end to end, so engine-exact. */
+  def windowHashesOf(docs: DataFrame): DataFrame = {
     val B1 = 131L; val B2 = 17161L; val B3 = 2248091L  // 131^1..131^3
     def wordHash(w: Column): Column =
       (1 to 8).map(j => ascii(substring(md5(w), j, 1)) * lit(j)).reduce(_ + _)
         .cast("long")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 4)
       .withColumn("us", transform(col("w"), wordHash(_)))
@@ -173,10 +173,30 @@ object TextQueries {
              element_at(col("us"), i + 1) * B2 +
              element_at(col("us"), i + 2) * B1 +
              element_at(col("us"), i + 3)))
+      .select(col("doc_id"), col("whs"))
+  }
+
+  private def windowHashes(s: SparkSession, d: String): DataFrame =
+    windowHashesOf(Tables.documents(s, d))
+
+  /** Rolling-hash fingerprint (winnowing-style): the document
+    * fingerprint is the minimum window hash. */
+  private def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    windowHashes(s, d)
       .select(col("doc_id"), size(col("whs")).as("n_windows"),
         array_min(col("whs")).as("fp"))
       .orderBy("doc_id")
-  }
+
+  /** Winnowing proper: per-window local minima over the hash sequence
+    * (window = 4 hashes), one row per distinct fingerprint — the
+    * substring-level overlap index ([[graft.functions.TextFunctions
+    * .winnowMins]]; guarantee: docs sharing ≥ 7 consecutive words share
+    * a fingerprint). Scan-stage work per document, no shuffle. */
+  private def winnow(s: SparkSession, d: String): DataFrame =
+    windowHashes(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowMins(col("whs"), 4)).as("fp"))
+      .orderBy("doc_id", "fp")
 
   /** Document fingerprint: md5 of the whitespace-normalized text. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
@@ -260,5 +280,15 @@ object TextQueries {
       "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u) " +
       "SELECT doc_id, CAST(len(whs) AS INT) AS n_windows, list_min(whs) AS fp " +
       "FROM h ORDER BY doc_id")),
+    Q("q_winnow", winnow, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h AS (SELECT doc_id, list_transform(range(1, len(us) - 2), " +
+      "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u) " +
+      "SELECT doc_id, unnest(list_sort(list_distinct(list_transform(" +
+      "range(1, greatest(len(whs) - 3, 1) + 1), i -> list_min(whs[i:i+3]))))) AS fp " +
+      "FROM h ORDER BY doc_id, fp")),
   )
 }

@@ -28,6 +28,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L) == Set("a b c"))
   }
 
+  test("winnowing: docs sharing >= w+k-1 consecutive words share a fingerprint") {
+    // k=4-word hash grams, w=4-hash windows: guarantee kicks in at 7 words
+    val shared = "alpha beta gamma delta epsilon zeta eta"  // 7 words
+    val docs = Seq(
+      (1L, s"one two three $shared"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "totally different words with no common run here at all")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.TextQueries.windowHashesOf(docs)
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowMins(col("whs"), 4)).as("fp"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 7-word run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // winnowing selects a subset of the window hashes
+    val allHashes = graft.operators.TextQueries.windowHashesOf(docs)
+      .select(col("doc_id"), explode(col("whs")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    fps.foreach { case (id, s) => assert(s.subsetOf(allHashes(id))) }
+  }
+
+  test("winnowing: a short hash sequence yields exactly its global min") {
+    // 5 words -> 2 window hashes < w=4 -> one fingerprint, the min
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val wh = graft.operators.TextQueries.windowHashesOf(docs)
+    val whs = wh.collect()(0).getSeq[Long](1)
+    assert(whs.length == 2)
+    val fps = wh.select(TextFunctions.winnowMins(col("whs"), 4).as("f"))
+      .collect()(0).getSeq[Long](0)
+    assert(fps == Seq(whs.min))
+  }
+
   test("jaccard: identical docs score 1.0, disjoint docs don't pair") {
     val docs = Seq(
       (1L, "p q r s t"), (2L, "p q r s t"), (3L, "u v w x y")).toDF("id", "text")
