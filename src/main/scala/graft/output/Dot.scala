@@ -44,4 +44,29 @@ object Dot {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content)
     ()
   }
+
+  /** True iff the GraphViz `dot` binary is on PATH. */
+  def dotAvailable: Boolean =
+    sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+      .exists(p => java.nio.file.Files.isExecutable(
+        java.nio.file.Paths.get(p, "dot")))
+
+  /** S7 PNG parity (graph.erl:47-58, graphviz.erl:94-100: the reference
+    * shells `dot -Tpng` and opens the image): render DOT text to a PNG
+    * file via the `dot` binary. Returns the PNG path, or None when
+    * `dot` is not installed (graceful skip — DOT text is still the
+    * canonical sink). */
+  def renderPng(dotText: String, pngPath: String): Option[String] = {
+    if (!dotAvailable) return None
+    val dotFile = java.nio.file.Files.createTempFile("graft", ".dot")
+    try {
+      java.nio.file.Files.writeString(dotFile, dotText)
+      val p = new ProcessBuilder("dot", "-Tpng", dotFile.toString, "-o", pngPath)
+        .redirectErrorStream(true).start()
+      val rc = p.waitFor()
+      if (rc == 0 && java.nio.file.Files.exists(java.nio.file.Paths.get(pngPath)))
+        Some(pngPath)
+      else None
+    } finally java.nio.file.Files.deleteIfExists(dotFile)
+  }
 }

@@ -16,6 +16,23 @@ class DotSpec extends AnyFunSuite {
     assert(Dot.surnameKey("Robert Downey Jr.") == "Jr.")
   }
 
+  test("renderPng produces a PNG when dot exists, None otherwise") {
+    val dot = Dot.render("A", Seq(("A", "B")), actors = false)
+    val out = java.nio.file.Files.createTempDirectory("graft-png")
+      .resolve("g.png").toString
+    Dot.renderPng(dot, out) match {
+      case Some(path) =>
+        assert(Dot.dotAvailable)
+        val magic = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)).take(8)
+        assert(magic.sameElements(
+          Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+          "output is not a PNG")
+      case None =>
+        assert(!Dot.dotAvailable, "dot on PATH but renderPng returned None")
+    }
+  }
+
   test("render emits valid DOT with sorted vertices and edges") {
     val dot = Dot.render("A B", Seq(("A B", "C D"), ("A B", "E F")), actors = true)
     assert(dot.startsWith("digraph G {"))
