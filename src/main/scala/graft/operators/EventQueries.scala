@@ -68,6 +68,31 @@ object EventQueries {
       .select("user_id", "session_start", "session_end", "n_events", "session_value")
       .orderBy("user_id", "session_start")
 
+  /** Click→purchase conversion join: every purchase within 30 minutes
+    * after a click by the same user — the batch twin of the
+    * stream-stream interval join ([[graft.streaming.EventStreams
+    * .clickPurchaseJoin]]); the shared build (filter + equi key + time
+    * bound) is what Structured Streaming turns into watermarked
+    * symmetric hash-join state. */
+  private def clickPurchaseJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        fmt(col("click_ts")).as("click_ts"),
+        fmt(col("purchase_ts")).as("purchase_ts"),
+        round(col("value"), 2).as("purchase_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Event-type rates per day — the monitoring rollup. */
   private def dailyTypeCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -122,6 +147,15 @@ object EventQueries {
       "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, " +
       "count(*) AS n_events, round(sum(value), 2) AS session_value " +
       "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start")),
+    Q("q_click_purchase_join", clickPurchaseJoin, Some(
+      "SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, " +
+      "strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, " +
+      "strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, " +
+      "round(p.value, 2) AS purchase_value " +
+      "FROM events c JOIN events p ON c.user_id = p.user_id " +
+      "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+      "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+      "ORDER BY 1, 2, 3")),
     Q("q_daily_type_counts", dailyTypeCounts, Some(
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +

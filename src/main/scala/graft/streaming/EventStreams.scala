@@ -61,6 +61,33 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases within 30 minutes after a
+    * click by the same user. Both sides carry watermarks, so the
+    * symmetric hash-join state is bounded: a buffered click can be
+    * dropped once the watermark passes click_ts + 30 min (no purchase
+    * can legally match it any more), and vice versa — the condition's
+    * time bounds are what let Spark derive the state TTL. Inner join ⇒
+    * rows emit as soon as both sides arrive (the watermark only
+    * governs state cleanup and late-data drop). Batch twin:
+    * [[graft.operators.EventQueries]]'s q_click_purchase_join
+    * (DuckDB-oracle-checked). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("value"), 2).as("purchase_value"))
+  }
+
   final case class Ev(user_id: Long, tsUs: Long, value: Double)
   final case class SessionState(
       sid: Long, startUs: Long, lastUs: Long, n: Long, value: Double)

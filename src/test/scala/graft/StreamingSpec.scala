@@ -65,6 +65,26 @@ class StreamingSpec extends SparkSpec {
     assert(total == distinctIds, s"emitted $total, want $distinctIds unique events")
   }
 
+  test("stream-stream interval join equals the batch q_click_purchase_join") {
+    val stream = EventStreams.clickPurchaseJoin(
+      EventStreams.readEventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("ss_join_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ss_join_out")
+      .orderBy("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val want = Catalog.byName("q_click_purchase_join").fn(spark, dir)
+      .select("user_id", "click_id", "purchase_id", "purchase_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gap rule") {
     import spark.implicits._
     val evs = graft.sources.Tables.events(spark, dir)
