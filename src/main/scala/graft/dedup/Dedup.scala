@@ -104,26 +104,27 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val vf = graft.functions.VectorFunctions
     vf.register(df.sparkSession)
-    val v = df
-      .select(col(idCol), col(vecCol).cast("array<double>").as("e"))
-      .withColumn("n", sqrt(vf.vecDot(col("e"), col("e"))))
+    // The vector and its norm ride along with the bucket rows so the
+    // exact verify evaluates INLINE on the join output: a candidate
+    // pair surviving in several tables costs a few redundant 64-mult
+    // dots (cheap, codegen'd) instead of a pre-verify distinct that
+    // shuffles millions of pair rows plus two array back-joins — the
+    // deduplicating distinct runs on the tiny verified survivor set.
     val bk = graft.query.AnnLsh
-      .bucketedMulti(df.select(col(idCol), col(vecCol)), vecCol, dim, nBits,
-        nTables, seed)
-      .select(col(idCol), col("table"), col("bucket"))
-    val cands = bk.as("x")
-      .join(bk.as("y"),
-        col("x.table") === col("y.table") &&
-        col("x.bucket") === col("y.bucket") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    cands
-      .join(v.select(col(idCol).as("id_a"), col("e").as("ea"), col("n").as("na")), "id_a")
-      .join(v.select(col(idCol).as("id_b"), col("e").as("eb"), col("n").as("nb")), "id_b")
+      .bucketedMulti(
+        df.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+          .withColumn("n", sqrt(vf.vecDot(col("e"), col("e")))),
+        "e", dim, nBits, nTables, seed)
+    val a = bk.select(col(idCol).as("id_a"), col("e").as("ea"),
+      col("n").as("na"), col("table"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_b"), col("e").as("eb"),
+      col("n").as("nb"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", vf.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
+      .distinct()
   }
 
   /** §2.9 typed-aggregate surface (the reference's never-used

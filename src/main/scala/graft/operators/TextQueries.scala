@@ -198,6 +198,52 @@ object TextQueries {
         explode(graft.functions.TextFunctions.winnowMins(col("whs"), 4)).as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** Deterministic train/val/test split assignment: bucket 0-99 from
+    * the leading 16 bits of md5(doc_id), 80/10/10 split. The property a
+    * training pipeline needs is REPRODUCIBILITY — the same document
+    * lands in the same split on every run, any cluster size, any
+    * partitioning — which a random() sample can't give. Scan-stage
+    * expression, no shuffle. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF term weighting — the classic text-featurization aggregate:
+    * raw term frequency per (doc, word), document frequency per word,
+    * idf = ln(N/df). Two narrow shuffles (by (doc, word), then by
+    * word); the N-docs scalar joins in as a broadcast literal row. */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(dfq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** Near-duplicate clusters: the engine's min-label-propagation
+    * connected components ([[graft.query.ConnectedComponents]]) over
+    * the verified Jaccard pair graph — checked against a DuckDB
+    * recursive-CTE transitive closure, so the iterative driver-loop
+    * algorithm itself is oracle-validated, not just spec-tested. */
+  private def dedupClustersQ(s: SparkSession, d: String): DataFrame =
+    graft.query.ConnectedComponents
+      .run(graft.functions.TextFunctions
+        .jaccardPairs(shingles(s, d), "doc_id", 0.8, maxDf = 200),
+        "id_a", "id_b")
+      .orderBy("vertex")
+
   /** Document fingerprint: md5 of the whitespace-normalized text. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -280,6 +326,32 @@ object TextQueries {
       "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u) " +
       "SELECT doc_id, CAST(len(whs) AS INT) AS n_windows, list_min(whs) AS fp " +
       "FROM h ORDER BY doc_id")),
+    Q("q_split_assign", splitAssign, Some(
+      "SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' " +
+      "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+      "(SELECT doc_id, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) " +
+      "% 100 AS INT) AS bucket FROM documents) t ORDER BY doc_id")),
+    Q("q_tfidf", tfidf, Some(
+      "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+      "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents) " +
+      "SELECT doc_id, word, tf, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf " +
+      "FROM tf JOIN df USING (word), n ORDER BY doc_id, word")),
+    Q("q_dedup_clusters", dedupClustersQ, Some(
+      shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
+      "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
+      "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
+      "JOIN sizes sb ON doc_b = sb.doc_id " +
+      "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8), " +
+      "e AS (SELECT doc_a AS v, doc_b AS u FROM pr UNION SELECT doc_b, doc_a FROM pr " +
+      "UNION SELECT doc_a, doc_a FROM pr UNION SELECT doc_b, doc_b FROM pr), " +
+      "r AS (SELECT v, u FROM e UNION SELECT r.v, e.u FROM r JOIN e ON r.u = e.v) " +
+      "SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
     Q("q_winnow", winnow, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
