@@ -24,7 +24,8 @@ class SparkEntrySpec extends SparkSpec {
     // queries whose correct sf0.001 result can be empty (dup/near-dup
     // detectors on a corpus with no duplicates)
     val mayBeEmpty = Set("q_dedup_groups", "q_ngram_jaccard", "q_lsh_pairs",
-      "q_embed_neardup", "q_anti_join", "q_intersect", "q_except")
+      "q_embed_neardup", "q_embed_neardup_lsh", "q_dedup_clusters",
+      "q_anti_join", "q_intersect", "q_except")
     val dir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
