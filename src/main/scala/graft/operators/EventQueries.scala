@@ -93,6 +93,29 @@ object EventQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Keyless time-range join: for every error event, aggregate ALL
+    * events (any user) in the following 5 minutes — the error-blast-
+    * radius query. With no equi key Spark would plan the naive theta
+    * join as BroadcastNestedLoopJoin; [[graft.query.RangeJoin.binned]]
+    * turns it into an equi join on 5-minute time bins with the exact
+    * range predicate as a post-filter (`RangeJoinSpec` asserts the
+    * plan is nested-loop-free and the result matches the naive join). */
+  private def rangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+    val all = ev.select(col("event_id").as("f_id"), col("ts").as("f_ts"),
+      col("value"))
+    graft.query.RangeJoin
+      .binned(errors, all, "err_ts", "f_ts", lowerSec = 0, upperSec = 300,
+        binSec = 300)
+      .filter(col("f_id") =!= col("err_id"))
+      .groupBy(col("err_id").as("event_id"))
+      .agg(count(lit(1)).as("n_follow"),
+        round(sum("value"), 2).as("follow_value"))
+      .orderBy("event_id")
+  }
+
   /** Event-type rates per day — the monitoring rollup. */
   private def dailyTypeCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -156,6 +179,11 @@ object EventQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
       "ORDER BY 1, 2, 3")),
+    Q("q_range_join_binned", rangeJoinBinned, Some(
+      "SELECT e.event_id, count(*) AS n_follow, round(sum(f.value), 2) AS follow_value " +
+      "FROM events e JOIN events f ON f.ts >= e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTE " +
+      "AND f.event_id <> e.event_id WHERE e.event_type = 'error' " +
+      "GROUP BY 1 ORDER BY 1")),
     Q("q_daily_type_counts", dailyTypeCounts, Some(
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
