@@ -216,16 +216,19 @@ object TextQueries {
 
   /** TF-IDF term weighting — the classic text-featurization aggregate:
     * raw term frequency per (doc, word), document frequency per word,
-    * idf = ln(N/df). Two narrow shuffles (by (doc, word), then by
-    * word); the N-docs scalar joins in as a broadcast literal row. */
+    * idf = ln(N/df). ONE scan and two narrow shuffles: tf is a
+    * (doc, word) hash aggregate and df a count-over-window by word on
+    * the tf rows (a self-join on word would rescan and re-aggregate
+    * the corpus); the N-docs scalar joins in as a broadcast
+    * single-row build. */
   private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    tf.join(dfq, "word")
-      .crossJoin(broadcast(n))
+    tf.crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
           .as("tfidf"))
