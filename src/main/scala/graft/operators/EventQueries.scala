@@ -93,6 +93,19 @@ object EventQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Sliding-window aggregate: 1-hour windows every 15 minutes — each
+    * event contributes to 4 overlapping windows (Spark expands the
+    * slide inside the scan stage; the oracle mirrors it with an
+    * explicit 0..3 unnest over 15-minute offsets). */
+  private def slidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(fmt(col("w.start")).as("win_start"), col("event_type"),
+        col("n_events"))
+      .orderBy("win_start", "event_type")
+
   /** Keyless time-range join: for every error event, aggregate ALL
     * events (any user) in the following 5 minutes — the error-blast-
     * radius query. With no equi key Spark would plan the naive theta
@@ -179,6 +192,12 @@ object EventQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
       "ORDER BY 1, 2, 3")),
+    Q("q_sliding_window", slidingWindow, Some(
+      "WITH x AS (SELECT event_type, " +
+      "make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000 - i * 900000000) AS ws " +
+      "FROM events, range(0, 4) t(i)) " +
+      "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, " +
+      "count(*) AS n_events FROM x GROUP BY 1, 2 ORDER BY 1, 2")),
     Q("q_range_join_binned", rangeJoinBinned, Some(
       "SELECT e.event_id, count(*) AS n_follow, round(sum(f.value), 2) AS follow_value " +
       "FROM events e JOIN events f ON f.ts >= e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTE " +

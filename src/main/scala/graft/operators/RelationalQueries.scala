@@ -282,6 +282,26 @@ object RelationalQueries {
         |ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin)
   }
 
+  /** Pivot: status columns from rows (explicit value list, so the
+    * output schema is static — the form that doesn't need a first
+    * pass to discover values). */
+  private def pivotAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot (melt): measure columns back to rows. */
+  private def unpivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** HLL sketch cardinality (approx_count_distinct). No SQL oracle —
     * sketch implementations differ across engines; the driver records
     * the rows-only check and `RelationalExtraSpec` bounds the error. */
@@ -302,6 +322,16 @@ object RelationalQueries {
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "GROUP BY CUBE(c_mktsegment, n_name) " +
       "ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST")),
+    Q("q_pivot", pivotAgg, Some(
+      "SELECT o_orderpriority, " +
+      "round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F, " +
+      "round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O, " +
+      "round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P " +
+      "FROM orders GROUP BY 1 ORDER BY 1")),
+    Q("q_unpivot", unpivotQ, Some(
+      "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
+      "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+      "ORDER BY l_orderkey, l_linenumber, measure")),
     Q("q_approx_distinct", approxDistinct, None),
     Q("q_scan_filter_project", scanFilterProject, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),

@@ -59,6 +59,16 @@ object ImdbTsv {
   def snapshot(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Hive-partitioned parquet sink — the 100 TB table layout: one
+    * directory per `partCol` value, so readers filtering on it prune
+    * whole partitions at planning time (PartitionFilters on the scan,
+    * zero I/O for excluded values) instead of row-group-skipping
+    * inside files. Partition columns should be low-cardinality (a
+    * date, a category); high-cardinality keys belong in sort order
+    * within files, not the directory tree. */
+  def snapshotPartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   def readSnapshot(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 }

@@ -67,6 +67,26 @@ class ImdbIngestSpec extends SparkSpec {
     assert(back == ImdbOracle.edges(dir))
   }
 
+  test("partitioned snapshot prunes partitions at planning time") {
+    val dir2 = java.nio.file.Files.createTempDirectory("psnap").toString + "/events"
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(col("ts")))
+    ImdbTsv.snapshotPartitioned(ev, "day", dir2)
+    val back = spark.read.parquet(dir2)
+    val days = back.select("day").distinct().count()
+    assert(days > 1, "need several partitions for the pruning check")
+    val oneDay = ev.select(max(to_date(col("ts")))).collect()(0).getDate(0)
+    val pruned = back.filter(col("day") === lit(oneDay))
+    // roundtrip correctness
+    assert(pruned.count() == ev.filter(to_date(col("ts")) === lit(oneDay)).count())
+    // the day filter must land in PartitionFilters (planning-time prune,
+    // zero I/O on other partitions), not in the data filters
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"), s"day filter not pushed to partition pruning:\n$scan")
+  }
+
   test("S3: pre-joined step0 path yields the same edges") {
     // build a step0 file from the oracle edges (sort_data.py's output shape)
     val tmp = java.nio.file.Files.createTempFile("prejoined", ".tsv")
