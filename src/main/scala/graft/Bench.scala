@@ -37,13 +37,13 @@ object Bench {
 
     val headline = Catalog.all.filter(_.headline)
 
-    def timeAll(dir: String): Seq[(String, Seq[Double])] = {
-      // Warm-up: JVM + codegen + parquet footer caches, not timed.
-      headline.headOption.foreach { q =>
+    def timeAll(dir: String): Seq[(String, Seq[Double])] =
+      headline.map { q =>
+        // Per-query warm-up (untimed): JIT + codegen compile + parquet
+        // footer caches — without it every query's first run is a
+        // 2-6x outlier and p90 measures the JIT, not the plan.
         try q.fn(spark, dir).count()
         catch { case _: Throwable => () }
-      }
-      headline.map { q =>
         val times = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
           try { q.fn(spark, dir).count() } catch { case _: Throwable => () }
@@ -51,7 +51,6 @@ object Bench {
         }.sorted
         q.name -> times
       }
-    }
 
     def med(ts: Seq[Double]): Double = ts(ts.size / 2)
     def jnum(v: Double): String = f"$v%.3f"
