@@ -11,7 +11,7 @@ import graft.query.CoStar
   *
   * Usage:
   *   runMain graft.Main --data DIR --name NAME --type movie|actor
-  *                      --level 1..4 [--dot OUT.dot]
+  *                      --level 1..4 [--dot OUT.dot] [--png OUT.png]
   * where DIR contains basic1000.tsv / principals1000.tsv / names1000.tsv.
   */
 object Main {
@@ -51,9 +51,19 @@ object Main {
     vs.foreach(v => println(s"V $v"))
     es.sortBy(identity).foreach { case (a, b) => println(s"E $a -> $b") }
 
+    lazy val dotText =
+      Dot.render(root, es.toSeq, actors = tpe == CoStar.ActorQuery)
     opts.get("--dot").foreach { out =>
-      Dot.writeFile(out, Dot.render(root, es.toSeq, actors = tpe == CoStar.ActorQuery))
+      Dot.writeFile(out, dotText)
       println(s"dot written to $out")
+    }
+    // the reference renders and opens a PNG (graph.erl:47-58); here it
+    // is opt-in and skipped gracefully when graphviz is absent
+    opts.get("--png").foreach { out =>
+      Dot.renderPng(dotText, out) match {
+        case Some(p) => println(s"png written to $p")
+        case None    => println("png skipped: graphviz `dot` not on PATH")
+      }
     }
     spark.stop()
   }

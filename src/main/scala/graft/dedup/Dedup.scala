@@ -50,13 +50,26 @@ object Dedup {
     * overestimated), so it is ON by default for the corpus-level API. */
   val DefaultMaxDf: Int = 1000
 
-  /** Exact shingle-Jaccard near-duplicate pairs ≥ threshold. */
+  /** Exact shingle-Jaccard near-duplicate pairs ≥ threshold.
+    *
+    * `hashShingles` (default on): replace each shingle string with its
+    * xxhash64 before the inverted-index shuffle, so the wide exchange
+    * moves 8-byte longs instead of raw n-gram text — at corpus scale
+    * the shuffle is the cost, and text must never leave the scan
+    * stage. A 64-bit collision would merge two shingles' posting
+    * lists; at 10^9 distinct shingles the probability of ANY collision
+    * is ~3·10^-2 per corpus and each one perturbs a single pair count
+    * by 1 — acceptable for dedup, switchable off for exact-oracle
+    * comparisons. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      maxDf: Int = DefaultMaxDf): DataFrame =
-    TextFunctions.jaccardPairs(
-      TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, threshold,
-      maxDf)
+      maxDf: Int = DefaultMaxDf, hashShingles: Boolean = true): DataFrame = {
+    val sh0 = TextFunctions.shingles(df, idCol, textCol, shingleN)
+    val sh = if (hashShingles)
+      sh0.select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    else sh0
+    TextFunctions.jaccardPairs(sh, idCol, threshold, maxDf)
+  }
 
   /** Full near-dedup: drop every document that is the larger id of a
     * verified near-duplicate pair (transitively this keeps at least

@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.DefaultMaxDf > 0)
   }
 
+  test("hashed-shingle pairs agree with raw-shingle pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 10000))
+    val hashed = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(key).toSet
+    val raw = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8,
+        hashShingles = false)
+      .collect().map(key).toSet
+    assert(hashed == raw)
+    assert(hashed.nonEmpty)
+  }
+
   test("typed MinHash Aggregator agrees with itself across partitionings") {
     val s1 = Dedup.minhashSignatures(docs.repartition(3), "doc_id", "text")
     val s2 = Dedup.minhashSignatures(docs.repartition(17), "doc_id", "text")
