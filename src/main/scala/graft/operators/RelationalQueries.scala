@@ -72,6 +72,23 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("o_orderpriority")
 
+  /** The salted-join path ([[graft.query.SkewJoin]]) through the same
+    * fact-fact aggregate as [[shuffleJoinAgg]] — row-identical results
+    * (same oracle SQL), so the skew-mitigation rewrite itself is
+    * hash-checked, not just spec-tested. */
+  private def saltedJoinAgg(s: SparkSession, d: String): DataFrame =
+    graft.query.SkewJoin.salted(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", salt = 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
   /** J4: left outer join keeping unmatched rows (sort_data.py:14-15). */
   private def leftJoinCount(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -348,6 +365,9 @@ object RelationalQueries {
       "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       headline = true),
+    Q("q_salted_join_agg", saltedJoinAgg, Some(
+      "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     Q("q_left_join_count", leftJoinCount, Some(
       "SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
       "GROUP BY c_custkey ORDER BY c_custkey")),
