@@ -74,6 +74,20 @@ object GraphQueries {
       .select("part").distinct()
       .orderBy("part")
 
+  /** The reference-parity ingest itself, oracle-checked: the 3-way
+    * star join over the ACTUAL IMDB sample TSVs
+    * ([[graft.ingest.EdgeBuilder]] — P1-P6/J1/J2), compared against
+    * DuckDB parsing the same files with read_csv. The sf directory
+    * argument is unused: this row pins the TSV-ingest semantics
+    * (null token, no-quote parsing, category filter, inner-join
+    * dangling-key drops) that the parquet-table queries can't reach. */
+  private val imdbDir = "/root/repo/src/test/resources/imdb"
+  private def imdbIngestEdges(s: SparkSession, d: String): DataFrame =
+    graft.ingest.EdgeBuilder.edges(s,
+        s"$imdbDir/basic1000.tsv", s"$imdbDir/principals1000.tsv",
+        s"$imdbDir/names1000.tsv")
+      .orderBy("title", "name")
+
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
@@ -112,6 +126,14 @@ object GraphQueries {
     Q("q_point_lookup", pointLookup, Some(
       "SELECT DISTINCT l_partkey AS part FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
       "WHERE o_custkey = 0 ORDER BY part")),
+    Q("q_imdb_ingest_edges", imdbIngestEdges, Some(
+      s"SELECT DISTINCT b.originalTitle AS title, n.column1 AS name " +
+      s"FROM read_csv('$imdbDir/principals1000.tsv', delim='\t', header=true, quote='', nullstr='\\N') p " +
+      s"JOIN read_csv('$imdbDir/names1000.tsv', delim='\t', header=false, quote='', nullstr='\\N') n " +
+      "ON p.nconst = n.column0 " +
+      s"JOIN read_csv('$imdbDir/basic1000.tsv', delim='\t', header=true, quote='', nullstr='\\N') b " +
+      "ON p.tconst = b.tconst " +
+      "WHERE p.category IN ('actor', 'actress') ORDER BY title, name")),
     Q("q_degree_histogram", degreeHistogram, Some(
       edgesCte + ", deg AS (SELECT cust, count(*) AS degree FROM edges GROUP BY cust) " +
       "SELECT degree, count(*) AS n_custs FROM deg GROUP BY degree ORDER BY degree")),
