@@ -87,6 +87,28 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash Jaccard ESTIMATION over the LSH candidates — the middle
+    * stage of the scale pipeline (band → estimate → exact-verify only
+    * survivors): estimated J = fraction of agreeing signature
+    * components. Only 32-char digests are compared; the raw shingle
+    * sets are never revisited. */
+  private def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val mh = graft.functions.TextFunctions
+      .minhashRows(shingles(s, d), "doc_id", k = 8)
+    val bands = graft.functions.TextFunctions.lshBands(mh, "doc_id", rowsPerBand = 2)
+    val cands = graft.functions.TextFunctions.lshCandidatePairs(bands, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    cands
+      .join(mh.select(col("doc_id").as("doc_a"), col("k"), col("mh").as("mh_a")),
+        "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("k"), col("mh").as("mh_b")),
+        Seq("doc_b", "k"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
+        count(lit(1)), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash (16-bit; bit j = sign of Σ_words ±1 from the parity of
     * hex char j of md5(word)), emitted as a bit string to stay
     * engine-portable. */
@@ -287,6 +309,16 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
       "ORDER BY doc_a, doc_b")),
+    Q("q_minhash_estimate", minhashEstimate, Some(
+      minhashCte + ", " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh GROUP BY doc_id, k // 2), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) " +
+      "/ count(*), 4) AS est_jaccard " +
+      "FROM cands JOIN mh x ON x.doc_id = doc_a JOIN mh y ON y.doc_id = doc_b AND y.k = x.k " +
+      "GROUP BY 1, 2 ORDER BY 1, 2")),
     Q("q_simhash", simhash, Some(
       "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
       "h AS (SELECT doc_id, md5(word) AS h FROM words), " +
