@@ -117,6 +117,41 @@ object TextQueries {
       .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairing at scale (pigeonhole bucketing): two
+    * 16-bit signatures within Hamming distance 1 must share one of
+    * their two 8-bit halves, so candidates come from an equi self-join
+    * on (half index, half value) — ~0.8% of all pairs on uniform
+    * signatures (more on this template-homogeneous corpus, where
+    * signatures cluster), never all pairs — and only candidates pay
+    * the exact 16-position Hamming verify. (The radius/chunks trade
+    * is the standard one: radius r needs r+1 chunks; a looser radius
+    * on so few bits stops meaning "near-duplicate" — radius 3 of 16
+    * admits a third of ALL pairs on this corpus.) */
+  private def simhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val sim = graft.functions.TextFunctions
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
+    val chunks = sim
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        col("simhash").substr(col("i") * 8 + 1, lit(8)).as("chunk"))
+    val cands = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.i") === col("b.i") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = size(filter(sequence(lit(1), lit(16)),
+      j => col("sa").substr(j, lit(1)) =!= col("sb").substr(j, lit(1))))
+    cands
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
   private def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -126,6 +161,14 @@ object TextQueries {
         size(regexp_extract_all(col("text"),
           lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_re_tokens"))
       .orderBy("doc_id")
+
+  private val simhashCteSql =
+    "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+    "h AS (SELECT doc_id, md5(word) AS h FROM words), " +
+    "bits AS (SELECT doc_id, j, CASE WHEN " +
+    "sum((ascii(substr(h, CAST(j AS INT) + 1, 1)) % 2) * 2 - 1) > 0 THEN '1' ELSE '0' END AS b " +
+    "FROM h, range(0, 16) t(j) GROUP BY doc_id, j), " +
+    "sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id)"
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -320,12 +363,18 @@ object TextQueries {
       "FROM cands JOIN mh x ON x.doc_id = doc_a JOIN mh y ON y.doc_id = doc_b AND y.k = x.k " +
       "GROUP BY 1, 2 ORDER BY 1, 2")),
     Q("q_simhash", simhash, Some(
-      "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
-      "h AS (SELECT doc_id, md5(word) AS h FROM words), " +
-      "bits AS (SELECT doc_id, j, CASE WHEN " +
-      "sum((ascii(substr(h, CAST(j AS INT) + 1, 1)) % 2) * 2 - 1) > 0 THEN '1' ELSE '0' END AS b " +
-      "FROM h, range(0, 16) t(j) GROUP BY doc_id, j) " +
-      "SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id")),
+      simhashCteSql + " SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
+    Q("q_simhash_neardup", simhashNeardup, Some(
+      simhashCteSql + ", " +
+      "ch AS (SELECT doc_id, i, substr(simhash, CAST(1 + 8 * i AS INT), 8) AS chunk " +
+      "FROM sim, range(0, 2) t(i)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ch a " +
+      "JOIN ch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, hamming FROM " +
+      "(SELECT doc_a, doc_b, CAST(len(list_filter(range(1, 17), " +
+      "j -> substr(x.simhash, CAST(j AS INT), 1) <> substr(y.simhash, CAST(j AS INT), 1))) AS INT) AS hamming " +
+      "FROM cand JOIN sim x ON x.doc_id = doc_a JOIN sim y ON y.doc_id = doc_b) q " +
+      "WHERE hamming <= 1 ORDER BY doc_a, doc_b")),
     Q("q_token_counts", tokenCounts, Some(
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_ws_tokens, " +
       "CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_re_tokens " +
