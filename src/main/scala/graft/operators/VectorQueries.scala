@@ -122,6 +122,26 @@ object VectorQueries {
       .limit(5)
   }
 
+  /** Scalar int8 quantization round-trip — the embedding-compression
+    * operator (4× storage cut at 100 TB): per-vector min/max scale,
+    * codes = floor(255·(x-lo)/(hi-lo) + 0.5) (floor, not round — the
+    * two engines' round() half-rule differs), dequantize, report the
+    * relative L2 reconstruction error. Scan-stage arithmetic only. */
+  private def vecQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = asDouble(col("embedding"))
+    val lo = array_min(e)
+    val span = array_max(e) - array_min(e)
+    val codes = transform(e, x => floor((x - lo) / span * 255.0 + 0.5))
+    val deq = transform(codes, c => lo + c * span / 255.0)
+    val errSq = expr("aggregate(zip_with(eD, deq, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
+    val normSq = expr("aggregate(eD, 0D, (acc, v) -> acc + v * v)")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), e.as("eD"), deq.as("deq"))
+      .select(col("vec_id"),
+        round(sqrt(errSq) / sqrt(normSq), 6).as("rel_l2_err"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -189,6 +209,15 @@ object VectorQueries {
       "GROUP BY e.vec_id) " +
       "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
       "ORDER BY cos_sim DESC, vec_id LIMIT 5")),
+    Q("q_vec_quantize", vecQuantize, Some(
+      "WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), " +
+      "m AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) - list_min(e) AS span FROM v), " +
+      "q AS (SELECT vec_id, e, list_transform(e, " +
+      "x -> lo + floor((x - lo) / span * 255 + 0.5) * span / 255.0) AS deq FROM m), " +
+      "s AS (SELECT vec_id, " +
+      "list_sum(list_transform(range(1, 65), i -> (e[i] - deq[i]) * (e[i] - deq[i]))) AS errsq, " +
+      "list_sum(list_transform(e, x -> x * x)) AS normsq FROM q) " +
+      "SELECT vec_id, round(sqrt(errsq) / sqrt(normsq), 6) AS rel_l2_err FROM s ORDER BY vec_id")),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

@@ -33,4 +33,22 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"unintended quadratic joins:\n${bad.mkString("\n")}")
   }
+
+  test("scan-shape queries keep filters and projections on the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    // q_scan_filter_project: the quantity filter must reach PushedFilters
+    // and the scan must read exactly the 4 projected columns
+    val p1 = Catalog.byName("q_scan_filter_project").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PushedFilters") && p1.contains("LessThan(l_quantity"),
+      s"quantity filter not pushed:\n$p1")
+    val readSchema = p1.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .forall(readSchema.contains) && !readSchema.contains("l_extendedprice"),
+      s"scan not pruned to the projection: $readSchema")
+    // q_point_lookup: the root-key filter prunes at the scan
+    val p2 = Catalog.byName("q_point_lookup").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("EqualTo(o_custkey,0)"), s"root filter not pushed:\n$p2")
+  }
 }
