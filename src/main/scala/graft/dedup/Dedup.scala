@@ -95,6 +95,29 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Substring-overlap candidate pairs via winnowing fingerprints
+    * ([[TextFunctions.winnowMins]] over the same rolling window-hash
+    * pipeline as the catalog's q_winnow): documents sharing any
+    * selected fingerprint are candidates — the guarantee is
+    * structural, any shared run of ≥ w+k-1 tokens yields a common
+    * fingerprint, so recall on long verbatim overlaps is 1.0 (unlike
+    * shingle-set LSH, which targets whole-document similarity).
+    * Only (fingerprint, id) longs shuffle. `maxDf` caps hot
+    * fingerprints exactly like the Jaccard posting lists. */
+  def winnowCandidates(hashed: DataFrame, idCol: String,
+      w: Int = 4, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val fps = hashed.select(col(idCol),
+      explode(TextFunctions.winnowMins(col("whs"), w)).as("fp"))
+    val a = fps.select(col(idCol).as("id_a"), col("fp"))
+    val b = fps.select(col(idCol).as("id_b"), col("fp"))
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    a.join(kept, "fp").join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table SRP-LSH
     * bucketing + exact cosine verification — the 100 TB replacement for
     * the all-pairs cross join ([[graft.operators.VectorQueries]] keeps

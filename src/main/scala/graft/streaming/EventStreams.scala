@@ -52,6 +52,20 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding-window twin of the batch q_sliding_window: 1-hour windows
+    * every 15 minutes under the same watermark rule as [[hourlyCounts]]
+    * (each event feeds 4 open windows; state is bounded by watermark ×
+    * windows-per-event × types). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Streaming dedup: drop repeated event_ids arriving within the
     * watermark horizon (exactly-once-per-key downstream semantics over
     * an at-least-once transport). State is bounded by the watermark —

@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(total == distinctIds, s"emitted $total, want $distinctIds unique events")
   }
 
+  test("streaming sliding window equals the batch q_sliding_window") {
+    val stream = EventStreams.slidingCounts(EventStreams.readEventStream(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding_out")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val want = Catalog.byName("q_sliding_window").fn(spark, dir).collect().toSeq
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join equals the batch q_click_purchase_join") {
     val stream = EventStreams.clickPurchaseJoin(
       EventStreams.readEventStream(spark, dir))

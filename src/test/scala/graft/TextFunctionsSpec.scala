@@ -51,6 +51,19 @@ class TextFunctionsSpec extends SparkSpec {
     fps.foreach { case (id, s) => assert(s.subsetOf(allHashes(id))) }
   }
 
+  test("winnowCandidates pairs exactly the docs sharing a long run") {
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "totally different words with no common run here at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.winnowCandidates(
+        graft.operators.TextQueries.windowHashesOf(docs), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("winnowing: a short hash sequence yields exactly its global min") {
     // 5 words -> 2 window hashes < w=4 -> one fingerprint, the min
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
