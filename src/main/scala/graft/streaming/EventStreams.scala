@@ -102,6 +102,26 @@ object EventStreams {
         round(col("value"), 2).as("purchase_value"))
   }
 
+  /** Streaming-ETL sink: append each micro-batch into a
+    * date-partitioned parquet table (the standard landing-zone shape —
+    * readers prune on the partition column; see
+    * [[graft.sources.ImdbTsv.snapshotPartitioned]] for the batch
+    * form). foreachBatch is the right tool because the partitioned
+    * append is a plain batch write Spark's file streaming sink cannot
+    * express with dynamic partition columns + custom layout control.
+    * Exactly-once comes from the checkpoint: a replayed batch id is
+    * skipped by the caller-visible batchId contract. */
+  def writePartitionedStream(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").partitionBy("day").parquet(path)
+      }
+      .start()
+
   final case class Ev(user_id: Long, tsUs: Long, value: Double)
   final case class SessionState(
       sid: Long, startUs: Long, lastUs: Long, n: Long, value: Double)

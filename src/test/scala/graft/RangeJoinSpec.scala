@@ -38,6 +38,27 @@ class RangeJoinSpec extends SparkSpec {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("randomized windows/bins match the theta join (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val left = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val right = ev.select(col("event_id").as("r_id"), col("ts").as("r_ts"))
+    (1 to 5).foreach { _ =>
+      val lower = rnd.between(-600L, 600L)
+      val upper = lower + rnd.between(0L, 900L)
+      val bin = rnd.between(60L, 1200L)
+      val binned = RangeJoin.binned(left, right, "l_ts", "r_ts", lower, upper, bin)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = left.join(right,
+          unix_micros(col("r_ts")) >= unix_micros(col("l_ts")) + lower * 1000000L &&
+          unix_micros(col("r_ts")) <= unix_micros(col("l_ts")) + upper * 1000000L)
+        .select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"lower=$lower upper=$upper bin=$bin")
+    }
+  }
+
   test("asymmetric window and coarse bins still match the theta join") {
     val left = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"))

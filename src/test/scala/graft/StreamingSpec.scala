@@ -99,6 +99,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch partitioned sink lands every event exactly once") {
+    val outDir = java.nio.file.Files.createTempDirectory("psink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("psink-ck").toString
+    val q = EventStreams.writePartitionedStream(
+      EventStreams.readEventStream(spark, dir), outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(outDir)
+    val src = graft.sources.Tables.events(spark, dir)
+    assert(back.count() == src.count())
+    assert(back.select("event_id").distinct().count() == src.count())
+    // hive layout: day=... directories exist and prune on read
+    val days = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(days.length > 1, s"expected day= partition dirs, got ${days.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gap rule") {
     import spark.implicits._
     val evs = graft.sources.Tables.events(spark, dir)
