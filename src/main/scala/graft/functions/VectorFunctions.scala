@@ -120,6 +120,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, VectorFunctions.fnName),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(StringDistance.fnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDist].getName, StringDistance.fnName),
+      (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => SelfDotToNorm)
   }
 }

@@ -128,6 +128,7 @@ object TextQueries {
     * on so few bits stops meaning "near-duplicate" — radius 3 of 16
     * admits a third of ALL pairs on this corpus.) */
   private def simhashNeardup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.StringDistance.register(s)
     val sim = graft.functions.TextFunctions
       .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
     val chunks = sim
@@ -141,8 +142,9 @@ object TextQueries {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val hamming = size(filter(sequence(lit(1), lit(16)),
-      j => col("sa").substr(j, lit(1)) =!= col("sb").substr(j, lit(1))))
+    // codegen'd byte-compare loop (HOF filter/sequence would be
+    // interpreted — see graft.functions.HammingDist)
+    val hamming = graft.functions.StringDistance.hamming(col("sa"), col("sb"))
     cands
       .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
       .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")

@@ -51,6 +51,20 @@ class TextFunctionsSpec extends SparkSpec {
     fps.foreach { case (id, s) => assert(s.subsetOf(allHashes(id))) }
   }
 
+  test("HammingDist: codegen'd distance matches hand counts and handles nulls") {
+    graft.functions.StringDistance.register(spark)
+    val h = graft.functions.StringDistance.hamming _
+    val df = Seq(
+      ("0101", "0101"), ("0101", "0011"), ("0101", "01"), ("", "01"))
+      .toDF("a", "b")
+    val got = df.select(h(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    // equal; 2 bit flips; equal prefix + 2 missing; all missing
+    assert(got == Seq(0, 2, 2, 2))
+    val withNull = Seq(("0101", null: String)).toDF("a", "b")
+      .select(h(col("a"), col("b"))).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("winnowCandidates pairs exactly the docs sharing a long run") {
     val shared = "alpha beta gamma delta epsilon zeta eta"
     val docs = Seq(
