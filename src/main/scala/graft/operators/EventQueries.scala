@@ -93,6 +93,27 @@ object EventQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Backward as-of join: each view event enriched with the user's
+    * most recent prior (or simultaneous) purchase —
+    * [[graft.query.AsOfJoin]]'s union+window composition (ONE shuffle,
+    * no join operator), checked against DuckDB's native ASOF JOIN. */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+    graft.query.AsOfJoin
+      .backward(views, purchases, "user_id", "v_ts", "p_ts")
+      .filter(col("purchase_id").isNotNull)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        fmt(col("v_ts")).as("view_ts"),
+        round(col("value"), 2).as("last_purchase_value"))
+      .orderBy("user_id", "view_id")
+  }
+
   /** Sliding-window aggregate: 1-hour windows every 15 minutes — each
     * event contributes to 4 overlapping windows (Spark expands the
     * slide inside the scan stage; the oracle mirrors it with an
@@ -192,6 +213,12 @@ object EventQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
       "ORDER BY 1, 2, 3")),
+    Q("q_asof_join", asofJoin, Some(
+      "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, " +
+      "strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, round(p.value, 2) AS last_purchase_value " +
+      "FROM (SELECT * FROM events WHERE event_type = 'view') v " +
+      "ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+      "ON v.user_id = p.user_id AND v.ts >= p.ts ORDER BY 1, 2")),
     Q("q_sliding_window", slidingWindow, Some(
       "WITH x AS (SELECT event_type, " +
       "make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000 - i * 900000000) AS ws " +
