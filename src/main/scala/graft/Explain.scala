@@ -10,7 +10,9 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan_filter_project", "q_broadcast_join_agg",
-        "q_shuffle_join_agg", "q_cosine_topk", "q_ngram_jaccard")
+        "q_shuffle_join_agg", "q_cosine_topk", "q_ngram_jaccard",
+        "q_embed_neardup_lsh", "q_range_join_binned", "q_asof_join",
+        "q_tfidf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

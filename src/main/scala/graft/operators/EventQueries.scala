@@ -150,6 +150,36 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Count-Min sketch with an engine-exact oracle: d=4 hash rows ×
+    * w=64 buckets built from the portable weighted-ascii-of-md5 hash,
+    * probed for every event type next to its exact count — the
+    * mergeable fixed-size frequency summary (update = map-side bucket
+    * increments, merge = vector add: exactly a groupBy here). The
+    * deterministic hash family means DuckDB reproduces the SAME
+    * sketch, so even the approximation is hash-checked, and the
+    * defining one-sided error (estimate ≥ exact) is visible in the
+    * result. */
+  private def cmsCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def wsum(c: org.apache.spark.sql.Column) =
+      (1 to 8).map(i => ascii(substring(c, i, 1)) * lit(i)).reduce(_ + _)
+    def bucket(j: Int, v: org.apache.spark.sql.Column) =
+      pmod(wsum(md5(concat(lit(j.toString), lit("|"), v))), lit(64))
+    val buckets = (0 to 3).map { j =>
+      ev.groupBy(bucket(j, col("event_type")).as("b"))
+        .agg(count(lit(1)).as("n")).withColumn("j", lit(j))
+    }.reduce(_ union _)
+    val types = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+    val probes = (0 to 3).map { j =>
+      types.select(col("event_type"), col("exact_n"), lit(j).as("j"),
+        bucket(j, col("event_type")).as("b"))
+    }.reduce(_ union _)
+    probes.join(buckets, Seq("j", "b"))
+      .groupBy("event_type", "exact_n")
+      .agg(min("n").as("cms_est"))
+      .orderBy("event_type")
+  }
+
   /** Event-type rates per day — the monitoring rollup. */
   private def dailyTypeCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -230,6 +260,19 @@ object EventQueries {
       "FROM events e JOIN events f ON f.ts >= e.ts AND f.ts <= e.ts + INTERVAL 5 MINUTE " +
       "AND f.event_id <> e.event_id WHERE e.event_type = 'error' " +
       "GROUP BY 1 ORDER BY 1")),
+    Q("q_cms_counts", cmsCounts, Some {
+      val h = (v: String, j: String) =>
+        "(" + (1 to 8).map(i =>
+          s"ascii(substr(md5(CAST($j AS VARCHAR) || '|' || $v), $i, 1)) * $i")
+          .mkString(" + ") + ") % 64"
+      "WITH buckets AS (SELECT j, " + h("event_type", "j") + " AS b, count(*) AS n " +
+      "FROM events, range(0, 4) t(j) GROUP BY 1, 2), " +
+      "types AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1), " +
+      "probes AS (SELECT event_type, exact_n, j, " + h("event_type", "j") + " AS b " +
+      "FROM types, range(0, 4) t(j)) " +
+      "SELECT event_type, exact_n, min(n) AS cms_est " +
+      "FROM probes JOIN buckets USING (j, b) GROUP BY 1, 2 ORDER BY 1"
+    }),
     Q("q_daily_type_counts", dailyTypeCounts, Some(
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
