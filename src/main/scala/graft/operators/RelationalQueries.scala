@@ -319,6 +319,33 @@ object RelationalQueries {
         "measure", "val")
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
+  /** KMV (k-minimum-values) distinct-count estimation with an
+    * engine-exact oracle: normalize each distinct key to (0,1] via the
+    * leading 48 bits of its md5, keep the k=16 smallest per group, and
+    * estimate |D| ≈ (k-1)/u_k. Unlike [[approxDistinct]]'s HLL sketch
+    * (whose binary layout is engine-specific, hence rows-only), the
+    * deterministic hash family lets DuckDB reproduce the identical
+    * estimate — the approximation itself is hash-checked next to the
+    * exact count. Shuffle: the distinct + one windowed top-k per
+    * group; at scale the k minima aggregate map-side. */
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val u = (conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+      .cast("long") + 1L).cast("double") / lit(281474976710656.0)  // 2^48
+    val dk = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .withColumn("u", u)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("u"), col("l_partkey"))
+    dk.withColumn("rn", row_number().over(w))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("exact_distinct"),
+        round(lit(k - 1) / max(when(col("rn") === k, col("u"))), 1)
+          .as("kmv_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No SQL oracle —
     * sketch implementations differ across engines; the driver records
     * the rows-only check and `RelationalExtraSpec` bounds the error. */
@@ -349,6 +376,15 @@ object RelationalQueries {
       "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem " +
       "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
       "ORDER BY l_orderkey, l_linenumber, measure")),
+    Q("q_kmv_distinct", kmvDistinct, Some(
+      "WITH dk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem), " +
+      "un AS (SELECT l_returnflag, l_partkey, " +
+      "(CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
+      "/ 281474976710656.0 AS u FROM dk), " +
+      "rn AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_partkey) AS rn FROM un) " +
+      "SELECT l_returnflag, count(*) AS exact_distinct, " +
+      "round(15 / max(CASE WHEN rn = 16 THEN u END), 1) AS kmv_est " +
+      "FROM rn GROUP BY 1 ORDER BY 1")),
     Q("q_approx_distinct", approxDistinct, None),
     Q("q_scan_filter_project", scanFilterProject, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),
