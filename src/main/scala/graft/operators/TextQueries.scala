@@ -314,6 +314,30 @@ object TextQueries {
         "id_a", "id_b")
       .orderBy("vertex")
 
+  /** Train→test contamination check — the eval-decontamination
+    * operator: a test-split document is contaminated when it shares a
+    * winnowing fingerprint (≥ 7-token verbatim run, see [[winnow]])
+    * with ANY train-split document. Composes [[splitAssign]]'s
+    * deterministic buckets with the fingerprint index; only
+    * (fingerprint, id) longs shuffle, and the train index is a
+    * distinct-fingerprint semi-join build side. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val fps = windowHashes(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowMins(col("whs"), 4)).as("fp"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val trainFps = fps.filter(col("split") === "train")
+      .select("fp").distinct().withColumn("hit", lit(1))
+    fps.filter(col("split") === "test")
+      .join(trainFps, Seq("fp"), "left")
+      .agg(
+        countDistinct("doc_id").as("n_test"),
+        countDistinct(when(col("hit") === 1, col("doc_id"))).as("n_contaminated"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized text. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -438,6 +462,24 @@ object TextQueries {
       "UNION SELECT doc_a, doc_a FROM pr UNION SELECT doc_b, doc_b FROM pr), " +
       "r AS (SELECT v, u FROM e UNION SELECT r.v, e.u FROM r JOIN e ON r.u = e.v) " +
       "SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
+    Q("q_contamination", contamination, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h AS (SELECT doc_id, list_transform(range(1, len(us) - 2), " +
+      "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u), " +
+      "f AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(whs) - 3, 1) + 1), i -> list_min(whs[i:i+3])))) AS fp FROM h), " +
+      "sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS b " +
+      "FROM documents) t), " +
+      "fs AS (SELECT f.doc_id, fp, split FROM f JOIN sp ON f.doc_id = sp.doc_id), " +
+      "tr AS (SELECT DISTINCT fp FROM fs WHERE split = 'train') " +
+      "SELECT count(DISTINCT doc_id) AS n_test, " +
+      "count(DISTINCT CASE WHEN fp IN (SELECT fp FROM tr) THEN doc_id END) AS n_contaminated " +
+      "FROM fs WHERE split = 'test'")),
     Q("q_winnow", winnow, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
