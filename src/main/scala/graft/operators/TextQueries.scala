@@ -55,11 +55,18 @@ object TextQueries {
     * The candidate join is on the shingle value (inverted-index style);
     * n_common / union arithmetic is exact integer→double, so the 0.8
     * threshold is engine-stable. The df-ceiling (maxDf=200) drops
-    * stop-shingles before pair explosion — the oracle applies the same
-    * ceiling, so the row stays hash-exact at any scale factor. */
+    * stop-shingles before pair explosion. Shingles are hashed to the
+    * leading 48 bits of their md5 BEFORE the wide shuffle (8-byte
+    * longs move instead of n-gram strings); the oracle applies the
+    * IDENTICAL hash and ceiling, so the row stays hash-exact at any
+    * scale factor — even a 48-bit collision would perturb both
+    * engines identically. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    graft.functions.TextFunctions.jaccardPairs(shingles(s, d), "doc_id", 0.8,
-      maxDf = 200)
+    graft.functions.TextFunctions.jaccardPairs(
+      shingles(s, d).select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
+          .as("shingle")),
+      "doc_id", 0.8, maxDf = 200)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -360,10 +367,11 @@ object TextQueries {
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h")),
     Q("q_ngram_jaccard", ngramJaccard, Some(
       shinglesCte + ", " +
-      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-      "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
+      "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id), " +
+      "kept AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 200), " +
       "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
-      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
       "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2) " +
       "SELECT doc_a, doc_b, round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard " +
       "FROM ov JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id " +
