@@ -37,6 +37,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of composition planned a join:\n$plan")
   }
 
+  test("empty right side preserves left rows with all-null payloads") {
+    val emptyRight = purchases.filter(lit(false))
+    val out = AsOfJoin.backward(views, emptyRight, "user_id", "v_ts", "p_ts")
+    assert(out.count() == views.count())
+    assert(out.filter(col("purchase_id").isNotNull).count() == 0)
+  }
+
   test("left rows with no prior right row carry nulls") {
     val all = AsOfJoin.backward(views, purchases, "user_id", "v_ts", "p_ts")
     val unmatchedHere = all.filter(col("purchase_id").isNull).count()

@@ -39,6 +39,15 @@ class DedupSpec extends SparkSpec {
     assert(cleaned.count() == docs.count() - pairs.select("id_b").distinct().count())
   }
 
+  test("exact dedup collapses all-null contents to a single survivor") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("x")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("maxDf ceiling truncates hot-shingle posting lists (recall-only)") {
     import spark.implicits._
     // 6 docs share the stop-shingle text verbatim; 2 docs additionally

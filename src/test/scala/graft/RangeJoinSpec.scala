@@ -59,6 +59,16 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("empty sides yield empty results without error") {
+    val left = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val right = ev.select(col("event_id").as("r_id"), col("ts").as("r_ts"))
+    assert(RangeJoin.binned(left.filter(lit(false)), right,
+      "l_ts", "r_ts", 0, 300, 300).count() == 0)
+    assert(RangeJoin.binned(left, right.filter(lit(false)),
+      "l_ts", "r_ts", 0, 300, 300).count() == 0)
+  }
+
   test("asymmetric window and coarse bins still match the theta join") {
     val left = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"))
