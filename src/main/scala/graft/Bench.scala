@@ -7,20 +7,71 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Each query is forced with `.count()` (full plan execution, no
-  * collect of wide results). One untimed warm-up of the first query
-  * primes the JVM/codegen; per-query times are the MEDIAN of 5
-  * measured runs (single-shot timings on a shared machine showed
-  * 6-10x noise spikes) — `queries` keeps the same median-per-query
-  * meaning as previous rounds so the driver's round-over-round
-  * comparison stays attributable. Two additions:
-  *  - `quantiles`: per-query p10/p50/p90 (min/median/max of 5), so a
-  *    regression can be told apart from a noise spike;
-  *  - a second scale point (`sf2`/`queries_sf2`, medians at the
-  *    sibling sf0.01 directory or `SPARK_GRAFT_SF_DIR2`), so the
-  *    scaling slope of each query is visible round over round.
+  * collect of wide results). Protocol (kept stable round over round so
+  * the driver's comparison stays attributable):
+  *  - one untimed warm-up of every query (JIT + codegen compile +
+  *    parquet footer caches — without it the first run is a 2-6x
+  *    outlier and p90 measures the JIT, not the plan);
+  *  - 5 measured runs per query, executed ROUND-ROBIN (run every query
+  *    once, then repeat 5x) rather than back-to-back: a machine-wide
+  *    contention window then lands on ONE run of each query instead of
+  *    all 5 runs of whichever query it overlapped — which is how round
+  *    2's q_broadcast_join_agg median absorbed a 7x noise spike;
+  *  - per-query time is the MEDIAN of the successful runs; `quantiles`
+  *    reports p10/p50/p90 (min/median/max of 5) so a regression can be
+  *    told apart from a spike;
+  *  - the 1-minute system load average is sampled before and after each
+  *    measurement pass (`loadavg` in the JSON) so the artifact itself
+  *    shows whether the box was quiet — bench numbers without that
+  *    context proved unattributable in round 2;
+  *  - a second scale point (`sf2`/`queries_sf2`, medians at the sibling
+  *    sf0.01 directory or `SPARK_GRAFT_SF_DIR2`) keeps each query's
+  *    scaling slope visible round over round.
+  *
+  * Failure handling: a query that throws is recorded under `errors`
+  * (first message), its failed runs are EXCLUDED from the median — a
+  * broken query must never bench as ~0 s and "improve" the total — and
+  * the process exits nonzero. [[Bench.measure]] is the pure harness
+  * core; `BenchHarnessSpec` proves a deliberately broken query fails
+  * loudly instead of silently passing.
   */
 object Bench {
   private val Runs = 5
+
+  /** Timing + error outcome of one query across all measured runs. */
+  final case class QResult(name: String, times: Seq[Double], err: Option[String]) {
+    def ok: Boolean = times.nonEmpty
+    def median: Double = times.sorted.apply(times.size / 2)
+  }
+
+  /** Run `queries` against `dir`: one untimed warm-up each, then
+    * `runs` round-robin measurement passes. Failed runs record the
+    * error and contribute no time. */
+  def measure(spark: SparkSession, dir: String, queries: Seq[Q],
+      runs: Int = Runs): Seq[QResult] = {
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runOne(q: Q): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { q.fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errs.getOrElseUpdate(q.name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          None
+      }
+    }
+    queries.foreach(runOne) // warm-up pass (untimed; errors still recorded)
+    val times = queries.map(q => q.name ->
+      scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    (1 to runs).foreach { _ =>
+      queries.foreach(q => runOne(q).foreach(times(q.name) += _))
+    }
+    queries.map(q => QResult(q.name, times(q.name).toSeq, errs.get(q.name)))
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,33 +88,23 @@ object Bench {
 
     val headline = Catalog.all.filter(_.headline)
 
-    def timeAll(dir: String): Seq[(String, Seq[Double])] =
-      headline.map { q =>
-        // Per-query warm-up (untimed): JIT + codegen compile + parquet
-        // footer caches — without it every query's first run is a
-        // 2-6x outlier and p90 measures the JIT, not the plan.
-        try q.fn(spark, dir).count()
-        catch { case _: Throwable => () }
-        val times = (1 to Runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { q.fn(spark, dir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        q.name -> times
-      }
-
-    def med(ts: Seq[Double]): Double = ts(ts.size / 2)
     def jnum(v: Double): String = f"$v%.3f"
     def jmap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val results = timeAll(sfDir)
-    val qs = jmap(results.map { case (k, ts) => k -> jnum(med(ts)) })
-    val quant = jmap(results.map { case (k, ts) =>
-      k -> jmap(Seq("p10" -> jnum(ts.head), "p50" -> jnum(med(ts)),
+    val load0 = loadAvg
+    val results = measure(spark, sfDir, headline)
+    val load1 = loadAvg
+    val ok = results.filter(_.ok)
+    val qs = jmap(ok.map(r => r.name -> jnum(r.median)))
+    val quant = jmap(ok.map { r =>
+      val ts = r.times.sorted
+      r.name -> jmap(Seq("p10" -> jnum(ts.head), "p50" -> jnum(r.median),
         "p90" -> jnum(ts.last)))
     })
-    val total = results.map { case (_, ts) => med(ts) }.sum
+    val total = ok.map(_.median).sum
+    val errors = results.flatMap(r => r.err.map(e => r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
+    val errPart = if (errors.isEmpty) "" else s""","errors":${jmap(errors)}"""
 
     // Second scale point for the scaling slope (best-effort: skip when
     // absent so the bench contract never breaks on a custom sfDir).
@@ -72,14 +113,20 @@ object Bench {
         .filter(d => d != sfDir && new java.io.File(d).isDirectory))
     val sf2Part = sf2Dir match {
       case Some(d) =>
-        val r2 = timeAll(d)
-        val qs2 = jmap(r2.map { case (k, ts) => k -> jnum(med(ts)) })
+        val r2 = measure(spark, d, headline)
+        val qs2 = jmap(r2.filter(_.ok).map(r => r.name -> jnum(r.median)))
         s""","sf2":"$d","queries_sf2":$qs2"""
       case None => ""
     }
+    val load2 = loadAvg
 
     println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$sf2Part,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$errPart$sf2Part,"loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_.err.isDefined)) {
+      System.err.println(
+        s"bench FAILED: ${results.count(_.err.isDefined)} queries threw — see 'errors' in the JSON line")
+      sys.exit(1)
+    }
   }
 }

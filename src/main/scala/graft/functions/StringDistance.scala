@@ -64,10 +64,13 @@ object StringDistance {
   val fnName = "graft_hamming"
 
   /** Idempotently register with the session's function registry (same
-    * mechanism as [[VectorFunctions.register]]). */
+    * mechanism — and same re-registration WARN guard — as
+    * [[VectorFunctions.register]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => HammingDist(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fnName, exprs => HammingDist(exprs(0), exprs(1)), "scala_udf")
 
   /** Byte-positional Hamming distance of two string columns. Call
     * [[register]] on the session first. */

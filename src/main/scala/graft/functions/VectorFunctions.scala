@@ -135,10 +135,15 @@ object VectorFunctions {
   /** Idempotently register the expression with the session's function
     * registry (the supported way to reach a custom Expression from the
     * public Column API in Spark 4) and hook [[SelfDotToNorm]] into the
-    * session's optimizer. */
+    * session's optimizer. Skips when already registered — re-running
+    * createOrReplaceTempFunction is harmless but logs a
+    * "replaced a previously registered function" WARN per call, which
+    * drowned the round-2 bench tail. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        fnName, exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm

@@ -106,7 +106,11 @@ object GraphQueries {
       edgesCte + ", " +
       "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0) " +
       "SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
-      "WHERE e1.cust IN (SELECT cust FROM l2) ORDER BY cust")),
+      "WHERE e1.cust IN (SELECT cust FROM l2) ORDER BY cust"),
+      // headline: the driver-loop BFS path (per-level localCheckpoint +
+      // isEmpty jobs) needs a round-over-round timing signal, not just
+      // the single-expansion q_graph_level2.
+      headline = true),
     Q("q_graph_level4", graphLevel4, Some(
       edgesCte + ", " +
       "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0), " +
