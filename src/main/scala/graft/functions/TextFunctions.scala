@@ -55,13 +55,22 @@ object TextFunctions {
 
   /** SimHash bit strings: per document, bit j is the sign of the
     * word-count-weighted vote of bit j across word hashes (bit j =
-    * parity of hex char j of md5(word)). `bits` ≤ 32. Near-duplicate
-    * documents differ in few bit positions (compare via Hamming
-    * distance on the fixed-width string). */
+    * parity of hex char j of md5(word) for j < 32, of
+    * md5(word || '#') for j ≥ 32). `bits` ≤ 64.
+    *
+    * 64 bits is the production default: 16-bit signatures (round 2's
+    * parameter) saturate — 65,536 distinct values means every
+    * signature is shared by millions of documents at corpus scale and
+    * "near-dup" stops meaning anything. The per-word hash is 64
+    * ENGINE-PORTABLE parity bits (two md5s), so the DuckDB oracle
+    * computes the identical signature. Near-duplicate documents differ
+    * in few bit positions (compare via Hamming distance on the
+    * fixed-width string). */
   def simhashBits(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame =
+      bits: Int = 64): DataFrame =
     df.select(col(idCol), explode(words(col(textCol))).as("word"))
-      .select(col(idCol), md5(col("word")).as("h"),
+      .select(col(idCol),
+        concat(md5(col("word")), md5(concat(col("word"), lit("#")))).as("h"),
         explode(sequence(lit(0), lit(bits - 1))).as("j"))
       .withColumn("weight",
         (ascii(col("h").substr(col("j") + 1, lit(1))) % 2) * 2 - 1)

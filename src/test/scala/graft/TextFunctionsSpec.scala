@@ -101,10 +101,25 @@ class TextFunctionsSpec extends SparkSpec {
   test("simhash: identical docs get identical signatures, length == bits") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("id", "text")
-    val sig = TextFunctions.simhashBits(docs, "id", "text", bits = 16)
+    for (bits <- Seq(16, 64)) {
+      val sig = TextFunctions.simhashBits(docs, "id", "text", bits = bits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sig(1L) == sig(2L))
+      assert(sig.values.forall(s => s.length == bits && s.forall(c => c == '0' || c == '1')))
+    }
+  }
+
+  test("simhash 64-bit: one-word edit moves few bits, different text moves many") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated sentence about spark catalyst optimizer rules")
+    ).toDF("id", "text")
+    val sig = TextFunctions.simhashBits(docs, "id", "text", bits = 64)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(sig(1L) == sig(2L))
-    assert(sig.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)),
+      "near-dup pair must be closer than unrelated pair")
   }
 
   test("minhash: signatures are permutation-count wide and stable") {
