@@ -90,6 +90,88 @@ object VectorQueries {
         round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("va", "vb")
 
+  /** Planted-near-dup fixture: the embeddings table plus 10
+    * deterministic perturbed twins for every 50th vector. Twin t of
+    * base b scales coordinate i by (1 + 0.01·m) with
+    * m = (b·31 + t·17 + i·13) % 7 − 3 ∈ [−3, 3] — pure integer
+    * arithmetic then double multiply, so DuckDB reproduces the corpus
+    * bit-for-bit. Twins sit at cosine ≈ 0.9995 from their base (and
+    * from each other), while the i.i.d.-Gaussian originals top out at
+    * cosine 0.60 — i.e. this is the CLUSTERED corpus real embedding
+    * dedup runs on (near-dups at cos ≥ 0.9, background far away),
+    * which the round-2 verdict noted was untested: at threshold 0.5 on
+    * the raw corpus SRP admits ~80% of pairs and the exact cross join
+    * wins; at 0.9 on clustered data it must prune hard. Twin ids live
+    * at 1_000_000 + b·16 + t, disjoint from every base id. */
+  def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val twins = base
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bid"), col("e"),
+        explode(sequence(lit(1), lit(10))).as("t"))
+      .select(
+        (lit(1000000L) + col("bid") * 16 + col("t")).as("vec_id"),
+        transform(col("e"), (x, i) =>
+          x * (lit(1.0) + lit(0.01) *
+            ((col("bid") * 31 + col("t") * 17 + i * 13) % 7 - 3))).as("e"))
+    base.unionByName(twins)
+  }
+
+  /** Exact all-pairs near-dup on the planted corpus at threshold 0.9 —
+    * the baseline the bucketed form must beat (and is hash-checked
+    * against). Kept headline so the crossover is measured every round. */
+  private def embedNeardupPlantedExact(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val v = plantedEmbeddings(s, d).withColumn("n", sqrt(dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("va"), col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("e").as("eb"), col("n").as("nb"))
+    a.crossJoin(b)
+      .filter(col("va") < col("vb"))
+      .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("c") >= 0.9)
+      .select(col("va"), col("vb"), round(col("c"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+  }
+
+  /** Bucketed near-dup on the planted corpus at threshold 0.9 — the
+    * scale-path win the round-2 verdict asked to demonstrate: same
+    * all-pairs oracle as [[embedNeardupPlantedExact]], hash-exact, but
+    * the candidate stage is an SRP equi-join. At cos ≥ 0.9 (θ ≤ 26°)
+    * 8 bits × 8 tables holds the per-pair miss probability of the
+    * cos≈0.9995 planted pairs (θ≈1.8°) under 2·10⁻⁹, and the natural
+    * corpus (max cos 0.60) contributes no borderline pairs — so unlike
+    * the threshold-0.5 `q_embed_neardup_lsh` honest-constants case,
+    * candidates collapse to a few percent and the bucketed plan beats
+    * the cross join (measured in BENCH_r03: see docs/catalog.md). */
+  private def embedNeardupPlanted(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup
+      .embedNearDupBucketed(plantedEmbeddings(s, d), "vec_id", "e",
+        threshold = 0.9, dim = 64, nBits = 8, nTables = 8)
+      .select(col("id_a").as("va"), col("id_b").as("vb"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("va", "vb")
+
+  private val plantedCte =
+    "WITH planted AS (" +
+    "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings " +
+    "UNION ALL " +
+    "SELECT 1000000 + vec_id * 16 + t AS vec_id, " +
+    "list_transform(range(1, 65), i -> embedding[i]::DOUBLE * " +
+    "(1 + 0.01 * ((vec_id * 31 + t * 17 + (i - 1) * 13) % 7 - 3))) AS e " +
+    "FROM embeddings, range(1, 11) tt(t) WHERE vec_id % 50 = 0)"
+
+  private val plantedPairsSql =
+    plantedCte + ", " +
+    "sc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+    "sum(a.e[i] * b.e[i]) AS d, " +
+    "sum(a.e[i] * a.e[i]) AS na, " +
+    "sum(b.e[i] * b.e[i]) AS nb " +
+    "FROM planted a, planted b, range(1, 65) t(i) " +
+    "WHERE a.vec_id < b.vec_id GROUP BY 1, 2) " +
+    "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+    "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.9 ORDER BY va, vb"
+
   /** IVF-style probed search: coarse-quantize by per-label centroid,
     * probe the 2 closest clusters to the query, brute-force only there. */
   private def ivfTopk(s: SparkSession, d: String): DataFrame = {
@@ -193,6 +275,10 @@ object VectorQueries {
       "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
       "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.5 ORDER BY va, vb"),
       headline = true),
+    Q("q_embed_neardup_planted_exact", embedNeardupPlantedExact,
+      Some(plantedPairsSql), headline = true),
+    Q("q_embed_neardup_planted", embedNeardupPlanted,
+      Some(plantedPairsSql), headline = true),
     Q("q_ivf_topk", ivfTopk, Some(
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "cent AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +

@@ -92,6 +92,44 @@ class AnnLshSpec extends SparkSpec {
     assert(results.map(_._4).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
   }
 
+  test("planted (clustered) corpus: recall@10 >= 0.9 at <= 10% scan") {
+    // The i.i.d.-Gaussian corpus is LSH's worst case (neighbors at cos
+    // 0.25-0.40); the planted fixture is the clustered shape real
+    // embedding corpora have (true top-10 at cos ~0.9995). Same
+    // searchMulti machinery, tighter probe: 16 bits x 2 tables x
+    // radius 1 — the round-2 verdict's unmeasured claim, now measured.
+    val planted = graft.operators.VectorQueries.plantedEmbeddings(spark, dir)
+      .persist()
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val n = vecs.length.toDouble
+    def top10(qid: Long, q: Array[Double]): Set[Long] =
+      vecs.filter(_._1 != qid).map { case (id, v) => id -> cosine(q, v) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val queries = vecs.filter { case (id, _) => id % 50 == 0 && id < 250 }
+    val points = Seq((16, 1, 0), (16, 1, 1), (16, 2, 1))
+    val results = points.map { case (bits, tables, radius) =>
+      val recalls = queries.map { case (qid, q) =>
+        val got = AnnLsh.searchMulti(planted, "vec_id", "e", q, k = 11,
+            dim = 64, nBits = bits, nTables = tables, probeRadius = radius)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+        (got & top10(qid, q)).size / 10.0
+      }
+      val scans = queries.map { case (_, q) =>
+        planted.filter(AnnLsh.probeCondition(col("e"), q, 64, bits,
+          tables, radius)).count() / n
+      }
+      val r = recalls.sum / recalls.size
+      val s = scans.sum / scans.size
+      info(f"bits=$bits tables=$tables radius=$radius recall@10=$r%.2f scan=$s%.3f")
+      (r, s)
+    }
+    val (recall, scan) = results.last
+    assert(recall >= 0.9, f"recall@10 $recall%.2f < 0.9 on clustered corpus")
+    assert(scan <= 0.10, f"scan fraction $scan%.3f > 10%% on clustered corpus")
+    planted.unpersist()
+  }
+
   test("multi-probe search prunes the corpus and keeps good recall") {
     val scanned = AnnLsh.bucketed(emb, "embedding", ps)
     val qb = scanned.filter(col("vec_id") === 0).collect()(0).getInt(2)

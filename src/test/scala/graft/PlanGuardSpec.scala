@@ -8,8 +8,10 @@ class PlanGuardSpec extends SparkSpec {
 
   /** Intended all-pairs forms (small-scale exact baselines). */
   private val allowCartesian = Set(
-    "q_embed_neardup" // exact all-pairs cosine: the oracle baseline the
-                      // LSH form (q_embed_neardup_lsh) is checked against
+    "q_embed_neardup", // exact all-pairs cosine: the oracle baseline the
+                       // LSH form (q_embed_neardup_lsh) is checked against
+    "q_embed_neardup_planted_exact" // all-pairs baseline the bucketed
+                                    // planted form must beat (crossover row)
   )
 
   /** Intended BroadcastNestedLoopJoin with a SINGLE-ROW build side
