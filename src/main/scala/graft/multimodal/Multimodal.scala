@@ -29,14 +29,24 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])
 
-  /** Deterministic stand-in for a real codec (???-equivalent, clearly
-    * marked): "decodes" a payload into a fixed-dim feature vector via
-    * a rolling byte hash. Replace with a real decode + model forward
-    * pass where codec/model libs exist; the call shape is identical. */
-  object FakeCodec {
-    val dim = 8
+  /** A payload decoder: bytes → fixed-dim feature vector. Serializable
+    * because instances ride into the `mapPartitions` closure; any heavy
+    * state (a model, a native codec handle) belongs in the
+    * per-partition init inside [[extractFeatures]], not in fields. */
+  trait Codec extends Serializable {
+    def dim: Int
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in for a real codec (???-equivalent, clearly
+    * marked): "decodes" a payload into a fixed-dim feature vector via
+    * a rolling byte hash. Kept as the default so the oracle-checked
+    * catalog rows stay deterministic over text payloads; [[ImageCodec]]
+    * is the real-decode path with the identical call shape. */
+  object FakeCodec extends Codec {
+    val dim = 8
     def decode(bytes: Array[Byte]): Array[Float] = {
       val out = new Array[Float](dim)
       var i = 0
@@ -45,6 +55,42 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** REAL image decode via `javax.imageio` (in every JDK — zero added
+    * dependencies): PNG/JPEG/GIF/BMP bytes → [width, height, mean R,
+    * mean G, mean B, mean luma (BT.601), aspect ratio, alpha flag].
+    * Undecodable payloads (ImageIO returns null) yield a zero vector
+    * rather than failing the partition — at 100 TB some fraction of a
+    * media corpus is always corrupt, and one bad blob must not kill a
+    * task retry loop. `ImageCodecSpec` drives a generated PNG through
+    * the full `mapPartitions` pipeline end-to-end. */
+  object ImageCodec extends Codec {
+    val dim = 8
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) new Array[Float](dim)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        val mr = r / n; val mg = g / n; val mb = b / n
+        Array(w.toFloat, h.toFloat, mr, mg, mb,
+          0.299f * mr + 0.587f * mg + 0.114f * mb,
+          w.toFloat / h, if (img.getColorModel.hasAlpha) 1f else 0f)
+      }
     }
   }
 
@@ -68,16 +114,18 @@ object Multimodal {
   /** Batch decode: one codec handle per partition, rows streamed
     * through it. The metadata filter runs BEFORE decode so planning
     * prunes payload bytes for rows that fail it. */
-  def extractFeatures(rows: Dataset[MediaRow], minBytes: Long = 0L): Dataset[MediaFeatures] = {
+  def extractFeatures(rows: Dataset[MediaRow], minBytes: Long = 0L,
+      codec: Codec = FakeCodec): Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows
       .filter(_.meta.n_bytes >= minBytes)
       .mapPartitions { it =>
-        // per-partition init (stands in for loading a codec/model once)
-        val codec = FakeCodec
+        // per-partition init point: a real deployment resolves its
+        // codec/model handle here, once per task, not once per row
+        val c = codec
         it.map { r =>
           MediaFeatures(r.doc_id, r.meta.n_bytes,
-            codec.checksum(r.payload), codec.decode(r.payload))
+            c.checksum(r.payload), c.decode(r.payload))
         }
       }
   }
