@@ -146,11 +146,17 @@ object Dedup {
     // dots (cheap, codegen'd) instead of a pre-verify distinct that
     // shuffles millions of pair rows plus two array back-joins — the
     // deduplicating distinct runs on the tiny verified survivor set.
+    // Persist the signature table: the candidate stage is a SELF-join,
+    // and without materialization Spark recomputes the full scan +
+    // bucket pass once per side (measured ~2× the whole query cost).
+    // At cluster scale the same role is played by checkpointing the
+    // signature table to storage before the join.
     val bk = graft.query.AnnLsh
       .bucketedMulti(
         df.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
           .withColumn("n", sqrt(vf.vecDot(col("e"), col("e")))),
         "e", dim, nBits, nTables, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bk.select(col(idCol).as("id_a"), col("e").as("ea"),
       col("n").as("na"), col("table"), col("bucket"))
     val b = bk.select(col(idCol).as("id_b"), col("e").as("eb"),

@@ -94,6 +94,87 @@ case class VecNorm2(child: Expression)
     copy(child = newChild)
 }
 
+/** All SRP (signed-random-projection) bucket assignments of a vector
+  * in ONE pass: for each of `nTables` tables, the `nBits` hyperplane
+  * dot-product signs packed into an int bucket id. Returns
+  * `array<int>` of length `nTables`.
+  *
+  * Exists because the composable form — nTables × nBits separate
+  * `when(vec_dot(v, lit(plane)) > 0, 1 << j)` columns — evaluates 64+
+  * independent expression trees per row, each re-loading the vector,
+  * and the resulting projection is too large for tight codegen: the
+  * bucket scan measured ~3 s for 10k rows at (8 bits × 8 tables),
+  * dominating the whole bucketed near-dup join. This expression walks
+  * the flattened plane matrix in one cache-friendly loop (planes ride
+  * along as a codegen reference object, not 64 array literals):
+  * the same scan drops to ~0.1 s. Plane layout and per-dot float
+  * semantics are IDENTICAL to the composable form (sequential
+  * multiply-add over i), so bucket ids — and therefore every
+  * downstream candidate pair — are bit-for-bit unchanged. */
+case class SrpBuckets(child: Expression, planes: Array[Double],
+    nBits: Int, nTables: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.length == nTables * nBits * dim, "flattened plane matrix size")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var b = 0
+      var j = 0
+      while (j < nBits) {
+        val base = (t * nBits + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += planes(base + i) * v.getDouble(i); i += 1 }
+        if (s > 0) b |= 1 << j
+        j += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |int[] $out = new int[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  int $b = 0;
+         |  for (int $j = 0; $j < $nBits; $j++) {
+         |    int $base = ($t * $nBits + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $p[$base + $i] * $a.getDouble($i);
+         |    }
+         |    if ($s > 0) $b |= 1 << $j;
+         |  }
+         |  $out[$t] = $b;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Optimizer rule: `vec_dot(x, x)` → `vec_norm2(x)` when both sides
   * are semantically the same expression — halves array evaluation in
   * every norm computation (used by all cosine queries). Injectable via
@@ -131,6 +212,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
 object VectorFunctions {
   val fnName = "graft_vec_dot"
+  val srpName = "graft_srp_buckets"
 
   /** Idempotently register the expression with the session's function
     * registry (the supported way to reach a custom Expression from the
@@ -144,6 +226,19 @@ object VectorFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         fnName, exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(srpName)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        srpName, exprs => {
+          // planes/nBits/nTables/dim arrive as literals from srpBuckets
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val planes = exprs(1).asInstanceOf[Literal]
+            .value.asInstanceOf[ArrayData].toDoubleArray()
+          def intOf(e: Expression): Int =
+            e.asInstanceOf[Literal].value.asInstanceOf[Int]
+          SrpBuckets(exprs(0), planes,
+            intOf(exprs(2)), intOf(exprs(3)), intOf(exprs(4)))
+        }, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm
@@ -152,4 +247,15 @@ object VectorFunctions {
   /** Dot product of two array<double> columns via the native expression.
     * Call [[register]] on the session first. */
   def vecDot(a: Column, b: Column): Column = call_function(fnName, a, b)
+
+  /** All nTables SRP bucket ids of a vector column in one fused pass
+    * (see [[SrpBuckets]]). `planes` is indexed [table × bit][dim].
+    * Call [[register]] on the session first. */
+  def srpBuckets(v: Column, planes: Array[Array[Double]],
+      nBits: Int, nTables: Int, dim: Int): Column =
+    call_function(srpName, v,
+      org.apache.spark.sql.functions.typedlit(planes.flatten.toSeq),
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(nTables),
+      org.apache.spark.sql.functions.lit(dim))
 }

@@ -37,7 +37,11 @@ object AnnLsh {
 
   /** `nTables` independent SRP tables (OR-amplification): every row
     * explodes to one (`table`, `bucket`) pair per table, all `nTables ×
-    * nBits` hyperplane dots evaluated in a single scan-stage pass.
+    * nBits` hyperplane dots evaluated in a single scan-stage pass
+    * through the fused [[VectorFunctions.srpBuckets]] expression (one
+    * tight loop over the whole plane matrix — the composable
+    * per-plane-dot form measured ~10× slower at 8 bits × 8 tables;
+    * bucket ids are bit-identical, see [[graft.functions.SrpBuckets]]).
     * Pairs colliding in ANY table become candidates — per-pair miss
     * probability is (1 - (1 - θ/π)^nBits)^nTables for angle θ, driven
     * arbitrarily low by adding tables without touching bucket sizes. */
@@ -45,9 +49,10 @@ object AnnLsh {
       nTables: Int, seed: Long = 42L): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     val v = col(vecCol).cast("array<double>")
-    val buckets = array(
-      (0 until nTables).map(t => bucketCol(v, planes(dim, nBits, seed + t))): _*)
-    df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
+    val ps = (0 until nTables).toArray.flatMap(t => planes(dim, nBits, seed + t))
+    df.select(col("*"),
+      posexplode(VectorFunctions.srpBuckets(v, ps, nBits, nTables, dim))
+        .as(Seq("table", "bucket")))
   }
 
   private def bucketOf(q: Array[Double], ps: Array[Array[Double]]): Int =
