@@ -79,14 +79,28 @@ object BipartiteExpand {
       level: Int,
       dedupEdges: Boolean = false,
       broadcastFrontier: Boolean = true): DataFrame = {
-    val (e, ownCache) = prepare(edges, srcCol, dstCol, dedupEdges)
+    // The iterative machinery (persist the edge table, eager
+    // localCheckpoint of the root set, empty-frontier probe) only pays
+    // for itself when the loop runs ≥ 2 iterations: each extra job it
+    // spends is amortized over the levels that reuse the cache and cut
+    // lineage. A level-2 expansion is ONE iteration — a straight-line
+    // plan — and the same machinery is pure overhead there (worse: the
+    // edge cache is unpersisted again before the caller even executes
+    // the returned lazy plan, so it materialized for nothing — this
+    // cost round 2's q_graph_level2 ~0.8 s of its 2.1 s median).
+    // An empty-frontier probe is also pointless for one iteration:
+    // joining an empty frontier yields the same (empty) result lazily.
+    val iterative = level > 2
+    val (e, ownCache) =
+      if (iterative || dedupEdges) prepare(edges, srcCol, dstCol, dedupEdges)
+      else (edges.select(srcCol, dstCol), false)
 
-    var visited = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
-      .localCheckpoint()
+    val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
+    var visited = if (iterative) visited0.localCheckpoint() else visited0
     var frontier = visited
 
     var l = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = if (iterative) frontier.isEmpty else false
     while (l < level && !exhausted) {
       // Will another iteration consume this one's output? Only then is
       // cutting lineage (localCheckpoint) or early-exit probing
@@ -124,29 +138,34 @@ object BipartiteExpand {
       level: Int,
       dedupEdges: Boolean = false,
       broadcastFrontier: Boolean = true): Expansion = {
-    val (e, ownCache) = prepare(edges, srcCol, dstCol, dedupEdges)
+    // same single-iteration fast path as `expand` (see comment there)
+    val iterative = level > 2
+    val (e, ownCache) =
+      if (iterative || dedupEdges) prepare(edges, srcCol, dstCol, dedupEdges)
+      else (edges.select(srcCol, dstCol), false)
     val other = e.withColumnRenamed(srcCol, s"${srcCol}_peer")
 
-    var visited = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
-      .localCheckpoint()
+    val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
+    var visited = if (iterative) visited0.localCheckpoint() else visited0
     var frontier = visited
     var acc: Option[DataFrame] = None
 
     var l = 1
-    var exhausted = frontier.isEmpty
+    var exhausted = if (iterative) frontier.isEmpty else false
     while (l < level && !exhausted) {
       val more = l + 1 < level
       // frontier-incident edges are small (they hang off the frontier);
       // broadcast them so the big `other` side streams from cache
       val incident = hint(frontier, broadcastFrontier).join(e, srcCol)
-      // discovered edges feed BOTH the result accumulator and (when
-      // iterating further) the next frontier — checkpoint either way
-      val discovered = hint(incident, broadcastFrontier)
+      // discovered edges feed the result accumulator and, when
+      // iterating further, the next frontier — only then is an eager
+      // lineage cut worth its job
+      val discovered0 = hint(incident, broadcastFrontier)
         .join(other, dstCol)
         .filter(col(srcCol) =!= col(s"${srcCol}_peer"))
         .select(col(srcCol), col(dstCol), col(s"${srcCol}_peer"))
         .distinct()
-        .localCheckpoint()
+      val discovered = if (more) discovered0.localCheckpoint() else discovered0
       val next = discovered.select(col(s"${srcCol}_peer").as(srcCol)).distinct()
       val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
