@@ -118,13 +118,23 @@ object BipartiteExpand {
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
       val fresh = if (more) fresh0.localCheckpoint() else fresh0
       exhausted = if (more) fresh.isEmpty else false
-      visited = if (more) visited.union(fresh).localCheckpoint()
-                else visited.union(fresh)
+      // No checkpoint on the union: both parents are already
+      // checkpointed, so lineage stays one union node deep per level —
+      // a checkpoint here would spend a whole job to save nothing.
+      visited = visited.union(fresh)
       frontier = fresh
       l += 1
     }
-    if (ownCache) e.unpersist()
-    visited
+    // Iterative path: materialize the final level WHILE the edge cache
+    // is still alive — returning the lazy plan and unpersisting first
+    // would force the last two-hop join to re-derive the edge table
+    // from source (measured ~1 s of q_graph_level3's round-2 median).
+    // The single-iteration path stays fully lazy (no cache to protect).
+    if (ownCache) {
+      val out = visited.localCheckpoint()
+      e.unpersist()
+      out
+    } else visited
   }
 
   /** Full expansion with discovered edges per level (G7): returns both
@@ -171,13 +181,18 @@ object BipartiteExpand {
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
       val fresh = if (more) fresh0.localCheckpoint() else fresh0
       exhausted = if (more) fresh.isEmpty else false
-      visited = if (more) visited.union(fresh).localCheckpoint()
-                else visited.union(fresh)
+      // union of checkpointed parents: shallow lineage, no job needed
+      visited = visited.union(fresh)
       acc = Some(acc.map(_.union(discovered)).getOrElse(discovered))
       frontier = fresh
       l += 1
     }
-    if (ownCache) e.unpersist()
+    // same cache-lifetime rule as `expand`: materialize before unpersist
+    if (ownCache) {
+      visited = visited.localCheckpoint()
+      acc = acc.map(_.localCheckpoint())
+      e.unpersist()
+    }
     val emptyEdges = acc.getOrElse {
       e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
