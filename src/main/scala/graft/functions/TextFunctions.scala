@@ -96,36 +96,55 @@ object TextFunctions {
   /** Exact shingle-set Jaccard for all pairs ≥ threshold:
     * (id_a, id_b, jaccard).
     *
-    * Inverted-index shape with ONE wide shuffle: group by shingle,
-    * collect the (sorted) posting list, explode its i<j combinations,
-    * count per pair. This measured ~2× faster than the two-sided
-    * self-join (which shuffles both sides plus the pair rows).
-    * Singleton shingles drop before pair generation (they cannot form
-    * a pair).
+    * AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07):
+    * under any global total order on shingles (here: numeric order of
+    * the hashed values), a pair with Jaccard ≥ t must share one of the
+    * first |d| − ⌈t·|d|⌉ + 1 elements of EACH document's sorted
+    * shingle array — proof: the pair shares o ≥ ⌈t·max(|a|,|b|)⌉
+    * elements, so each side has at most |d| − o < prefix-length
+    * non-shared elements before its smallest shared one. Candidate
+    * pairs therefore generate only from document PREFIXES (~(1−t) of
+    * each document), and the verify stage intersects the two sorted
+    * per-doc arrays directly. At t = 0.8 this cut the candidate-pair
+    * shuffle ~20× vs the full inverted index (1.27M → 65k pair rows at
+    * sf0.1) — and at 100 TB that second shuffle IS the cost; this is
+    * the standard scale algorithm for threshold joins, not a
+    * heuristic (the survivor set is provably identical).
     *
     * `maxDf` is the document-frequency ceiling: shingles appearing in
-    * more than `maxDf` documents are dropped BEFORE pair explosion.
-    * Without it, one stop-shingle present in m documents materializes
-    * an m(m-1)/2 pair array inside a single aggregation buffer — a
-    * one-task OOM at web scale that no join shape fixes. The trade is
-    * recall-only: per-document shingle counts stay uncapped, so
-    * dropping a shared shingle can only LOWER a pair's computed
-    * Jaccard (n_common undercounts, hence the derived union
-    * sz_a+sz_b-n_common overcounts) — the cap can suppress true
-    * near-dups whose overlap is concentrated in stop-shingles, but can
-    * never manufacture a false positive. */
+    * more than `maxDf` documents are dropped from the index (and from
+    * the verify arrays) BEFORE any pair work — one stop-shingle in m
+    * documents otherwise costs m²/2 pairs, a scale-killer no join
+    * shape fixes. The trade is recall-only: per-document sizes stay
+    * uncapped, so a dropped shared shingle can only LOWER a computed
+    * Jaccard (never manufacture a false positive). Singleton shingles
+    * (df = 1) drop too — they cannot be shared, so the intersection is
+    * unchanged while prefixes shrink. */
   def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val cached = sh.persist()
     val sizes = cached.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    cached
-      .groupBy("shingle").agg(array_sort(collect_list(idCol)).as("ds"))
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(x.as("a"), y.as("b")))))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    // shared-capable shingles: 2 ≤ df ≤ maxDf
+    val kept = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("shingle")
+    // per-doc sorted kept-shingle arrays: the verify side
+    val docArr = cached.join(kept, "shingle")
+      .groupBy(idCol).agg(array_sort(collect_list("shingle")).as("ks"))
+    // prefix index: first |ks| − ⌈t·|ks|⌉ + 1 elements per doc
+    val prefixLen = (size(col("ks"))
+      - ceil(lit(threshold) * size(col("ks"))) + 1).cast("int")
+    val prefix = docArr.select(col(idCol),
+      explode(slice(col("ks"), lit(1), prefixLen)).as("shingle"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(docArr.select(col(idCol).as("id_a"), col("ks").as("ka")), "id_a")
+      .join(docArr.select(col(idCol).as("id_b"), col("ks").as("kb")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("ka"), col("kb"))))
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",

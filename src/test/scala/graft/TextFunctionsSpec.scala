@@ -98,6 +98,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("prefix-filtered jaccardPairs equals brute force on a random corpus") {
+    // 60 docs from a 30-word vocabulary (fixed seed): heavy shingle
+    // overlap, so prefix filtering and the df-ceiling both get
+    // exercised; brute-force reference computed in plain Scala.
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(30)(i => s"w$i")
+    val docs = (1L to 60L).map { id =>
+      id -> Array.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    val df = docs.toDF("id", "text")
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+
+    for ((threshold, maxDf) <- Seq((0.5, Int.MaxValue), (0.8, Int.MaxValue), (0.5, 5))) {
+      val dfCount = sets.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+        .map { case (s, xs) => s -> xs.size }
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        kept = sets(a).intersect(sets(b)).count(s => dfCount(s) <= maxDf)
+        j = kept.toDouble / (sets(a).size + sets(b).size - kept)
+        if sets(a).nonEmpty && sets(b).nonEmpty && j >= threshold
+      } yield (a, b)).toSet
+      val got = TextFunctions.jaccardPairs(
+          TextFunctions.shingles(df, "id", "text"), "id", threshold, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"threshold=$threshold maxDf=$maxDf: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("simhash: identical docs get identical signatures, length == bits") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("id", "text")
