@@ -128,9 +128,13 @@ object TextFunctions {
     val kept = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select("shingle")
-    // per-doc sorted kept-shingle arrays: the verify side
+    // per-doc sorted kept-shingle arrays: the verify side. Persisted —
+    // it feeds four consumers (both prefix-index sides, both verify
+    // back-joins), each of which would otherwise re-run the wide
+    // collect_list aggregation.
     val docArr = cached.join(kept, "shingle")
       .groupBy(idCol).agg(array_sort(collect_list("shingle")).as("ks"))
+      .persist()
     // prefix index: first |ks| − ⌈t·|ks|⌉ + 1 elements per doc
     val prefixLen = (size(col("ks"))
       - ceil(lit(threshold) * size(col("ks"))) + 1).cast("int")
