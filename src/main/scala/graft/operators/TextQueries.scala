@@ -366,6 +366,74 @@ object TextQueries {
         countDistinct(when(col("hit") === 1, col("doc_id"))).as("n_contaminated"))
   }
 
+  /** Repetition metrics — the degenerate-text detector every
+    * pre-training filter stack runs (Gopher-style repetition rules):
+    * top-bigram share, duplicate-bigram fraction, and type-token
+    * ratio. A looping generation or boilerplate page shows
+    * dup_bigram_frac near 1 and TTR near 0. Scan-stage + one narrow
+    * (doc, bigram) aggregate; no text leaves the scan. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigramStats = base
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max("c").as("top"), sum("c").as("n"), sum(col("c") - 1).as("dup"))
+    base.select(col("doc_id"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+          .as("ttr"))
+      .join(bigramStats, "doc_id")
+      .select(col("doc_id"),
+        round(col("top").cast("double") / col("n"), 4).as("top_bigram_frac"),
+        round(col("dup").cast("double") / col("n"), 4).as("dup_bigram_frac"),
+        col("ttr"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted mixture sampling — the data-mixture
+    * operator: each source gets a target sampling rate (here src0/src1
+    * upweighted 50%, src2 25%, everything else 10%) and membership is
+    * decided by a salted md5 bucket of the doc id, so the same
+    * document is kept on every run, any cluster size, any partitioning
+    * — a `sample()` call can promise none of that. Scan-stage, no
+    * shuffle; the salt ("mix|") keeps this independent of
+    * `q_split_assign`'s buckets. */
+  private def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100
+    val rate = when(col("source").isin("src0", "src1"), 50)
+      .when(col("source") === "src2", 25)
+      .otherwise(10)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        rate.as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus composition report — per (source, language) document and
+    * character counts plus each cell's share of the corpus: the
+    * mixture dashboard a training-data pipeline re-checks after every
+    * filter stage. One aggregate + a global window over the (tiny)
+    * group table. */
+  private def sourceMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum("n_docs").over(Window.partitionBy()), 4))
+      .orderBy("source", "lang")
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized text. */
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -532,5 +600,29 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
       "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
+    Q("q_repetition", repetition, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "f AS (SELECT doc_id, w FROM w WHERE len(w) >= 2), " +
+      "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i] || ' ' || w[i+1])) AS bg FROM f), " +
+      "c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "st AS (SELECT doc_id, max(c) AS top, sum(c) AS n, sum(c - 1) AS dup " +
+      "FROM c GROUP BY 1), " +
+      "t AS (SELECT doc_id, round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS ttr FROM f) " +
+      "SELECT st.doc_id, round(CAST(top AS DOUBLE) / n, 4) AS top_bigram_frac, " +
+      "round(CAST(dup AS DOUBLE) / n, 4) AS dup_bigram_frac, ttr " +
+      "FROM st JOIN t ON st.doc_id = t.doc_id ORDER BY st.doc_id")),
+    Q("q_mixture_sample", mixtureSample, Some(
+      "SELECT doc_id, source, bucket, rate_pct FROM (" +
+      "SELECT doc_id, source, " +
+      "CAST(CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS bucket, " +
+      "CASE WHEN source IN ('src0', 'src1') THEN 50 WHEN source = 'src2' THEN 25 ELSE 10 END AS rate_pct " +
+      "FROM documents) t WHERE bucket < rate_pct ORDER BY doc_id")),
+    Q("q_source_mix", sourceMix, Some(
+      "WITH g AS (SELECT source, lang, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1, 2) " +
+      "SELECT source, lang, n_docs, total_chars, " +
+      "round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 4) AS doc_share " +
+      "FROM g ORDER BY source, lang")),
   )
 }
