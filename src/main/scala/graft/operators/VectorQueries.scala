@@ -232,6 +232,66 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** One deterministic Lloyd (k-means) step — the index-build primitive
+    * behind IVF clustering: centroids = current per-label means, then
+    * every vector re-assigns to its max-cosine centroid (ties broken by
+    * smallest label). The 10-row centroid table broadcasts; assignment
+    * is scan-stage dot products plus a per-vector 1-row window — the
+    * shape that iterates unchanged at 100 TB (only the k×dim centroid
+    * table ever crosses the cluster between steps). */
+  private def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cent = emb
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy("label", "pos").agg(avg("col").as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+      .select(col("label").as("c_label"),
+        transform(col("cs"), x => x.getField("m")).as("cvec"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        col("c_label"),
+        (dot(asDouble(col("embedding")), col("cvec")) /
+          (sqrt(dot(asDouble(col("embedding")), asDouble(col("embedding")))) *
+           sqrt(dot(col("cvec"), col("cvec"))))).as("c"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("new_label"),
+        round(col("c"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** k-NN graph construction (k = 3): exact top-k cosine neighbors for
+    * EVERY vector — the building block of graph-based dedup and ANN
+    * index construction (and the ground-truth generator for the LSH
+    * recall specs). This is the exact all-pairs baseline (norms
+    * precomputed, pair stage one fused dot, per-vector top-k via a
+    * window); the scale path buckets candidates with [[graft.query
+    * .AnnLsh.bucketedMulti]] first and runs the same ranking on the
+    * candidate set only. */
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(s)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", sqrt(dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id"), col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("nbr"), col("e").as("eb"), col("n").as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("nbr"))))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("nbr"), col("rank").as("rank"),
+        round(col("c"), 4).as("cos_sim"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -312,6 +372,28 @@ object VectorQueries {
       "list_sum(list_transform(range(1, 65), i -> (e[i] - deq[i]) * (e[i] - deq[i]))) AS errsq, " +
       "list_sum(list_transform(e, x -> x * x)) AS normsq FROM q) " +
       "SELECT vec_id, round(sqrt(errsq) / sqrt(normsq), 6) AS rel_l2_err FROM s ORDER BY vec_id")),
+    Q("q_kmeans_step", kmeansStep, Some(
+      "WITH cent AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS m " +
+      "FROM embeddings, range(1, 65) t(i) GROUP BY label, i), " +
+      "sc AS (SELECT e.vec_id, e.label, c.c_label, " +
+      "sum(e.embedding[c.i]::DOUBLE * c.m) / " +
+      "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * sqrt(sum(c.m * c.m))) AS c " +
+      "FROM embeddings e, cent c GROUP BY 1, 2, 3) " +
+      "SELECT vec_id, label, c_label AS new_label, round(c, 4) AS sim FROM sc " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, c_label) = 1 " +
+      "ORDER BY vec_id")),
+    Q("q_knn_graph", knnGraph, Some(
+      "WITH sc AS (SELECT a.vec_id, b.vec_id AS nbr, " +
+      "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
+      "sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS na, " +
+      "sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS nb " +
+      "FROM embeddings a, embeddings b, range(1, 65) t(i) " +
+      "WHERE a.vec_id <> b.vec_id GROUP BY 1, 2) " +
+      "SELECT vec_id, nbr, CAST(rank AS INT) AS rank, cos_sim FROM (" +
+      "SELECT vec_id, nbr, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, nbr) AS rank, " +
+      "round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc) r " +
+      "WHERE rank <= 3 ORDER BY vec_id, rank")),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

@@ -10,16 +10,20 @@ class PlanGuardSpec extends SparkSpec {
   private val allowCartesian = Set(
     "q_embed_neardup", // exact all-pairs cosine: the oracle baseline the
                        // LSH form (q_embed_neardup_lsh) is checked against
-    "q_embed_neardup_planted_exact" // all-pairs baseline the bucketed
-                                    // planted form must beat (crossover row)
+    "q_embed_neardup_planted_exact", // all-pairs baseline the bucketed
+                                     // planted form must beat (crossover row)
+    "q_knn_graph"      // exact kNN-graph baseline (all-pairs by design;
+                       // scale path ranks AnnLsh bucket candidates)
   )
 
-  /** Intended BroadcastNestedLoopJoin with a SINGLE-ROW build side
-    * (a broadcast scalar/query-vector, not a data-sized loop). */
+  /** Intended BroadcastNestedLoopJoin with a BOUNDED build side
+    * (a broadcast scalar/query-vector/centroid table, not a data-sized
+    * loop). */
   private val allowSingleRowBnlj = Set(
     "q_cosine_topk", // 1-row query vector
     "q_ivf_topk",    // 1-row query vector + 2-row probe set
-    "q_tfidf"        // 1-row corpus-count scalar
+    "q_tfidf",       // 1-row corpus-count scalar
+    "q_kmeans_step"  // k-row centroid table (k = label count, bounded)
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {
