@@ -109,6 +109,45 @@ object AnnLsh {
       .limit(k)
   }
 
+  /** Bucketed k-NN graph — the scale path for the exact all-pairs
+    * `q_knn_graph` baseline: candidate neighbors of a vector are the
+    * rows sharing an SRP (table, bucket) cell with it in ANY table,
+    * ranked by the exact codegen'd cosine, top `k` kept per vector.
+    * Directed output (id, nbr, rank, cos_sim) — both directions of a
+    * close pair appear, like the exact form. The signature table is
+    * persisted once (self-join, same rule as
+    * [[graft.dedup.Dedup.embedNearDupBucketed]]); at high `nBits`
+    * random vectors land in singleton buckets, so candidate volume
+    * tracks the true near-neighbor structure instead of n². Recall vs
+    * the exact graph is spec-pinned on the planted corpus
+    * (`KnnBucketedSpec`). */
+  def knnGraphBucketed(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nBits: Int = 16, nTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val bk = bucketedMulti(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("graft_e"))
+        .withColumn("graft_n",
+          sqrt(VectorFunctions.vecDot(col("graft_e"), col("graft_e")))),
+      "graft_e", dim, nBits, nTables, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bk.select(col(idCol), col("graft_e").as("ea"),
+      col("graft_n").as("na"), col("table"), col("bucket"))
+    val b = bk.select(col(idCol).as("nbr"), col("graft_e").as("eb"),
+      col("graft_n").as("nb"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col(idCol) =!= col("nbr"))
+      .select(col(idCol), col("nbr"),
+        (VectorFunctions.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("c"))
+      .distinct()
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(idCol).orderBy(col("c").desc, col("nbr"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("nbr"), col("rank"), round(col("c"), 4).as("cos_sim"))
+  }
+
   /** Multi-probe top-k cosine search: scan only buckets within Hamming
     * distance ≤ `probes` of the query's bucket. */
   def search(df: DataFrame, idCol: String, vecCol: String,
