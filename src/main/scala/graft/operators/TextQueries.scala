@@ -330,6 +330,39 @@ object TextQueries {
       .orderBy("doc_id", "word")
   }
 
+  /** BM25 relevance scoring against a fixed term set — the ranking
+    * function behind retrieval-based curation (scoring a web corpus
+    * against a seed query, retrieval-augmented filtering, dedup
+    * triage). Lucene-form idf = ln(1 + (N−df+0.5)/(df+0.5)), k1 = 1.2,
+    * b = 0.75. Same one-scan shape as [[tfidf]]: tf is a (doc, term)
+    * aggregate, df a window over it, N and avgdl broadcast scalars —
+    * no shuffle touches raw text. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queryTerms = Seq("data", "table", "join")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = Tables.documents(s, d)
+      .join(dl, "doc_id")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (lit(1.2) + 1) /
+          (col("tf") + lit(1.2) *
+            (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate clusters: the engine's min-label-propagation
     * connected components ([[graft.query.ConnectedComponents]]) over
     * the verified Jaccard pair graph — checked against a DuckDB
@@ -600,6 +633,19 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
       "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
+    Q("q_bm25", bm25, Some(
+      "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM documents JOIN dl USING (doc_id)), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks " +
+      "WHERE word IN ('data', 'table', 'join') GROUP BY 1, 2), " +
+      "tfd AS (SELECT *, count(*) OVER (PARTITION BY word) AS df FROM tf), " +
+      "sc AS (SELECT doc_id, " +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / " +
+      "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS term_score " +
+      "FROM tfd JOIN dl USING (doc_id), stats) " +
+      "SELECT doc_id, round(sum(term_score), 4) AS bm25, " +
+      "count(*) AS n_terms_hit FROM sc GROUP BY 1 ORDER BY doc_id")),
     Q("q_repetition", repetition, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "f AS (SELECT doc_id, w FROM w WHERE len(w) >= 2), " +
