@@ -53,7 +53,7 @@ object Dedup {
   /** Exact shingle-Jaccard near-duplicate pairs ≥ threshold.
     *
     * `hashShingles` (default on): replace each shingle string with its
-    * xxhash64 before the inverted-index shuffle, so the wide exchange
+    * xxhash64 before the prefix-index shuffle, so the wide exchange
     * moves 8-byte longs instead of raw n-gram text — at corpus scale
     * the shuffle is the cost, and text must never leave the scan
     * stage. A 64-bit collision would merge two shingles' posting

@@ -51,14 +51,16 @@ object TextQueries {
       .filter(col("n") > 1)
       .orderBy("h")
 
-  /** N-gram Jaccard near-dup: pairs with shingle-set Jaccard ≥ 0.8.
-    * The candidate join is on the shingle value (inverted-index style);
-    * n_common / union arithmetic is exact integer→double, so the 0.8
-    * threshold is engine-stable. The df-ceiling (maxDf=200) drops
-    * stop-shingles before pair explosion. Shingles are hashed to the
-    * leading 48 bits of their md5 BEFORE the wide shuffle (8-byte
-    * longs move instead of n-gram strings); the oracle applies the
-    * IDENTICAL hash and ceiling, so the row stays hash-exact at any
+  /** N-gram Jaccard near-dup: pairs with shingle-set Jaccard ≥ 0.8 via
+    * the prefix-filtered threshold join ([[graft.functions
+    * .TextFunctions.jaccardPairs]], AllPairs/PPJoin); n_common / union
+    * arithmetic is exact integer→double, so the 0.8 threshold is
+    * engine-stable. The df-ceiling (maxDf=200) drops stop-shingles
+    * before any pair work. Shingles are hashed to the leading 48 bits
+    * of their md5 BEFORE the wide shuffle (8-byte longs move instead
+    * of n-gram strings); the oracle applies the IDENTICAL hash and
+    * ceiling (its plain self-join form — the algorithms differ, the
+    * result sets provably don't), so the row stays hash-exact at any
     * scale factor — even a 48-bit collision would perturb both
     * engines identically. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
