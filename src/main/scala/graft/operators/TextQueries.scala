@@ -173,6 +173,27 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Edit-distance verification of LSH candidate pairs — the fourth
+    * verify-stage measure next to Jaccard, Hamming and cosine: only
+    * candidate pairs (never all pairs) pay the O(len²) Levenshtein,
+    * and the texts join in AFTER candidate generation so raw text
+    * still never enters the wide shuffle. Both engines ship the same
+    * classic DP `levenshtein`, so the distances are integer-exact. */
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mh = graft.functions.TextFunctions.minhashRows(shingles(s, d), "doc_id", k = 8)
+    val bands = graft.functions.TextFunctions.lshBands(mh, "doc_id", rowsPerBand = 2)
+    graft.functions.TextFunctions.lshCandidatePairs(bands, "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")) /
+          greatest(length(col("ta")), length(col("tb"))), 4).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
   private def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -635,6 +656,17 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
       "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
+    Q("q_edit_distance", editDistance, Some(
+      minhashCte + ", " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh GROUP BY doc_id, k // 2), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, " +
+      "CAST(levenshtein(x.text, y.text) AS INT) AS edit_dist, " +
+      "round(1.0 - levenshtein(x.text, y.text) / greatest(length(x.text), length(y.text)), 4) AS edit_sim " +
+      "FROM cands JOIN documents x ON x.doc_id = doc_a " +
+      "JOIN documents y ON y.doc_id = doc_b ORDER BY doc_a, doc_b")),
     Q("q_bm25", bm25, Some(
       "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
       "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
