@@ -161,12 +161,21 @@ object Dedup {
       col("n").as("na"), col("table"), col("bucket"))
     val b = bk.select(col(idCol).as("id_b"), col("e").as("eb"),
       col("n").as("nb"), col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val survivors = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", vf.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
       .distinct()
+    // Materialize the verified survivor pairs (tiny: actual near-dups)
+    // while the signature cache is alive, then release it — same
+    // materialize-then-release rule as [[graft.query.BipartiteExpand]];
+    // without this the persist outlives the query for the whole
+    // session (CacheManager WARN spam on re-calls, and at 100 TB the
+    // signature table is a large block to leak).
+    val out = survivors.localCheckpoint()
+    bk.unpersist()
+    out
   }
 
   /** §2.9 typed-aggregate surface (the reference's never-used

@@ -145,7 +145,7 @@ object TextFunctions {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    cand
+    val survivors = cand
       .join(docArr.select(col(idCol).as("id_a"), col("ks").as("ka")), "id_a")
       .join(docArr.select(col(idCol).as("id_b"), col("ks").as("kb")), "id_b")
       .withColumn("n_common", size(array_intersect(col("ka"), col("kb"))))
@@ -155,5 +155,17 @@ object TextFunctions {
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize the (small) survivor set while both caches are
+    // alive, then RELEASE them — the materialize-then-release rule
+    // from [[graft.query.BipartiteExpand.expand]]. Returning the lazy
+    // plan instead would leave both persists registered for the
+    // session's lifetime: a pipeline calling this once per corpus
+    // accumulates cache entries until eviction pressure (and re-calls
+    // spam "Asked to cache already cached data"). `CacheHygieneSpec`
+    // pins the CacheManager empty after every dedup/ANN entry point.
+    val out = survivors.localCheckpoint()
+    docArr.unpersist()
+    cached.unpersist()
+    out
   }
 }

@@ -73,10 +73,18 @@ object AnnLsh {
   def probeCondition(vecCol: Column, query: Array[Double], dim: Int,
       nBits: Int, nTables: Int, probeRadius: Int, seed: Long = 42L): Column = {
     val v = vecCol.cast("array<double>")
+    // One fused srpBuckets pass computes all nTables bucket ids (the
+    // per-table bucketCol form re-evaluates nTables × nBits separate
+    // VecDot trees per row — the known ~10× scan-stage regression, see
+    // [[graft.functions.SrpBuckets]]); the per-table probe is then a
+    // cheap int membership test. Bucket ids are bit-identical to the
+    // composable form, so the probe set is unchanged.
+    val ps2d = (0 until nTables).toArray.flatMap(t => planes(dim, nBits, seed + t))
+    val bks = VectorFunctions.srpBuckets(v, ps2d, nBits, nTables, dim)
     (0 until nTables).map { t =>
       val ps = planes(dim, nBits, seed + t)
       val cand = probedBuckets(bucketOf(query, ps), nBits, probeRadius)
-      bucketCol(v, ps).isin(cand: _*)
+      element_at(bks, t + 1).isin(cand: _*)
     }.reduce(_ || _)
   }
 
@@ -135,7 +143,7 @@ object AnnLsh {
       col("graft_n").as("na"), col("table"), col("bucket"))
     val b = bk.select(col(idCol).as("nbr"), col("graft_e").as("eb"),
       col("graft_n").as("nb"), col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val graph = a.join(b, Seq("table", "bucket"))
       .filter(col(idCol) =!= col("nbr"))
       .select(col(idCol), col("nbr"),
         (VectorFunctions.vecDot(col("ea"), col("eb")) / (col("na") * col("nb")))
@@ -146,6 +154,13 @@ object AnnLsh {
           .partitionBy(idCol).orderBy(col("c").desc, col("nbr"))))
       .filter(col("rank") <= k)
       .select(col(idCol), col("nbr"), col("rank"), round(col("c"), 4).as("cos_sim"))
+    // Materialize the n×k result while the signature cache is alive,
+    // then release it (materialize-then-release, see
+    // [[graft.dedup.Dedup.embedNearDupBucketed]]) — the persist must
+    // not outlive the query it serves.
+    val out = graph.localCheckpoint()
+    bk.unpersist()
+    out
   }
 
   /** Multi-probe top-k cosine search: scan only buckets within Hamming
