@@ -292,6 +292,98 @@ object VectorQueries {
       .orderBy("vec_id", "rank")
   }
 
+  /** The multi-iteration Lloyd loop ([[graft.query.KMeans.run]]) under
+    * the gate: 2 rounds from the label seed — the oracle is the same
+    * computation unrolled as a DuckDB CTE, so the ITERATIVE code path
+    * (persist-once corpus, per-round broadcast centroids,
+    * localCheckpoint lineage cuts) is hash-checked, not just its
+    * single-step twin `q_kmeans_step`. */
+  private def kmeansRun(s: SparkSession, d: String): DataFrame =
+    graft.query.KMeans.run(s, Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", iters = 2)
+      .orderBy("vec_id")
+
+  private val kmeansRunSql =
+    "WITH cent1 AS (SELECT label AS c, i, avg(embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2), " +
+    "sc1 AS (SELECT e.vec_id, c.c, " +
+    "sum(e.embedding[c.i]::DOUBLE * c.m) / " +
+    "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * sqrt(sum(c.m * c.m))) AS s " +
+    "FROM embeddings e, cent1 c GROUP BY 1, 2), " +
+    "a1 AS (SELECT vec_id, c AS cluster FROM sc1 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "cent2 AS (SELECT a1.cluster AS c, i, avg(e.embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings e JOIN a1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2), " +
+    "sc2 AS (SELECT e.vec_id, c.c, " +
+    "sum(e.embedding[c.i]::DOUBLE * c.m) / " +
+    "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * sqrt(sum(c.m * c.m))) AS s " +
+    "FROM embeddings e, cent2 c GROUP BY 1, 2) " +
+    "SELECT vec_id, cluster, round(s, 4) AS sim FROM (" +
+    "SELECT vec_id, c AS cluster, s FROM sc2 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1) r " +
+    "ORDER BY vec_id"
+
+  /** The bucketed kNN graph ([[graft.query.AnnLsh.knnGraphBucketed]])
+    * under the gate, hash-checked against the EXACT graph's oracle on
+    * the planted corpus: every vector there sits in a 5-member twin
+    * cluster at cos ≈ 0.9995 while unrelated vectors top out at 0.60,
+    * so its true top-3 is inside the cluster; at 16 bits × 8 tables a
+    * twin pair (θ ≈ 1.8°) misses all tables with probability
+    * (1 − 0.99^16)^8 ≈ 2·10⁻⁷ — across the ~7.5k needed pairs the
+    * expected miss count is ~10⁻³, i.e. the bucketed graph equals the
+    * exact graph and the row is hash-exact, while the plan stays an
+    * equi self-join on (table, bucket). */
+  private def knnGraphBucketedQ(s: SparkSession, d: String): DataFrame =
+    graft.query.AnnLsh.knnGraphBucketed(plantedEmbeddings(s, d), "vec_id", "e",
+        k = 3, dim = 64, nBits = 16, nTables = 8)
+      .orderBy("vec_id", "rank")
+
+  private val knnPlantedSql =
+    plantedCte + ", " +
+    "sc AS (SELECT a.vec_id, b.vec_id AS nbr, " +
+    "sum(a.e[i] * b.e[i]) AS d, " +
+    "sum(a.e[i] * a.e[i]) AS na, " +
+    "sum(b.e[i] * b.e[i]) AS nb " +
+    "FROM planted a, planted b, range(1, 65) t(i) " +
+    "WHERE a.vec_id <> b.vec_id GROUP BY 1, 2) " +
+    "SELECT vec_id, nbr, CAST(rank AS INT) AS rank, cos_sim FROM (" +
+    "SELECT vec_id, nbr, row_number() OVER " +
+    "(PARTITION BY vec_id ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, nbr) AS rank, " +
+    "round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc) r " +
+    "WHERE rank <= 3 ORDER BY vec_id, rank"
+
+  /** Multi-probe ANN search ([[graft.query.AnnLsh.searchMulti]]) under
+    * the gate: query = vector 0, k = 4 on the planted corpus, where the
+    * true top-4 is exactly vector 0's twin cluster (cos ≈ 0.9995; the
+    * nearest non-twin sits at ≤ 0.60). At 16 bits × 8 tables × probe
+    * radius 1, a twin is missed by every probe with probability
+    * ~(1 − 0.988)^8 ≈ 4·10⁻¹⁶, so the probed result equals the exact
+    * top-4 and hash-checks against the brute-force oracle. The single
+    * driver-side `head` collects ONE row — the user-supplied query
+    * vector, the API's actual call shape. */
+  private def annSearch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val corpus = plantedEmbeddings(s, d)
+    val q = corpus.filter(col("vec_id") === 0).select("e")
+      .head.getSeq[Double](0).toArray
+    graft.query.AnnLsh.searchMulti(
+        corpus.filter(col("vec_id") =!= 0), "vec_id", "e", q,
+        k = 4, dim = 64, nBits = 16, nTables = 8, probeRadius = 1)
+      .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  private val annSearchSql =
+    plantedCte + ", " +
+    "q AS (SELECT e AS qe FROM planted WHERE vec_id = 0), " +
+    "sc AS (SELECT p.vec_id, " +
+    "sum(p.e[i] * q.qe[i]) AS d, " +
+    "sum(p.e[i] * p.e[i]) AS na, " +
+    "sum(q.qe[i] * q.qe[i]) AS nb " +
+    "FROM planted p, q, range(1, 65) t(i) " +
+    "WHERE p.vec_id <> 0 GROUP BY 1) " +
+    "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+    "ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 4"
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -394,6 +486,9 @@ object VectorQueries {
       "(PARTITION BY vec_id ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, nbr) AS rank, " +
       "round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc) r " +
       "WHERE rank <= 3 ORDER BY vec_id, rank")),
+    Q("q_kmeans_run", kmeansRun, Some(kmeansRunSql)),
+    Q("q_knn_graph_bucketed", knnGraphBucketedQ, Some(knnPlantedSql)),
+    Q("q_ann_search", annSearch, Some(annSearchSql)),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +
