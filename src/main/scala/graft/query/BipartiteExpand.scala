@@ -30,9 +30,12 @@ import org.apache.spark.storage.StorageLevel
   *  - the reference's per-frontier-vertex scatter/gather RPC
   *    (master.erl:275-283) becomes one join per level regardless of
   *    frontier size — no driver-side loops over vertices;
-  *  - `localCheckpoint` per level cuts the growing lineage so level N's
-  *    plan does not re-derive levels 1..N-1 (standard iterative-algo
-  *    practice, same shape GraphFrames uses).
+  *  - a lineage cut per level ([[Checkpoints.cut]]) keeps level N's
+  *    plan from re-deriving levels 1..N-1 (standard iterative-algo
+  *    practice, same shape GraphFrames uses): executor-local blocks by
+  *    default, or a reliable checkpoint to `checkpointDir` when given —
+  *    the durability knob a long 100 TB run turns on so an executor
+  *    loss replays from storage instead of failing the job.
   */
 object BipartiteExpand {
 
@@ -78,7 +81,9 @@ object BipartiteExpand {
       root: Column,
       level: Int,
       dedupEdges: Boolean = false,
-      broadcastFrontier: Boolean = true): DataFrame = {
+      broadcastFrontier: Boolean = true,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
     // The iterative machinery (persist the edge table, eager
     // localCheckpoint of the root set, empty-frontier probe) only pays
     // for itself when the loop runs ≥ 2 iterations: each extra job it
@@ -96,7 +101,7 @@ object BipartiteExpand {
       else (edges.select(srcCol, dstCol), false)
 
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
-    var visited = if (iterative) visited0.localCheckpoint() else visited0
+    var visited = if (iterative) cut(visited0) else visited0
     var frontier = visited
 
     var l = 1
@@ -116,7 +121,7 @@ object BipartiteExpand {
       // G5 visited-set dedup, global-BFS form
       val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
-      val fresh = if (more) fresh0.localCheckpoint() else fresh0
+      val fresh = if (more) cut(fresh0) else fresh0
       exhausted = if (more) fresh.isEmpty else false
       // No checkpoint on the union: both parents are already
       // checkpointed, so lineage stays one union node deep per level —
@@ -131,7 +136,7 @@ object BipartiteExpand {
     // from source (measured ~1 s of q_graph_level3's round-2 median).
     // The single-iteration path stays fully lazy (no cache to protect).
     if (ownCache) {
-      val out = visited.localCheckpoint()
+      val out = cut(visited)
       e.unpersist()
       out
     } else visited
@@ -147,7 +152,9 @@ object BipartiteExpand {
       root: Column,
       level: Int,
       dedupEdges: Boolean = false,
-      broadcastFrontier: Boolean = true): Expansion = {
+      broadcastFrontier: Boolean = true,
+      checkpointDir: Option[String] = None): Expansion = {
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
     // same single-iteration fast path as `expand` (see comment there)
     val iterative = level > 2
     val (e, ownCache) =
@@ -156,7 +163,7 @@ object BipartiteExpand {
     val other = e.withColumnRenamed(srcCol, s"${srcCol}_peer")
 
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
-    var visited = if (iterative) visited0.localCheckpoint() else visited0
+    var visited = if (iterative) cut(visited0) else visited0
     var frontier = visited
     var acc: Option[DataFrame] = None
 
@@ -175,11 +182,11 @@ object BipartiteExpand {
         .filter(col(srcCol) =!= col(s"${srcCol}_peer"))
         .select(col(srcCol), col(dstCol), col(s"${srcCol}_peer"))
         .distinct()
-      val discovered = if (more) discovered0.localCheckpoint() else discovered0
+      val discovered = if (more) cut(discovered0) else discovered0
       val next = discovered.select(col(s"${srcCol}_peer").as(srcCol)).distinct()
       val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
-      val fresh = if (more) fresh0.localCheckpoint() else fresh0
+      val fresh = if (more) cut(fresh0) else fresh0
       exhausted = if (more) fresh.isEmpty else false
       // union of checkpointed parents: shallow lineage, no job needed
       visited = visited.union(fresh)
@@ -189,8 +196,8 @@ object BipartiteExpand {
     }
     // same cache-lifetime rule as `expand`: materialize before unpersist
     if (ownCache) {
-      visited = visited.localCheckpoint()
-      acc = acc.map(_.localCheckpoint())
+      visited = cut(visited)
+      acc = acc.map(cut)
       e.unpersist()
     }
     val emptyEdges = acc.getOrElse {

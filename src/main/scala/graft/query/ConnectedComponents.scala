@@ -20,16 +20,16 @@ object ConnectedComponents {
     * (the minimum vertex id in the component). Returns
     * (vertex, component). */
   def run(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
 
-    var labels = sym.select(col("src").as("vertex"))
+    var labels = cut(sym.select(col("src").as("vertex"))
       .distinct()
-      .withColumn("component", col("vertex"))
-      .localCheckpoint()
+      .withColumn("component", col("vertex")))
 
     var converged = sym.isEmpty
     var i = 0
@@ -39,12 +39,11 @@ object ConnectedComponents {
         .join(labels, sym("src") === labels("vertex"))
         .groupBy(col("dst").as("vertex"))
         .agg(min("component").as("nmin"))
-      val next = labels
+      val next = cut(labels
         .join(neighborMin, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+            .as("component")))
       converged = next
         .join(labels.withColumnRenamed("component", "prev"), "vertex")
         .filter(col("component") < col("prev"))

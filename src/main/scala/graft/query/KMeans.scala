@@ -63,14 +63,16 @@ object KMeans {
   /** Run `iters` Lloyd rounds from `seedCol` (any integer column, e.g.
     * a label or an SRP bucket). Returns (idCol, cluster, sim). */
   def run(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      seedCol: String, iters: Int): DataFrame = {
+      seedCol: String, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("e"),
         col(seedCol).cast("int").as("cluster"))
       .persist()
     var assigned = v
     (1 to iters).foreach { _ =>
       val cent = centroids(assigned)
-      assigned = assign(v.select(idCol, "e"), cent, idCol).localCheckpoint()
+      assigned = Checkpoints.cut(
+        assign(v.select(idCol, "e"), cent, idCol), checkpointDir)
     }
     v.unpersist()
     assigned.select(col(idCol), col("cluster"), round(col("sim"), 4).as("sim"))
