@@ -111,6 +111,47 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Deterministic REAL-PNG media table derived from the documents
+    * table's ids: each row's payload is an actual PNG encoded on the
+    * executors (`javax.imageio`, solid fill whose RGB and dimensions
+    * are integer functions of doc_id), with every 50th row a
+    * deliberately corrupt non-PNG blob. Because the fill is solid, the
+    * decoded channel means equal the fill bytes EXACTLY — so the
+    * catalog can hash-check the real encode → decode → feature path
+    * against a pure-arithmetic DuckDB oracle (`q_media_decode`),
+    * instead of settling for a rows-only check. */
+  def syntheticPngs(s: SparkSession, dir: String,
+      limit: Int = 200): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).orderBy("doc_id")
+      .limit(limit).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 50L == 49L) // corrupt blob: must decode to zeros
+            MediaRow(id, Array[Byte](9, 9, (id % 127).toByte),
+              MediaMeta("application/octet-stream", 3L, 0, 0))
+          else {
+            val w = (id % 16).toInt + 1
+            val h = (id % 8).toInt + 1
+            // Knuth-hash fill color: rgb = (id·2654435761 div 256) mod 2^24
+            val rgb = ((id * 2654435761L) / 256L % 16777216L).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            val bytes = out.toByteArray
+            MediaRow(id, bytes, MediaMeta("image/png", bytes.length.toLong, w, h))
+          }
+        }
+      }
+  }
+
   /** Batch decode: one codec handle per partition, rows streamed
     * through it. The metadata filter runs BEFORE decode so planning
     * prunes payload bytes for rows that fail it. */

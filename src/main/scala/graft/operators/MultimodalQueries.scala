@@ -28,7 +28,38 @@ object MultimodalQueries {
         round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
       .orderBy("doc_id")
 
+  /** REAL image decode under the driver gate: executor-side PNG
+    * encode ([[Multimodal.syntheticPngs]]) → `ImageCodec`
+    * (javax.imageio) through the same partition-batched
+    * `extractFeatures` pipeline — and because the fills are solid,
+    * width/height/channel means are exact integer functions of doc_id,
+    * hash-checked against a pure-arithmetic oracle (corrupt blobs must
+    * come back as the documented zero vector). */
+  private def mediaDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticPngs(s, d),
+        codec = Multimodal.ImageCodec).toDF()
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("int").as("mean_r"),
+        element_at(col("features"), 4).cast("int").as("mean_g"),
+        element_at(col("features"), 5).cast("int").as("mean_b"))
+      .orderBy("doc_id")
+
+  private val mediaDecodeSql =
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), " +
+    "d AS (SELECT doc_id, doc_id % 50 = 49 AS corrupt, " +
+    "(doc_id * 2654435761) // 256 % 16777216 AS rgb FROM ids) " +
+    "SELECT doc_id, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE doc_id % 16 + 1 END AS INT) AS width, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE doc_id % 8 + 1 END AS INT) AS height, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb // 65536 END AS INT) AS mean_r, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb // 256 % 256 END AS INT) AS mean_g, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb % 256 END AS INT) AS mean_b " +
+    "FROM d ORDER BY doc_id"
+
   val all: Seq[Q] = Seq(
+    Q("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("q_media_meta", mediaMeta, Some(
       "SELECT doc_id, 'text/plain' AS mime, " +
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
