@@ -89,6 +89,38 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("o_orderpriority")
 
+  /** The bucketed-table co-located join ([[graft.sources.Bucketing]],
+    * SURVEY §4: the reference's phash2 co-partitioning done the Spark
+    * way) under the gate: both fact projections are written bucketed
+    * on the join key, read back, and joined — the scans report
+    * HashPartitioning(key, 8), so EnsureRequirements inserts NO
+    * exchange on the join keys (pinned in `PlanGuardSpec`); the only
+    * shuffle left is the tiny final aggregate. Same aggregate/oracle
+    * family as [[shuffleJoinAgg]], so the bucketed path is
+    * hash-checked against plain SQL on the unbucketed tables. The
+    * `merge` hint keeps the demonstration on the sort-merge path even
+    * where the dim side would auto-broadcast at test scale. */
+  private def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bucketed-cat").toString
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "graft_orders_gate_b", "o_orderkey", 8, s"$base/orders")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "graft_lineitem_gate_b", "l_orderkey", 8, s"$base/lineitem")
+    graft.sources.Bucketing.read(s, "graft_lineitem_gate_b")
+      .hint("merge")
+      .join(graft.sources.Bucketing.read(s, "graft_orders_gate_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+  }
+
   /** J4: left outer join keeping unmatched rows (sort_data.py:14-15). */
   private def leftJoinCount(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -401,6 +433,9 @@ object RelationalQueries {
       "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
       headline = true),
+    Q("q_bucketed_join_agg", bucketedJoinAgg, Some(
+      "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     Q("q_salted_join_agg", saltedJoinAgg, Some(
       "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),

@@ -42,6 +42,19 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, s"unintended quadratic joins:\n${bad.mkString("\n")}")
   }
 
+  test("q_bucketed_join_agg joins the bucketed tables without a join-key exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = Catalog.byName("q_bucketed_join_agg").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the co-located property: neither join input re-shuffles on its
+    // key (the only exchange allowed is the final tiny aggregate's)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side re-shuffled:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side re-shuffled:\n${plan.take(1200)}")
+    assert(plan.contains("SortMergeJoin"), "expected the sort-merge co-located join")
+  }
+
   test("scan-shape queries keep filters and projections on the parquet scan") {
     val dir = "/root/testdata/sf0.001"
     // q_scan_filter_project: the quantity filter must reach PushedFilters
