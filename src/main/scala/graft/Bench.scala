@@ -120,8 +120,16 @@ object Bench {
     }
     val load2 = loadAvg
 
-    println(
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$errPart$sf2Part,"loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$errPart$sf2Part,"loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir"}"""
+    println(line)
+    // Also write the line verbatim to a file: under sbt, stdout is
+    // "[info]"-prefixed, which defeats line-oriented JSON parsers —
+    // the file is the clean artifact of record a change log can cite
+    // (copy it to BENCH_rNN_local.json and commit it).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
     if (results.exists(_.err.isDefined)) {
       System.err.println(

@@ -49,6 +49,19 @@ object GraphQueries {
     BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 4)
       .orderBy("cust")
 
+  /** The SAME level-3 BFS through the shuffle-fallback path
+    * (`broadcastFrontier = false`, `dedupEdges = true`) — the plan a
+    * frontier too large to broadcast takes at 100 TB: both edge
+    * orientations cached pre-partitioned on their hop key, so each
+    * level's big joins are co-partitioned and only frontier-sized
+    * aggregates shuffle (`ShufflePathPlanSpec` pins it). Same oracle
+    * as `q_graph_level3`, headline so the driver bench times both
+    * paths side by side every round. */
+  private def graphLevel3Shuffle(s: SparkSession, d: String): DataFrame =
+    BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 3,
+        dedupEdges = true, broadcastFrontier = false)
+      .orderBy("cust")
+
   /** The reference's second query direction (movie-rooted, client.erl:91):
     * the SAME bipartite engine expanded from the part side — "parts
     * sharing a customer with part 1", i.e. co-starring movies. */
@@ -110,6 +123,12 @@ object GraphQueries {
       // headline: the driver-loop BFS path (per-level localCheckpoint +
       // isEmpty jobs) needs a round-over-round timing signal, not just
       // the single-expansion q_graph_level2.
+      headline = true),
+    Q("q_graph_level3_shuffle", graphLevel3Shuffle, Some(
+      edgesCte + ", " +
+      "l2 AS (SELECT DISTINCT e2.cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part WHERE e1.cust = 0) " +
+      "SELECT DISTINCT e2.cust AS cust FROM edges e1 JOIN edges e2 ON e1.part = e2.part " +
+      "WHERE e1.cust IN (SELECT cust FROM l2) ORDER BY cust"),
       headline = true),
     Q("q_graph_level4", graphLevel4, Some(
       edgesCte + ", " +

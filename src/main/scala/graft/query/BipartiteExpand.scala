@@ -64,6 +64,28 @@ object BipartiteExpand {
     }
   }
 
+  /** Second cached orientation of the edge table for the
+    * shuffle-fallback path: hash-partitioned on the hop-2 key. The
+    * reference keeps BOTH orientations of the adjacency as separate
+    * sharded ETS tables (movie→cast AND actor→movies,
+    * server.erl:117-122); the Spark translation is this second
+    * repartition — with it, hop 1 reads the src-partitioned cache and
+    * hop 2 the dst-partitioned one, each level's distinct output is
+    * already co-partitioned with the NEXT hop's cache, and the only
+    * per-level shuffles left are the frontier-sized aggregates. The
+    * 100 TB edge table itself is shuffled exactly twice, once per
+    * orientation, at loop start (`ShufflePathPlanSpec` pins this). */
+  private[graft] def dstOriented(e: DataFrame, dstCol: String): DataFrame =
+    e.repartition(col(dstCol)).persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Test hook: the prepared (src-oriented, dst-oriented) pair exactly
+    * as the shuffle-fallback loop builds it. */
+  private[graft] def shuffleOrientations(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val (e, _) = prepare(edges, srcCol, dstCol, dedupEdges = true)
+    (e, dstOriented(e, dstCol))
+  }
+
   private def hint(df: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(df) else df
 
@@ -99,6 +121,11 @@ object BipartiteExpand {
     val (e, ownCache) =
       if (iterative || dedupEdges) prepare(edges, srcCol, dstCol, dedupEdges)
       else (edges.select(srcCol, dstCol), false)
+    // Shuffle-fallback: cache the second orientation so hop 2 joins a
+    // dst-partitioned edge cache instead of re-shuffling the big table
+    // every level (see [[dstOriented]]).
+    val eDst =
+      if (!broadcastFrontier && ownCache) dstOriented(e, dstCol) else e
 
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
     var visited = if (iterative) cut(visited0) else visited0
@@ -117,7 +144,7 @@ object BipartiteExpand {
         .join(e, srcCol).select(col(dstCol)).distinct()
       // hop 2: dst neighbors → all their src endpoints
       val next = hint(mids, broadcastFrontier)
-        .join(e, dstCol).select(col(srcCol)).distinct()
+        .join(eDst, dstCol).select(col(srcCol)).distinct()
       // G5 visited-set dedup, global-BFS form
       val fresh0 = next
         .join(hint(visited, broadcastFrontier), Seq(srcCol), "left_anti")
@@ -138,6 +165,7 @@ object BipartiteExpand {
     if (ownCache) {
       val out = cut(visited)
       e.unpersist()
+      if (eDst ne e) eDst.unpersist()
       out
     } else visited
   }
@@ -160,7 +188,11 @@ object BipartiteExpand {
     val (e, ownCache) =
       if (iterative || dedupEdges) prepare(edges, srcCol, dstCol, dedupEdges)
       else (edges.select(srcCol, dstCol), false)
-    val other = e.withColumnRenamed(srcCol, s"${srcCol}_peer")
+    // second orientation for the shuffle path (see [[dstOriented]]):
+    // the hop-2 `other` side then streams from a dst-partitioned cache
+    val eDst =
+      if (!broadcastFrontier && ownCache) dstOriented(e, dstCol) else e
+    val other = eDst.withColumnRenamed(srcCol, s"${srcCol}_peer")
 
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
     var visited = if (iterative) cut(visited0) else visited0
@@ -199,6 +231,7 @@ object BipartiteExpand {
       visited = cut(visited)
       acc = acc.map(cut)
       e.unpersist()
+      if (eDst ne e) eDst.unpersist()
     }
     val emptyEdges = acc.getOrElse {
       e.sparkSession.createDataFrame(
