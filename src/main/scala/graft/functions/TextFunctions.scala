@@ -123,17 +123,22 @@ object TextFunctions {
   def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
     val cached = sh.persist()
-    val sizes = cached.groupBy(idCol).agg(count(lit(1)).as("sz"))
     // shared-capable shingles: 2 ≤ df ≤ maxDf
     val kept = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("shingle")
-    // per-doc sorted kept-shingle arrays: the verify side. Persisted —
-    // it feeds four consumers (both prefix-index sides, both verify
-    // back-joins), each of which would otherwise re-run the wide
-    // collect_list aggregation.
-    val docArr = cached.join(kept, "shingle")
-      .groupBy(idCol).agg(array_sort(collect_list("shingle")).as("ks"))
+      .select(col("shingle"), lit(true).as("graft_kept"))
+    // ONE wide aggregation builds both verify inputs per doc: the
+    // UNCAPPED shingle-set size `sz` (the Jaccard denominator must not
+    // shrink under the df-ceiling — recall-only, see above) and the
+    // sorted kept-shingle array `ks` (collect_list drops the nulls the
+    // left join leaves on non-kept rows). Folding `sz` in here removes
+    // a second full-corpus aggregation and two back-joins the previous
+    // shape paid. Persisted — it feeds four consumers (both
+    // prefix-index sides, both verify back-joins).
+    val docArr = cached.join(kept, Seq("shingle"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("sz"),
+        array_sort(collect_list(when(col("graft_kept"), col("shingle")))).as("ks"))
       .persist()
     // prefix index: first |ks| − ⌈t·|ks|⌉ + 1 elements per doc
     val prefixLen = (size(col("ks"))
@@ -146,11 +151,11 @@ object TextFunctions {
       .select("id_a", "id_b")
       .distinct()
     val survivors = cand
-      .join(docArr.select(col(idCol).as("id_a"), col("ks").as("ka")), "id_a")
-      .join(docArr.select(col(idCol).as("id_b"), col("ks").as("kb")), "id_b")
+      .join(docArr.select(col(idCol).as("id_a"), col("ks").as("ka"),
+        col("sz").as("sz_a")), "id_a")
+      .join(docArr.select(col(idCol).as("id_b"), col("ks").as("kb"),
+        col("sz").as("sz_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("ka"), col("kb"))))
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
