@@ -505,7 +505,76 @@ object TextQueries {
     cond
   }
 
+  /** PII redaction — the compliance scrub a training-data pipeline
+    * runs before anything else: regex-detect emails and phone numbers,
+    * count them, replace them with typed placeholder tokens. Pure
+    * scan-stage work (codegen'd regexp functions, no UDF); the
+    * patterns stay inside the RE2 ∩ Java-regex dialect so the DuckDB
+    * oracle executes them identically. The synthetic corpus plants no
+    * PII, so every 5th document gets a deterministic doc_id-derived
+    * email + phone appended IN THE QUERY (both engines build the same
+    * augmented text); the redacted-text md5 then hash-checks the full
+    * replacement semantics, not just the match counts. */
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  private def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).withColumn("t",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-4567 now")))
+        .otherwise(col("text")))
+    aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(piiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(piiPhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), piiEmailRe, "[EMAIL]"),
+          piiPhoneRe, "[PHONE]")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source exact-dedup report — the corpus-health dashboard
+    * number a curation run publishes: how many documents each source
+    * loses to exact deduplication (smallest-id survivor rule, so a
+    * cross-source duplicate charges the loss to the source holding the
+    * later copy). Only (digest, id, source) rows shuffle. */
+  private def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keep = g.groupBy("h").agg(min("doc_id").as("keeper"))
+    g.join(keep, "h")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1).otherwise(0))
+          .cast("bigint").as("n_dup_losses"),
+        round(avg(when(col("doc_id") =!= col("keeper"), 1.0).otherwise(0.0)), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_dedup_report", dedupReport, Some(
+      "WITH g AS (SELECT doc_id, source, md5(text) AS h FROM documents), " +
+      "k AS (SELECT h, min(doc_id) AS keeper FROM g GROUP BY h) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_losses, " +
+      "round(avg(CASE WHEN doc_id <> keeper THEN 1.0 ELSE 0.0 END), 4) AS dup_rate " +
+      "FROM g JOIN k USING (h) GROUP BY source ORDER BY source")),
+    Q("q_pii_redact", piiRedact, Some(
+      "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+      "text || ' contact user' || doc_id::VARCHAR || '@example.com or call 555-' || " +
+      "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-4567 now' ELSE text END AS t " +
+      "FROM documents) " +
+      "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(t, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS INT) AS n_phones, " +
+      "md5(regexp_replace(regexp_replace(t, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+      "'\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS red_md5 " +
+      "FROM aug ORDER BY doc_id")),
     Q("q_dedup_exact", dedupExact, Some(
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
     Q("q_dedup_groups", dedupGroups, Some(
