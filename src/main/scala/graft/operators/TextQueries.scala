@@ -555,7 +555,71 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Context-window chunking — split every document into overlapping
+    * token windows (64 tokens, stride 48 ⇒ 16-token overlap), the prep
+    * step that turns raw documents into model-sized training rows.
+    * Chunk count and boundaries are pure integer functions of the
+    * token count; the chunk-text md5 hash-checks the slicing itself
+    * cross-engine. All scan-stage array work — no shuffle at all
+    * until a consumer aggregates. */
+  private def chunking(s: SparkSession, d: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("w")) - W).cast("double") / S), lit(0))
+            .cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("w"), col("chunk_id") * S + 1, lit(W))).as("n_tokens"),
+        md5(array_join(slice(col("w"), col("chunk_id") * S + 1, lit(W)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Greedy sequence packing — concatenate documents (in deterministic
+    * doc_id order per source) into fixed-capacity token bins of 2048,
+    * the sample-packing step that keeps training batches dense. A
+    * document's bin is the bin its first token lands in under running
+    * concatenation: floor(tokens-before-it / capacity) — one window
+    * cumsum, engine-portable integer arithmetic, reproducible across
+    * reruns and partitionings (unlike any load-balancing heuristic
+    * with runtime-dependent order). */
+  private def packing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 2048
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(words(col("text"))).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / cap).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("total_tokens"))
+      .orderBy("source", "bin")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_chunking", chunking, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, w, unnest(range(0, " +
+      "greatest(CAST(ceil((len(w) - 64) / 48.0) AS INT), 0) + 1)) AS chunk_id " +
+      "FROM w WHERE len(w) >= 1) " +
+      "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+      "CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT) AS n_tokens, " +
+      "md5(array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
+      "FROM c ORDER BY doc_id, chunk_id")),
+    Q("q_packing", packing, Some(
+      "WITH t AS (SELECT doc_id, source, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER " +
+      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+      "SELECT source, CAST((cum - n_tok) // 2048 AS INT) AS bin, " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens " +
+      "FROM c GROUP BY 1, 2 ORDER BY source, bin")),
     Q("q_dedup_report", dedupReport, Some(
       "WITH g AS (SELECT doc_id, source, md5(text) AS h FROM documents), " +
       "k AS (SELECT h, min(doc_id) AS keeper FROM g GROUP BY h) " +
