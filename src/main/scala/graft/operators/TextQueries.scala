@@ -601,7 +601,93 @@ object TextQueries {
       .orderBy("source", "bin")
   }
 
+  /** Bigram language-model scoring — the perplexity-style quality gate
+    * (CCNet-shape): estimate add-1-smoothed bigram probabilities FROM
+    * THE CORPUS ITSELF (occurrence counts, not per-doc distinct), then
+    * score every document by its mean log-probability
+    * avg ln((c(w1 w2) + 1) / (c(w1) + V)). Low scores = text unlike
+    * the corpus (boilerplate, gibberish, wrong language). Plan shape:
+    * two count tables joined back on (bigram) and (w1) — corpus-sized
+    * aggregates, broadcastable vocab scalar, no driver-side state.
+    * Tokens contain no spaces (\\S+ runs), so the bigram join key is
+    * an unambiguous "w1 w2" string in both engines. */
+  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val b = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat(element_at(col("w"), i), lit(" "),
+            element_at(col("w"), i + 1)))).as("big"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+    val toks = docs.select(explode(col("w")).as("word"))
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("word", "w1")
+    val vocab = toks.agg(countDistinct("word").as("v"))
+    val bi = b.groupBy("big").agg(count(lit(1)).as("cb"))
+    b.join(bi, "big").join(uni, "w1").crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("cb") + 1.0) / (col("cu") + col("v"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-match cross-split decontamination — the digest-level
+    * companion to the fingerprint-overlap `q_contamination`: a TRAIN
+    * document is dropped when its exact content (md5) also appears in
+    * the TEST split (the held-out set must never leak into training
+    * verbatim). Anti-join on 16-byte digests — the only thing that
+    * shuffles; survivors report per-split counts. Reuses the
+    * deterministic md5-bucket split of `q_split_assign`. */
+  private def crossDedup(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    val testH = docs.filter(col("split") === "test").select("h").distinct()
+      .withColumn("graft_in_test", lit(true))
+    // ONE equi left join on the digest + conditional aggregation — a
+    // separate count-of-cleaned-train scalar joined back on a constant
+    // key folds into a BroadcastNestedLoopJoin, which PlanGuardSpec
+    // rightly rejects.
+    docs.join(testH, Seq("h"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train" && col("graft_in_test"), 1)
+          .otherwise(0)).as("graft_dropped"))
+      .select(col("split"), col("n_docs"),
+        (col("n_docs") - col("graft_dropped")).as("n_after_decontam"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_cross_dedup", crossDedup, Some(
+      "WITH s AS (SELECT doc_id, md5(text) AS h, " +
+      "CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 80 THEN 'train' " +
+      "WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < 90 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents), " +
+      "th AS (SELECT DISTINCT h FROM s WHERE split = 'test') " +
+      "SELECT split, count(*) AS n_docs, " +
+      "CAST(count(*) - sum(CASE WHEN split = 'train' AND h IN (SELECT h FROM th) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_after_decontam " +
+      "FROM s GROUP BY split ORDER BY split")),
+    Q("q_bigram_lm", bigramLm, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "f AS (SELECT doc_id, w FROM w WHERE len(w) >= 2), " +
+      "b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i] || ' ' || w[i+1])) AS big FROM f), " +
+      "b2 AS (SELECT doc_id, big, split_part(big, ' ', 1) AS w1 FROM b), " +
+      "toks AS (SELECT unnest(w) AS word FROM f), " +
+      "uni AS (SELECT word AS w1, count(*) AS cu FROM toks GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT word) AS v FROM toks), " +
+      "bi AS (SELECT big, count(*) AS cb FROM b GROUP BY 1), " +
+      "sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + v)) AS lp " +
+      "FROM b2 JOIN bi USING (big) JOIN uni USING (w1), v) " +
+      "SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp " +
+      "FROM sc GROUP BY 1 ORDER BY doc_id")),
     Q("q_chunking", chunking, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w " +
       "FROM documents), " +
