@@ -86,9 +86,11 @@ object Dedup {
     * a chain a~b~c (where a,c were never directly compared) still
     * collapses to one survivor. */
   def dedupClusters(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDf: Int = DefaultMaxDf): DataFrame = {
+      threshold: Double, maxDf: Int = DefaultMaxDf,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, maxDf = maxDf)
-    val comps = graft.query.ConnectedComponents.run(pairs, "id_a", "id_b")
+    val comps = graft.query.ConnectedComponents.run(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir)
     // non-minimal members of each component are the losers
     val losers = comps.filter(col("vertex") =!= col("component"))
       .select(col("vertex").as(idCol))

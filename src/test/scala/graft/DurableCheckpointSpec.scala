@@ -57,6 +57,23 @@ class DurableCheckpointSpec extends SparkSpec {
     assert(checkpointFiles(dir) > 0, "reliable checkpoint wrote nothing")
   }
 
+  test("Dedup.dedupClusters threads the knob through to its CC loop") {
+    import spark.implicits._
+    val docs = (0L until 12L).map { i =>
+      (i, (0 until 10).map(j => s"t${(i / 3 * 5 + j) % 11}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val local = graft.dedup.Dedup
+      .dedupClusters(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    val dir = freshDir("dedup")
+    val durable = graft.dedup.Dedup
+      .dedupClusters(docs, "doc_id", "text", threshold = 0.6,
+        checkpointDir = Some(dir.toString))
+      .collect().map(_.getLong(0)).toSet
+    assert(durable == local)
+    assert(checkpointFiles(dir) > 0, "reliable checkpoint wrote nothing")
+  }
+
   test("KMeans.run: durable checkpointing gives identical assignments") {
     import spark.implicits._
     val vecs = (0L until 30L).map { i =>
