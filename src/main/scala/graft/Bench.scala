@@ -127,9 +127,15 @@ object Bench {
     // "[info]"-prefixed, which defeats line-oriented JSON parsers —
     // the file is the clean artifact of record a change log can cite
     // (copy it to BENCH_rNN_local.json and commit it).
+    // Best-effort: an unwritable path must not mask the error summary
+    // and nonzero exit below (stdout already carries the line).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Exception =>
+        System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
     if (results.exists(_.err.isDefined)) {
       System.err.println(

@@ -140,6 +140,26 @@ object Dedup {
   def embedNearDupBucketed(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, nBits: Int = 4, nTables: Int = 24,
       seed: Long = 42L): DataFrame = {
+    val (survivors, release) = embedNearDupBucketedPlan(
+      df, idCol, vecCol, threshold, dim, nBits, nTables, seed)
+    // Materialize the verified survivor pairs (tiny: actual near-dups)
+    // while the signature cache is alive, then release it — same
+    // materialize-then-release rule as [[graft.query.BipartiteExpand]];
+    // without this the persist outlives the query for the whole
+    // session (CacheManager WARN spam on re-calls, and at 100 TB the
+    // signature table is a large block to leak).
+    val out = survivors.localCheckpoint()
+    release()
+    out
+  }
+
+  /** Lazy twin of [[embedNearDupBucketed]] (survivor plan + cache
+    * release thunk) so `PlanGuardSpec` can pin the equi-join shape —
+    * the public form's eager materialization hides the join tree
+    * behind a checkpoint-RDD scan. */
+  private[graft] def embedNearDupBucketedPlan(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int, nBits: Int = 4,
+      nTables: Int = 24, seed: Long = 42L): (DataFrame, () => Unit) = {
     val vf = graft.functions.VectorFunctions
     vf.register(df.sparkSession)
     // The vector and its norm ride along with the bucket rows so the
@@ -169,15 +189,7 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
       .distinct()
-    // Materialize the verified survivor pairs (tiny: actual near-dups)
-    // while the signature cache is alive, then release it — same
-    // materialize-then-release rule as [[graft.query.BipartiteExpand]];
-    // without this the persist outlives the query for the whole
-    // session (CacheManager WARN spam on re-calls, and at 100 TB the
-    // signature table is a large block to leak).
-    val out = survivors.localCheckpoint()
-    bk.unpersist()
-    out
+    (survivors, () => { bk.unpersist(); () })
   }
 
   /** §2.9 typed-aggregate surface (the reference's never-used

@@ -122,6 +122,28 @@ object TextFunctions {
     * unchanged while prefixes shrink. */
   def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    val (survivors, release) = jaccardPairsPlan(sh, idCol, threshold, maxDf)
+    // Materialize the (small) survivor set while both caches are
+    // alive, then RELEASE them — the materialize-then-release rule
+    // from [[graft.query.BipartiteExpand.expand]]. Returning the lazy
+    // plan instead would leave both persists registered for the
+    // session's lifetime: a pipeline calling this once per corpus
+    // accumulates cache entries until eviction pressure (and re-calls
+    // spam "Asked to cache already cached data"). `CacheHygieneSpec`
+    // pins the CacheManager empty after every dedup/ANN entry point.
+    val out = survivors.localCheckpoint()
+    release()
+    out
+  }
+
+  /** The LAZY form of [[jaccardPairs]]: the survivor plan plus a
+    * release thunk for its two persists. Exists because the public
+    * form materializes eagerly, which replaces the join tree with a
+    * checkpoint-RDD scan — `PlanGuardSpec` pins the cartesian-free
+    * property on THIS plan, since the materialized one no longer
+    * shows it. Callers of the public API never need this. */
+  private[graft] def jaccardPairsPlan(sh: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int = Int.MaxValue): (DataFrame, () => Unit) = {
     val cached = sh.persist()
     // shared-capable shingles: 2 ≤ df ≤ maxDf
     val kept = cached.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -160,17 +182,6 @@ object TextFunctions {
         col("n_common") / (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    // Materialize the (small) survivor set while both caches are
-    // alive, then RELEASE them — the materialize-then-release rule
-    // from [[graft.query.BipartiteExpand.expand]]. Returning the lazy
-    // plan instead would leave both persists registered for the
-    // session's lifetime: a pipeline calling this once per corpus
-    // accumulates cache entries until eviction pressure (and re-calls
-    // spam "Asked to cache already cached data"). `CacheHygieneSpec`
-    // pins the CacheManager empty after every dedup/ANN entry point.
-    val out = survivors.localCheckpoint()
-    docArr.unpersist()
-    cached.unpersist()
-    out
+    (survivors, () => { docArr.unpersist(); cached.unpersist(); () })
   }
 }

@@ -100,9 +100,14 @@ object RelationalQueries {
     * hash-checked against plain SQL on the unbucketed tables. The
     * `merge` hint keeps the demonstration on the sort-merge path even
     * where the dim side would auto-broadcast at test scale. */
+  /** One bucketed-table location per JVM: repeated invocations (the
+    * gate, the plan-guard sweep, re-runs in a session) overwrite in
+    * place instead of leaking a fresh temp directory each call. */
+  private lazy val bucketedBase: String = java.nio.file.Files
+    .createTempDirectory("graft-bucketed-cat").toString
+
   private def bucketedJoinAgg(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-bucketed-cat").toString
+    val base = bucketedBase
     graft.sources.Bucketing.writeBucketed(
       Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
       "graft_orders_gate_b", "o_orderkey", 8, s"$base/orders")

@@ -132,6 +132,23 @@ object AnnLsh {
   def knnGraphBucketed(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, nBits: Int = 16, nTables: Int = 4,
       seed: Long = 42L): DataFrame = {
+    val (graph, release) = knnGraphBucketedPlan(
+      df, idCol, vecCol, k, dim, nBits, nTables, seed)
+    // Materialize the n×k result while the signature cache is alive,
+    // then release it (materialize-then-release, see
+    // [[graft.dedup.Dedup.embedNearDupBucketed]]) — the persist must
+    // not outlive the query it serves.
+    val out = graph.localCheckpoint()
+    release()
+    out
+  }
+
+  /** Lazy twin of [[knnGraphBucketed]] for `PlanGuardSpec`'s
+    * equi-join pin (the public form's materialization hides the join
+    * tree behind a checkpoint-RDD scan). */
+  private[graft] def knnGraphBucketedPlan(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nBits: Int = 16, nTables: Int = 4,
+      seed: Long = 42L): (DataFrame, () => Unit) = {
     VectorFunctions.register(df.sparkSession)
     val bk = bucketedMulti(
       df.select(col(idCol), col(vecCol).cast("array<double>").as("graft_e"))
@@ -154,13 +171,7 @@ object AnnLsh {
           .partitionBy(idCol).orderBy(col("c").desc, col("nbr"))))
       .filter(col("rank") <= k)
       .select(col(idCol), col("nbr"), col("rank"), round(col("c"), 4).as("cos_sim"))
-    // Materialize the n×k result while the signature cache is alive,
-    // then release it (materialize-then-release, see
-    // [[graft.dedup.Dedup.embedNearDupBucketed]]) — the persist must
-    // not outlive the query it serves.
-    val out = graph.localCheckpoint()
-    bk.unpersist()
-    out
+    (graph, () => { bk.unpersist(); () })
   }
 
   /** Multi-probe top-k cosine search: scan only buckets within Hamming

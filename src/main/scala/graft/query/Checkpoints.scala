@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage-cut policy for the engine's iterative loops
   * ([[BipartiteExpand]], [[ConnectedComponents]], [[KMeans]]).
@@ -13,29 +14,53 @@ import org.apache.spark.sql.DataFrame
   *
   * Durable (`checkpointDir = Some(dir)`): reliable `checkpoint()` to
   * the given directory (any Hadoop-visible filesystem — HDFS/object
-  * store on a cluster). Each cut costs one write + read of the
-  * checkpointed frame, and in exchange a lost executor replays from
-  * storage instead of killing the job — the knob a 1000-executor
-  * 100 TB run turns on, because at that scale executor loss is an
-  * expectation, not an anomaly. The loops only ever cut SMALL frames
-  * (frontiers, label tables, k×dim centroids), so the per-iteration
-  * write is bounded by the frontier size, not the corpus.
+  * store on a cluster). In exchange for the write, a lost executor
+  * replays from storage instead of killing the job — the knob a
+  * 1000-executor 100 TB run turns on, because at that scale executor
+  * loss is an expectation, not an anomaly. Honest cost accounting:
+  * the cut frame is written and re-read once per iteration, and while
+  * BFS/CC cut narrow frontier/label tables, KMeans cuts its full
+  * (id, cluster, sim) assignment table — row-count-sized, so the
+  * durable option there trades one narrow table write per round for
+  * fault tolerance. The frame is persisted for the duration of the
+  * cut so Spark's checkpoint job re-reads the cache instead of
+  * recomputing the plan a second time (the default `checkpoint()`
+  * behavior without a persist).
   */
 object Checkpoints {
 
+  /** The requested dir, scheme-qualified the same way SparkContext
+    * stores it (`file:/...`, `hdfs://nn/...`), so installed-dir
+    * comparisons are exact — a bare-string prefix check never matches
+    * a qualified stored path and can false-match sibling directories
+    * (`/ckpt` vs `/ckpt2`). */
+  private def qualified(sc: org.apache.spark.SparkContext,
+      dir: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+  }
+
   /** Cut `df`'s lineage eagerly: executor-local by default, reliable
-    * when `checkpointDir` is given (the directory is installed as the
-    * context's checkpoint dir on first use). */
+    * when `checkpointDir` is given. The context's checkpoint dir is
+    * installed once per requested directory (SparkContext stores
+    * `<dir>/<uuid>`, so the guard compares the stored path's PARENT
+    * against the qualified request — re-installing per cut would
+    * spawn a fresh uuid subdirectory every iteration). */
   def cut(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir creates dir/<uuid> and getCheckpointDir
-        // returns THAT path — compare by prefix or every cut would
-        // reinstall (and spawn a fresh uuid subdirectory).
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-          sc.setCheckpointDir(dir)
-        df.checkpoint()
+        val want = qualified(sc, dir)
+        val installed = sc.getCheckpointDir.exists(cur =>
+          Option(new org.apache.hadoop.fs.Path(cur).getParent).contains(want))
+        if (!installed) sc.setCheckpointDir(dir)
+        // persist → checkpoint → unpersist: the checkpoint write job
+        // re-reads the cache; without the persist Spark recomputes the
+        // whole frame a second time to write it.
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint()
+        cached.unpersist()
+        out
       case None => df.localCheckpoint()
     }
 }

@@ -39,6 +39,15 @@ class DurableCheckpointSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(durable == local)
     assert(checkpointFiles(dir) > 0, "reliable checkpoint wrote nothing")
+    // the dir-install guard must fire once per requested directory —
+    // one uuid subdir total, not one per cut (SparkContext creates
+    // <dir>/<uuid> at install time)
+    val uuidDirs = {
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(p => java.nio.file.Files.isDirectory(p)).count()
+      finally s.close()
+    }
+    assert(uuidDirs == 1, s"checkpoint dir reinstalled per cut: $uuidDirs uuid dirs")
   }
 
   test("ConnectedComponents: durable checkpointing gives identical labels") {

@@ -42,6 +42,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, s"unintended quadratic joins:\n${bad.mkString("\n")}")
   }
 
+  test("eagerly-materialized operators: internal plans stay cartesian-free") {
+    // These operators return checkpoint-RDD scans (materialize-then-
+    // release), so the catalog sweep above can no longer see their
+    // join trees — pin the LAZY twins directly.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+
+    def assertClean(label: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$label plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label plans a BNLJ")
+    }
+    val sh = graft.functions.TextFunctions
+      .shingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val (jp, jrel) = graft.functions.TextFunctions
+      .jaccardPairsPlan(sh, "doc_id", 0.8, maxDf = 200)
+    assertClean("jaccardPairs", jp); jrel()
+    val (np, nrel) = graft.dedup.Dedup
+      .embedNearDupBucketedPlan(emb, "vec_id", "embedding",
+        threshold = 0.5, dim = 64)
+    assertClean("embedNearDupBucketed", np); nrel()
+    val (kp, krel) = graft.query.AnnLsh
+      .knnGraphBucketedPlan(emb, "vec_id", "embedding", k = 3, dim = 64)
+    assertClean("knnGraphBucketed", kp); krel()
+  }
+
   test("q_bucketed_join_agg joins the bucketed tables without a join-key exchange") {
     val dir = "/root/testdata/sf0.001"
     val plan = Catalog.byName("q_bucketed_join_agg").fn(spark, dir)
