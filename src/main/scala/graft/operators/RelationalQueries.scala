@@ -383,14 +383,25 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
-  /** HLL sketch cardinality (approx_count_distinct). No SQL oracle —
-    * sketch implementations differ across engines; the driver records
-    * the rows-only check and `RelationalExtraSpec` bounds the error. */
+  /** HLL sketch cardinality (approx_count_distinct), semantically
+    * checked: sketch BYTES differ across engines (hence no value
+    * equality is possible), but the sketch's CONTRACT — estimate
+    * within tolerance of the exact cardinality — is checkable in both.
+    * Each engine computes its own sketch AND the exact count, and the
+    * hashed row carries the exact count plus a boolean ±2% verdict, so
+    * the oracle compare fails if EITHER engine's estimate drifts out
+    * of tolerance. Spark runs at rsd=0.005 (≈0.5% σ ⇒ ±2% is 4σ);
+    * DuckDB's fixed-precision HLL measures ≤0.5% on these groups. */
   private def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+      .agg(
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          lit(0.02) * col("exact_parts")).as("approx_ok"))
       .orderBy("l_returnflag")
 
   val all: Seq[Q] = Seq(
@@ -422,7 +433,12 @@ object RelationalQueries {
       "SELECT l_returnflag, count(*) AS exact_distinct, " +
       "round(15 / max(CASE WHEN rn = 16 THEN u END), 1) AS kmv_est " +
       "FROM rn GROUP BY 1 ORDER BY 1")),
-    Q("q_approx_distinct", approxDistinct, None),
+    Q("q_approx_distinct", approxDistinct, Some(
+      "SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) " +
+      "<= 0.02 * count(DISTINCT l_partkey) AS approx_ok " +
+      "FROM lineitem GROUP BY 1 ORDER BY 1")),
     Q("q_scan_filter_project", scanFilterProject, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),
     Q("q_explode_split", explodeSplit, Some(

@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
 class RelationalExtraSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
 
-  test("approx_count_distinct is within 5% of the exact cardinality") {
-    val approx = Catalog.byName("q_approx_distinct").fn(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct row carries a true ±2% verdict per group") {
+    val rows = Catalog.byName("q_approx_distinct").fn(spark, dir).collect()
     val exact = graft.sources.Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, e, ok) = (r.getString(0), r.getLong(1), r.getBoolean(3))
+      assert(e == exact(k), s"$k: exact_parts=$e expected ${exact(k)}")
+      assert(ok, s"$k: Spark HLL estimate outside ±2% of $e")
     }
   }
 
