@@ -28,7 +28,8 @@ object Catalog {
     graft.operators.TextQueries.all ++
     graft.operators.VectorQueries.all ++
     graft.operators.EventQueries.all ++
-    graft.operators.MultimodalQueries.all
+    graft.operators.MultimodalQueries.all ++
+    graft.operators.PipelineQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.pipeline.Curation
+import graft.sources.Tables
+
+/** The composed curation pipeline as a gate row ([[graft.pipeline
+  * .Curation]]): every stage is individually oracle-checked elsewhere
+  * in the catalog; THIS row hash-checks their composition — the schema
+  * handoffs, cross-stage determinism and final ordering of the chain a
+  * training-data user actually ships. The DuckDB oracle is the same
+  * eight stages as one recursive-CTE chain (the connected-components
+  * stage is a transitive-closure CTE, as in `q_dedup_clusters`).
+  *
+  * At sf0.01 the chain exercises every stage non-trivially: 500 docs →
+  * exact dedup 500 (corpus plants no exact dups at this SF) → near-dedup
+  * drops 24 cluster losers → train split → decontamination drops 26
+  * fingerprint-overlap docs → 348 → quality/lang keeps 310 → mixture
+  * keeps 43 → 61 packed chunk rows.
+  */
+object PipelineQueries {
+
+  private def pipelineE2e(s: SparkSession, d: String): DataFrame =
+    Curation.run(Tables.documents(s, d))
+      .orderBy("source", "bin", "doc_id", "chunk_id")
+
+  private val wordHash =
+    (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ")
+
+  private val pipelineSql =
+    "WITH RECURSIVE " +
+    // stage 1: exact dedup (smallest id per content digest)
+    "d0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+    "s1 AS (SELECT d.* FROM documents d JOIN d0 USING (doc_id)), " +
+    // stage 2: near-dup pair graph over s1 (J >= 0.8, df-ceiling 200)
+    "w1 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM s1), " +
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM " +
+    "(SELECT doc_id, unnest(list_transform(range(1, len(w)-1), " +
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle " +
+    "FROM w1 WHERE len(w) >= 3) q), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
+    "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+    "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
+    "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
+    "JOIN sizes sb ON doc_b = sb.doc_id " +
+    "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8), " +
+    // connected components as a transitive closure; min label per vertex
+    "e AS (SELECT doc_a AS v, doc_b AS u FROM pr UNION SELECT doc_b, doc_a FROM pr " +
+    "UNION SELECT doc_a, doc_a FROM pr UNION SELECT doc_b, doc_b FROM pr), " +
+    "r AS (SELECT v, u FROM e UNION SELECT r.v, e.u FROM r JOIN e ON r.u = e.v), " +
+    "comp AS (SELECT v AS vertex, min(u) AS component FROM r GROUP BY v), " +
+    "losers AS (SELECT vertex AS doc_id FROM comp WHERE vertex <> component), " +
+    "s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)), " +
+    // stage 3: deterministic 80/10/10 split
+    "sp AS (SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' " +
+    "ELSE 'test' END AS split FROM (SELECT *, " +
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS b " +
+    "FROM s2) t), " +
+    // stage 4: winnowing-fingerprint cross-split decontamination
+    "w2 AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM sp), " +
+    s"u2 AS (SELECT doc_id, list_transform(w, x -> CAST($wordHash AS BIGINT)) AS us " +
+    "FROM w2 WHERE len(w) >= 4), " +
+    "h2 AS (SELECT doc_id, list_transform(range(1, len(us) - 2), " +
+    "i -> us[i] * 2248091 + us[i+1] * 17161 + us[i+2] * 131 + us[i+3]) AS whs FROM u2), " +
+    "f2 AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+    "range(1, greatest(len(whs) - 3, 1) + 1), i -> list_min(whs[i:i+3])))) AS fp FROM h2), " +
+    "tfp AS (SELECT DISTINCT fp FROM f2 JOIN sp USING (doc_id) WHERE split = 'test'), " +
+    "contam AS (SELECT DISTINCT f2.doc_id FROM f2 JOIN sp USING (doc_id) " +
+    "WHERE split = 'train' AND fp IN (SELECT fp FROM tfp)), " +
+    "tr AS (SELECT * FROM sp WHERE split = 'train' " +
+    "AND doc_id NOT IN (SELECT doc_id FROM contam)), " +
+    // stage 5: quality + language filter (same classifier as q_lang_id)
+    "ql AS (SELECT *, " +
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words, " +
+    "length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) / length(text) AS punct_ratio, " +
+    "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('the','a','of','and'))) AS INT) AS s_en, " +
+    "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('el','los','de','que'))) AS INT) AS s_es, " +
+    "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('der','die','und','das'))) AS INT) AS s_de, " +
+    "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), x -> x IN ('le','et','les','une'))) AS INT) AS s_fr " +
+    "FROM tr), " +
+    "qf AS (SELECT * FROM (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM ql) g " +
+    "WHERE NOT regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AND best > 0 " +
+    "AND CASE WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' " +
+    "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' ELSE 'unknown' END = 'en' " +
+    "AND n_words >= 10 AND punct_ratio <= 0.3), " +
+    // stage 6: deterministic weighted mixture sampling
+    "mx AS (SELECT * FROM (SELECT *, " +
+    "CAST(CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS mbucket, " +
+    "CASE WHEN source IN ('src0', 'src1') THEN 50 WHEN source = 'src2' THEN 25 " +
+    "ELSE 10 END AS rate_pct FROM qf) t WHERE mbucket < rate_pct), " +
+    // stage 7: context-window chunking (64 tokens, stride 48)
+    "ck AS (SELECT doc_id, source, CAST(chunk_id AS INT) AS chunk_id, " +
+    "CAST(len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS INT) AS n_tokens, " +
+    "md5(array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5 " +
+    "FROM (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS w, " +
+    "unnest(range(0, greatest(CAST(ceil((len(regexp_extract_all(text, '\\S+')) - 64) / 48.0) AS INT), 0) + 1)) AS chunk_id " +
+    "FROM mx WHERE len(regexp_extract_all(text, '\\S+')) >= 1) c), " +
+    // stage 8: greedy sequence packing into 2048-token bins per source
+    "pk AS (SELECT *, CAST((cum - n_tokens) // 2048 AS INT) AS bin FROM " +
+    "(SELECT *, sum(n_tokens) OVER (PARTITION BY source " +
+    "ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS cum FROM ck) t) " +
+    "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
+    "FROM pk ORDER BY source, bin, doc_id, chunk_id"
+
+  val all: Seq[Q] = Seq(
+    Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true))
+}

@@ -92,6 +92,22 @@ class CacheHygieneSpec extends SparkSpec {
     }
   }
 
+  test("Curation.run full chain leaves no cache residue") {
+    import spark.implicits._
+    // English-looking docs (en stopwords, >= 10 words, low punctuation)
+    // across the mixture-rate sources, with planted near-identical pairs
+    // so the near-dedup + CC stages do real work inside the chain.
+    val cdocs = (0L until 24L).map { i =>
+      val body = (0 until 10)
+        .map(j => s"word${(i / 2 * 5 + j * 3) % 17}").mkString(" ")
+      val text = s"the quick word of and $body" + (if (i % 2 == 1) " tail" else "")
+      (i, text, s"src${i % 4}", "en", text.length)
+    }.toDF("doc_id", "text", "source", "lang", "n_chars")
+    assertNoResidue("Curation.run") {
+      graft.pipeline.Curation.run(cdocs).count()
+    }
+  }
+
   test("BipartiteExpand level-4 releases the edge cache") {
     import spark.implicits._
     val edges = Seq(("a", "m1"), ("b", "m1"), ("b", "m2"), ("c", "m2"),
