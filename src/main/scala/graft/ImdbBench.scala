@@ -80,24 +80,38 @@ object ImdbBench {
       CoStar.run(spark, edges, root, CoStar.ActorQuery, 3).vertices.count()
     }
 
-    // --- vertex-only level-3 BFS, broadcast path vs shuffle fallback ---
-    // (the fallback is the plan a frontier too large to broadcast takes;
-    // at 8M titles the edge table is big enough for the comparison to
-    // mean something — both must return the identical vertex count)
+    // --- vertex-only level-3 BFS: auto (default), forced broadcast,
+    // forced shuffle fallback --- (the fallback is the plan a frontier
+    // too large to broadcast takes; at 8M titles the edge table is big
+    // enough for the comparison to mean something — all three must
+    // return the identical vertex count, and auto must track the
+    // winning forced path's time)
+    import graft.query.BipartiteExpand.FrontierMode
+    val autoModes = scala.collection.mutable.ArrayBuffer[(Int, Boolean)]()
+    val (n3a, q3aS) = timed {
+      graft.query.BipartiteExpand
+        .expand(spark, edges, "name", "title", lit(root), 3,
+          onLevelMode = (l, b) => autoModes += ((l, b))).count()
+    }
     val (n3b, q3bS) = timed {
       graft.query.BipartiteExpand
-        .expand(spark, edges, "name", "title", lit(root), 3).count()
+        .expand(spark, edges, "name", "title", lit(root), 3,
+          mode = FrontierMode.Broadcast).count()
     }
     val (n3s, q3sS) = timed {
       graft.query.BipartiteExpand
         .expand(spark, edges, "name", "title", lit(root), 3,
-          dedupEdges = true, broadcastFrontier = false).count()
+          dedupEdges = true, mode = FrontierMode.Shuffle).count()
     }
+    val autoModeStr = autoModes
+      .map { case (l, b) => s"$l:${if (b) "broadcast" else "shuffle"}" }
+      .mkString(",")
 
     println(
       s"""{"metric":"imdb_scale","factor":$factor,"titles":${1001L * factor},""" +
       s""""edges":$nEdges,"gen_sec":${f"$genS%.2f"},"ingest_sec":${f"$ingestS%.2f"},""" +
       s""""l2_vertices":$n2,"q2_sec":${f"$q2S%.2f"},"l3_vertices":$n3,"q3_sec":${f"$q3S%.2f"},""" +
+      s""""l3_auto_vertices":$n3a,"q3_vertex_auto_sec":${f"$q3aS%.2f"},"auto_levels":"$autoModeStr",""" +
       s""""l3_bcast_vertices":$n3b,"q3_vertex_bcast_sec":${f"$q3bS%.2f"},""" +
       s""""l3_shuffle_vertices":$n3s,"q3_vertex_shuffle_sec":${f"$q3sS%.2f"}}""")
     spark.stop()

@@ -49,17 +49,18 @@ object GraphQueries {
     BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 4)
       .orderBy("cust")
 
-  /** The SAME level-3 BFS through the shuffle-fallback path
-    * (`broadcastFrontier = false`, `dedupEdges = true`) — the plan a
+  /** The SAME level-3 BFS forced through the shuffle-fallback path
+    * (`FrontierMode.Shuffle`, `dedupEdges = true`) — the plan a
     * frontier too large to broadcast takes at 100 TB: both edge
     * orientations cached pre-partitioned on their hop key, so each
     * level's big joins are co-partitioned and only frontier-sized
     * aggregates shuffle (`ShufflePathPlanSpec` pins it). Same oracle
     * as `q_graph_level3`, headline so the driver bench times both
-    * paths side by side every round. */
+    * paths side by side every round (the default-auto rows above pick
+    * broadcast themselves at this scale — `FrontierModeSpec`). */
   private def graphLevel3Shuffle(s: SparkSession, d: String): DataFrame =
     BipartiteExpand.expand(s, copurchaseEdges(s, d), "cust", "part", lit(0L), 3,
-        dedupEdges = true, broadcastFrontier = false)
+        dedupEdges = true, mode = BipartiteExpand.FrontierMode.Shuffle)
       .orderBy("cust")
 
   /** The reference's second query direction (movie-rooted, client.erl:91):

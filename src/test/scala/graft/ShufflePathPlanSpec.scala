@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import graft.query.BipartiteExpand
 
-/** Plan pin for the BFS shuffle-fallback path (`broadcastFrontier =
-  * false`, `dedupEdges = true`) — the path a frontier too large to
+/** Plan pin for the BFS shuffle-fallback path (`FrontierMode.Shuffle`,
+  * `dedupEdges = true`) — the path a frontier too large to
   * broadcast takes at 100 TB. The property that makes it scale: the
   * big edge table is shuffled exactly once per orientation when the
   * caches are built, and every per-level hop join consumes those
@@ -88,7 +88,7 @@ class ShufflePathPlanSpec extends SparkSpec {
     spark.catalog.clearCache()
     val shuffled = BipartiteExpand
       .expand(spark, edges, "cust", "part", lit(0L), 3,
-        dedupEdges = true, broadcastFrontier = false)
+        dedupEdges = true, mode = BipartiteExpand.FrontierMode.Shuffle)
       .collect().map(_.getLong(0)).toSet
     assert(shuffled == bcast, "fallback path diverged from broadcast path")
     assert(spark.sharedState.cacheManager.isEmpty,
