@@ -66,19 +66,46 @@ object DedupStreams {
     * depend on iterator order; across micro-batches the state min
     * carries forward (a document is only ever compared against what
     * arrived BEFORE it — streaming semantics; feeding a single batch
-    * reproduces the batch pipeline's smaller-id rule exactly). */
-  def bandVerdicts(obs: Dataset[BandObs]): Dataset[BandVerdict] = {
+    * reproduces the batch pipeline's smaller-id rule exactly).
+    *
+    * `stateTtl` bounds state for a genuinely unbounded stream: with a
+    * retention set, every band entry's processing-time timeout is
+    * (re)armed on activity, and a band idle past the TTL is evicted on
+    * a later trigger. The default keeps the round-trip-exact
+    * no-timeout semantics — state then grows with corpus novelty
+    * (one entry per distinct band signature, the same key set a batch
+    * LSH index materializes), which is the right choice for bounded
+    * backfills. THE TRADE, explicitly: after an eviction the band's
+    * next occupant is treated as first-seen, so a duplicate arriving
+    * more than the retention window after its last twin is RE-ADMITTED
+    * (a missed detection, never a false positive). Size the TTL to the
+    * dedup horizon the pipeline actually promises — e.g. "no dup
+    * within 7 days" needs 7 days of retention, not unbounded state. */
+  def bandVerdicts(obs: Dataset[BandObs],
+      stateTtl: Option[java.time.Duration] = None): Dataset[BandVerdict] = {
     import obs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     obs
       .groupByKey(_.band_key)
       .flatMapGroupsWithState[BandState, BandVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (key: String, it: Iterator[BandObs], state: GroupState[BandState]) =>
-          val arrived = it.map(_.doc_id).toSeq
-          val groupMin = (arrived ++ state.getOption.map(_.minId)).min
-          state.update(BandState(groupMin))
-          arrived.iterator.map { id =>
-            BandVerdict(id, key, if (groupMin < id) groupMin else -1L)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the entry; no verdicts to emit
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrived = it.map(_.doc_id).toSeq
+            val groupMin = (arrived ++ state.getOption.map(_.minId)).min
+            state.update(BandState(groupMin))
+            // activity re-arms the clock: a band stays resident while
+            // it keeps seeing documents within the retention window
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            arrived.iterator.map { id =>
+              BandVerdict(id, key, if (groupMin < id) groupMin else -1L)
+            }
           }
       }
   }
@@ -89,8 +116,9 @@ object DedupStreams {
     * the consumer's (or a downstream batch job's) one-line group-by
     * over the sink. */
   def nearDupVerdicts(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Dataset[BandVerdict] = {
+      textCol: String = "text",
+      stateTtl: Option[java.time.Duration] = None): Dataset[BandVerdict] = {
     import docs.sparkSession.implicits._
-    bandVerdicts(bandRows(docs, idCol, textCol).as[BandObs])
+    bandVerdicts(bandRows(docs, idCol, textCol).as[BandObs], stateTtl)
   }
 }
