@@ -7,8 +7,9 @@ import graft.multimodal.Multimodal
 
 /** Multimodal-column operators (see [[graft.multimodal.Multimodal]]):
   * metadata extraction is oracle-checked; the decode/feature pipeline
-  * (stubbed codec, real Spark plumbing) gets the rows-only check since
-  * a byte-fold checksum isn't reasonably SQL-expressible.
+  * (stubbed codec, real Spark plumbing) is checked SEMANTICALLY — the
+  * raw feature/checksum bytes are engine-specific, but the pipeline's
+  * contract is hash-compared (see [[MultimodalQueries.mediaFeatures]]).
   */
 object MultimodalQueries {
 
@@ -21,12 +22,44 @@ object MultimodalQueries {
       .orderBy("doc_id")
 
   /** Decode + feature extraction through the partition-batched stub
-    * codec; emits scalar features (no oracle — rows-only check). */
-  private def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    * codec, semantically checked (the `q_approx_distinct` pattern from
+    * [[RelationalQueries]]): the feature-vector BYTES are
+    * codec-specific and not SQL-expressible, but the pipeline's
+    * CONTRACT is — so the hashed row carries verdict booleans computed
+    * against an independent re-derivation of the ground truth from the
+    * raw payload bytes (byte sum and checksum fold, computed outside
+    * [[Multimodal.extractFeatures]]):
+    *  - `dim_ok`    — every vector has exactly `FakeCodec.dim` slots;
+    *  - `sum_ok`    — the vector's component sum equals the payload's
+    *    byte sum / 255 within float-accumulation tolerance (the codec
+    *    folds every byte exactly once);
+    *  - `nonneg_ok` — all components ≥ 0 (sums of non-negative terms);
+    *  - `checksum_ok` — the pipeline checksum equals the independent
+    *    fold (catches any dropped/reordered byte exactly).
+    * The DuckDB oracle asserts the contract (literal TRUEs) alongside
+    * its own `n_bytes`, so the gate fails if ANY invariant breaks. */
+  private def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Multimodal.fromDocuments(s, d)
+    val truth = rows.map { r =>
+      var sum = 0L
+      var ck = 1125899906842597L
+      r.payload.foreach { b => sum += (b & 0xff); ck = 31 * ck + b }
+      (r.doc_id, sum, ck)
+    }.toDF("doc_id", "byte_sum", "ck")
+    val fsum = aggregate(
+      transform(col("features"), x => x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val expected = col("byte_sum").cast("double") / lit(255.0)
     Multimodal.features(s, d)
-      .select(col("doc_id"), col("n_bytes"), col("checksum"),
-        round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+      .join(truth, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"),
+        (size(col("features")) === Multimodal.FakeCodec.dim).as("dim_ok"),
+        (abs(fsum - expected) <= lit(5e-5) * expected + lit(0.005)).as("sum_ok"),
+        forall(col("features"), x => x >= 0f).as("nonneg_ok"),
+        (col("checksum") === col("ck")).as("checksum_ok"))
       .orderBy("doc_id")
+  }
 
   /** REAL image decode under the driver gate: executor-side PNG
     * encode ([[Multimodal.syntheticPngs]]) → `ImageCodec`
@@ -66,6 +99,9 @@ object MultimodalQueries {
       "CAST(doc_id % 64 + 1 AS INT) AS width, " +
       "CAST(doc_id % 48 + 1 AS INT) AS height " +
       "FROM documents ORDER BY doc_id")),
-    Q("q_media_features", mediaFeatures, None),
+    Q("q_media_features", mediaFeatures, Some(
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "TRUE AS dim_ok, TRUE AS sum_ok, TRUE AS nonneg_ok, TRUE AS checksum_ok " +
+      "FROM documents ORDER BY doc_id")),
   )
 }
