@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 /** The bench harness must fail loudly: a query that throws is recorded
   * as an error, contributes NO time to the median (a broken query must
   * never bench as ~0 s and "improve" the total), and healthy queries
-  * around it still measure normally.
+  * around it still measure normally. The validity verdict
+  * (docs/bench_protocol.md) is pinned here too: per-run loadavg
+  * samples attribute to the query they preceded, and `noisy` flags
+  * exactly the load-over-bound and contention-spread signatures.
   */
 class BenchHarnessSpec extends SparkSpec {
 
@@ -40,5 +43,94 @@ class BenchHarnessSpec extends SparkSpec {
     val rs = Bench.measure(spark, "/unused", Seq(okQ), runs = 3)
     assert(rs.forall(_.err.isEmpty))
     assert(rs.forall(_.times.size == 3))
+  }
+
+  test("loadavg samples attribute one per successful measured run") {
+    var tick = 0.0
+    val rs = Bench.measure(spark, "/unused", Seq(okQ, runTimeBroken),
+      runs = 3,
+      loadSampler = () => { tick += 1; Bench.LoadSample(tick + 2, tick) })
+    val byName = rs.map(r => r.name -> r).toMap
+    assert(byName("ok").loads.size == 3)
+    assert(byName("ok").loadMax == byName("ok").loads.map(_.raw).max)
+    assert(byName("ok").xloadMax == byName("ok").loads.map(_.external).max)
+    // failed runs contribute neither a time nor a load sample
+    assert(byName("run_broken").loads.isEmpty)
+    assert(byName("run_broken").loadMax == 0.0)
+  }
+
+  test("noisy flags external-load-over-bound and contention-spread signatures") {
+    def qr(times: Seq[Double], xloads: Seq[Double]) =
+      Bench.QResult("q", times,
+        xloads.map(x => Bench.LoadSample(x + 3, x)), None)
+    val quiet = qr(Seq(1.0, 1.02, 0.98, 1.01, 1.03), Seq(0.2, 0.4, 0.1, 0.3, 0.2))
+    assert(!quiet.noisy())
+
+    // external load above the bound during any measured run → noisy
+    // (raw loadavg is 3 higher throughout and must NOT be the input:
+    // the bench's own burst load always inflates it)
+    assert(qr(Seq(1.0, 1.0, 1.0), Seq(0.2, 2.5, 0.3)).noisy())
+    assert(!qr(Seq(1.0, 1.0, 1.0), Seq(0.2, 2.5, 0.3)).noisy(loadBound = 3.0))
+
+    // median drifted off the floor (p50 > 1.5x p10, > 0.25 s over):
+    // at least half the runs were slowed → noisy
+    assert(qr(Seq(1.0, 1.6, 1.65, 1.7, 1.7), Seq(0.1)).noisy())
+    // a single p90 outlier leaves the median on the floor → quiet
+    // (median is robust to one spike in five; quiet-box runs show
+    // occasional 5x GC/JIT outliers)
+    assert(!qr(Seq(1.0, 1.0, 1.0, 1.0, 5.0), Seq(0.1)).noisy())
+    // relative drift but tiny absolute spread (micro-query jitter) → quiet
+    assert(!qr(Seq(0.05, 0.1, 0.1, 0.11, 0.12), Seq(0.1)).noisy())
+    // big absolute but small relative spread → quiet
+    assert(!qr(Seq(5.0, 5.5, 5.6, 5.7, 6.0), Seq(0.1)).noisy())
+
+    // a failed query (no times) is never noisy — it is already an error
+    assert(!qr(Seq.empty, Seq.empty).noisy())
+  }
+
+  test("LoadEwma: primes on first observation, then kernel-window decay") {
+    val e = new Bench.LoadEwma
+    // first observation primes directly (a zero start would
+    // under-estimate self for the first minute and flag a quiet box)
+    assert(e.update(10_000_000_000L, 32.0) == 32.0)
+
+    // 60 s at 0: must decay by exactly exp(-1), mirroring the
+    // kernel's 1-minute loadavg window so the subtraction stays
+    // aligned (32/e ≈ 11.77)
+    val decayed = e.update(70_000_000_000L, 0.0)
+    assert(math.abs(decayed - 32.0 * math.exp(-1.0)) < 1e-9)
+
+    // long steady state at 4 converges to ~4
+    var t = 70_000_000_000L
+    (1 to 50).foreach { _ => t += 60_000_000_000L; e.update(t, 4.0) }
+    assert(math.abs(e.current - 4.0) < 0.01)
+
+    // zero-length interval: no update, no division blow-up
+    val before = e.current
+    e.update(t, 1000.0)
+    assert(e.current == before)
+  }
+
+  test("default sampler yields non-negative external residuals and " +
+      "SelfLoad sees this JVM's own spin") {
+    val s = Bench.defaultSampler()
+    val l = s()
+    assert(l.raw >= 0.0)
+    assert(l.external >= 0.0 && l.external <= l.raw + 1e-9)
+
+    // live estimator: spin 4 threads for ~1.2 s; the uniform-sampling
+    // daemon must observe a nonzero own-load (R-state threads exist
+    // while we spin, and the EWMA primes on its first observation)
+    val self = new Bench.SelfLoad
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to 4).map { _ =>
+      val th = new Thread(() => { var x = 0L; while (!stop.get()) { x += 1 } })
+      th.setDaemon(true); th.start(); th
+    }
+    Thread.sleep(1200)
+    val busy = self.current
+    stop.set(true)
+    spinners.foreach(_.join(1000))
+    assert(busy > 0.5, s"self-load during a 4-thread spin should be ≥ 1, got $busy")
   }
 }

@@ -41,9 +41,11 @@ def main():
 
     names = []
     for _, r in runs:
-        for q in r["queries"]:
+        for q in list(r["queries"]) + list(r.get("extra", {})):
             if q not in names:
                 names.append(q)
+        # fold ad-hoc "extra" timings (same protocol) into the table
+        r["queries"] = {**r.get("extra", {}), **r["queries"]}
 
     label_w = max(len(n) for n in names) + 2
     hdr = "query".ljust(label_w) + "".join(t.rjust(18) for t, _ in runs)
@@ -63,6 +65,13 @@ def main():
     print(row)
     print(f"shared queries: {len(shared)}; loadavg per run: " + "; ".join(
         f"{t}={r.get('loadavg')}" for t, r in runs))
+    # validity verdicts (docs/bench_protocol.md); absent in pre-r6 artifacts
+    for t, r in runs:
+        if "valid" in r:
+            noisy = ",".join(r.get("noisy", []) + r.get("extra_noisy", []))
+            print(f"  {t}: valid={r['valid']}"
+                  + (f" noisy=[{noisy}]" if noisy else "")
+                  + f" (load_bound={r.get('load_bound')})")
     return 0
 
 
