@@ -37,7 +37,25 @@ import graft.operators.TextQueries
 object Curation {
 
   /** Tunables for the full chain; defaults match the single-stage
-    * catalog rows so the composed oracle stays comparable. */
+    * catalog rows so the composed oracle stays comparable.
+    *
+    * `materializeBoundaries` (default on) cuts lineage at the two
+    * stage boundaries with multiple downstream consumers — the exact
+    * dedup survivors (read by both the shingle pair-graph and the
+    * cluster anti-join) and the split-assigned table (read three
+    * times by decontamination) — via [[graft.query.Checkpoints.cut]].
+    * Without the cut, each consumer re-derives the upstream chain
+    * from the raw scan (the formatted plan shows the boundary as one
+    * materialized ExistingRDD scanned five times instead). Measured
+    * cost-neutral at sf0.1 — the one-time boundary write offsets the
+    * saved recompute at a scale where scans are cheap — but at
+    * 100 TB the saved work is four extra corpus scans plus their
+    * dedup shuffles, while the write cost stays one boundary table.
+    * The cut stores the boundary table once (executor-local by
+    * default, durable under `checkpointDir` — the same loss-recovery
+    * trade documented on [[graft.query.Checkpoints]]). Off = fully
+    * lazy single plan, useful when the caller materializes stage
+    * outputs itself (e.g. writing each boundary to parquet). */
   final case class Config(
       jaccardThreshold: Double = 0.8,
       shingleN: Int = 3,
@@ -49,6 +67,7 @@ object Curation {
       chunkTokens: Int = 64,
       chunkStride: Int = 48,
       packCapacity: Int = 2048,
+      materializeBoundaries: Boolean = true,
       checkpointDir: Option[String] = None)
 
   private def w(c: Column): Column = TextFunctions.words(c)
@@ -179,9 +198,12 @@ object Curation {
   /** The full chain: packed training chunks from a raw document table.
     * Output: (source, bin, doc_id, chunk_id, n_tokens, chunk_md5). */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val s1 = exactDedup(docs)
+    def cut(df: DataFrame): DataFrame =
+      if (cfg.materializeBoundaries) graft.query.Checkpoints.cut(df, cfg.checkpointDir)
+      else df
+    val s1 = cut(exactDedup(docs))
     val s2 = nearDedupClusters(s1, cfg)
-    val train = decontaminate(assignSplits(s2), cfg)
+    val train = decontaminate(cut(assignSplits(s2)), cfg)
     val kept = qualityLangFilter(train, cfg)
     pack(chunk(mixtureSample(kept), cfg), cfg)
   }

@@ -91,4 +91,19 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum("n_dup_losses")).head.getLong(0)
     assert(losses == docs.count() - docs.select("text").distinct().count())
   }
+
+  test("Curation.run: boundary materialization does not change results") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, dir)
+    val order = Seq("source", "bin", "doc_id", "chunk_id")
+    val cutOn = Curation.run(docs,
+      Curation.Config(materializeBoundaries = true))
+      .orderBy(order.map(col): _*).collect().toSeq
+    val lazyPlan = Curation.run(docs,
+      Curation.Config(materializeBoundaries = false))
+      .orderBy(order.map(col): _*).collect().toSeq
+    assert(cutOn.nonEmpty, "pipeline must keep rows at this SF")
+    assert(cutOn == lazyPlan,
+      "lineage cuts must be value-invariant across the full chain")
+  }
 }
