@@ -452,6 +452,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-k stratified sample — k documents per source, selected as
+    * the k smallest salted hashes (so membership is deterministic and
+    * rerun-stable, unlike `sample()`, and uniform within each
+    * stratum). Rate-based sampling ([[mixtureSample]]) only hits its
+    * target in expectation; eval sets and per-source quotas need the
+    * EXACT count. Scale shape: the naive window form
+    * (`row_number` over each stratum) sorts every stratum's full
+    * contents through one reducer; this runs the bounded-heap
+    * [[graft.functions.TopK]] Aggregator instead — map-side partial
+    * heaps, n_sources × k tuples shuffle. The window form IS the
+    * DuckDB oracle, so the two are hash-checked equivalent. */
+  private def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    // 48-bit hash: exact in a double (TopK scores are doubles) AND in
+    // DuckDB's BIGINT, so the two engines rank identical keys
+    val h = conv(substring(
+      md5(concat(lit("strat|"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), (-h).cast("double").as("neg_h"))
+    graft.functions.TopK.perKey(scored, "source", "neg_h", "doc_id", k)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Deterministic epoch upsampling — the other half of data mixing:
+    * sources weighted ABOVE 1.0 are repeated, fractional weights
+    * resolved per document by salted hash bucket (weight 2.25 → every
+    * document twice, a deterministic 25% of them three times), so the
+    * epoch plan is reproducible on any cluster size and partitioning.
+    * Emits one (doc, epoch) row per repetition — the table a packing
+    * stage consumes when a mixture calls for more than one pass over
+    * a source. Scan-stage explode, no shuffle. */
+  private def mixtureEpochs(s: SparkSession, d: String): DataFrame = {
+    val w100 = when(col("source") === "src0", 225)
+      .when(col("source") === "src1", 150)
+      .when(col("source") === "src2", 100)
+      .otherwise(30) // weight × 100
+    val bucket = conv(substring(
+      md5(concat(lit("ep|"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        ((w100 / 100).cast("int") +
+          when(bucket < w100 % 100, 1).otherwise(0)).as("n_rep"))
+      .filter(col("n_rep") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), col("n_rep") - 1)).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Deterministic weighted mixture sampling — the data-mixture
     * operator: each source gets a target sampling rate (here src0/src1
     * upweighted 50%, src2 25%, everything else 10%) and membership is
@@ -911,6 +962,21 @@ object TextQueries {
       "SELECT st.doc_id, round(CAST(top AS DOUBLE) / n, 4) AS top_bigram_frac, " +
       "round(CAST(dup AS DOUBLE) / n, 4) AS dup_bigram_frac, ttr " +
       "FROM st JOIN t ON st.doc_id = t.doc_id ORDER BY st.doc_id")),
+    Q("q_stratified_sample", stratifiedSample, Some(
+      "SELECT source, doc_id FROM (" +
+      "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+      "ORDER BY CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id) AS rn " +
+      "FROM documents) t WHERE rn <= 20 ORDER BY source, doc_id")),
+    Q("q_mixture_epochs", mixtureEpochs, Some(
+      "WITH b AS (SELECT doc_id, source, " +
+      "CASE WHEN source = 'src0' THEN 225 WHEN source = 'src1' THEN 150 " +
+      "WHEN source = 'src2' THEN 100 ELSE 30 END AS w100, " +
+      "CAST(CAST('0x' || substr(md5('ep|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS INT) AS bucket " +
+      "FROM documents), " +
+      "r AS (SELECT doc_id, source, w100 // 100 + " +
+      "CASE WHEN bucket < w100 % 100 THEN 1 ELSE 0 END AS n_rep FROM b) " +
+      "SELECT doc_id, source, CAST(unnest(range(n_rep)) AS INT) AS epoch " +
+      "FROM r WHERE n_rep > 0 ORDER BY doc_id, epoch")),
     Q("q_mixture_sample", mixtureSample, Some(
       "SELECT doc_id, source, bucket, rate_pct FROM (" +
       "SELECT doc_id, source, " +

@@ -92,6 +92,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(losses == docs.count() - docs.select("text").distinct().count())
   }
 
+  test("q_stratified_sample: exactly min(k, stratum size) docs per source") {
+    val docs = Tables.documents(spark, dir)
+    val got = q("q_stratified_sample").groupBy("source")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+    val want = docs.groupBy("source").agg(count(lit(1)).as("total"))
+    val bad = got.join(want, "source")
+      .filter(col("n") =!= least(lit(20), col("total")) || col("n") =!= col("nd"))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    assert(got.count() == want.count(), "every stratum is sampled")
+    // sampled ids are real documents
+    assert(q("q_stratified_sample").join(docs, "doc_id", "left_anti").count() == 0)
+  }
+
+  test("q_mixture_epochs: per-doc epochs contiguous, counts match the weight") {
+    val r = q("q_mixture_epochs")
+    val perDoc = r.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), min("epoch").as("mn"), max("epoch").as("mx"))
+    // epochs are 0..n-1 per doc
+    assert(perDoc.filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1).count() == 0)
+    // integer part of the weight bounds every doc; fractional part is
+    // one optional extra epoch (src0 w=2.25 → 2 or 3; src2 w=1.0 → 1)
+    assert(perDoc.filter(col("source") === "src0" &&
+      (col("n") < 2 || col("n") > 3)).count() == 0)
+    assert(perDoc.filter(col("source") === "src2" && col("n") =!= 1).count() == 0)
+    // weight-1.0 sources keep every document exactly once
+    val src2Docs = Tables.documents(spark, dir).filter(col("source") === "src2")
+    assert(perDoc.filter(col("source") === "src2").count() == src2Docs.count())
+  }
+
   test("Curation.run: boundary materialization does not change results") {
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, dir)
