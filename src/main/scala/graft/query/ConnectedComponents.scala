@@ -34,7 +34,11 @@ object ConnectedComponents {
     var converged = sym.isEmpty
     var i = 0
     while (i < maxIter && !converged) {
-      // each vertex adopts the min label among itself and its neighbors
+      // each vertex adopts the min label among itself and its neighbors;
+      // the per-vertex `changed` verdict rides in the SAME cut frame
+      // (the BipartiteExpand fused-probe pattern), so convergence is a
+      // filter over the already-materialized checkpoint instead of a
+      // second label-table join per iteration
       val neighborMin = sym
         .join(labels, sym("src") === labels("vertex"))
         .groupBy(col("dst").as("vertex"))
@@ -43,12 +47,11 @@ object ConnectedComponents {
         .join(neighborMin, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component")))
-      converged = next
-        .join(labels.withColumnRenamed("component", "prev"), "vertex")
-        .filter(col("component") < col("prev"))
-        .isEmpty
-      labels = next
+            .as("component"),
+          (col("nmin").isNotNull && col("nmin") < col("component"))
+            .as("changed")))
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("vertex", "component")
       i += 1
     }
     sym.unpersist()
