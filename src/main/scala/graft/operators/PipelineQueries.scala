@@ -40,10 +40,14 @@ object PipelineQueries {
     "(SELECT doc_id, unnest(list_transform(range(1, len(w)-1), " +
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle " +
     "FROM w1 WHERE len(w) >= 3) q), " +
-    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-    "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
+    // engine-portable 48-bit shingle hash: identical to the Spark side
+    // (Curation.nearDedupClusters), so longs shuffle in the engine and
+    // any collision perturbs both engines the same way
+    "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id), " +
+    "kept AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 200), " +
     "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
-    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+    "FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
     "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
     "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
     "JOIN sizes sb ON doc_b = sb.doc_id " +

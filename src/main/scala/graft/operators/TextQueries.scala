@@ -390,11 +390,17 @@ object TextQueries {
     * connected components ([[graft.query.ConnectedComponents]]) over
     * the verified Jaccard pair graph — checked against a DuckDB
     * recursive-CTE transitive closure, so the iterative driver-loop
-    * algorithm itself is oracle-validated, not just spec-tested. */
+    * algorithm itself is oracle-validated, not just spec-tested.
+    * Shingles take the same engine-portable 48-bit md5 hash as
+    * [[ngramJaccard]] before the wide shuffle (longs move, not n-gram
+    * strings; the oracle hashes identically). */
   private def dedupClustersQ(s: SparkSession, d: String): DataFrame =
     graft.query.ConnectedComponents
       .run(graft.functions.TextFunctions
-        .jaccardPairs(shingles(s, d), "doc_id", 0.8, maxDf = 200),
+        .jaccardPairs(shingles(s, d).select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
+            .as("shingle")),
+          "doc_id", 0.8, maxDf = 200),
         "id_a", "id_b")
       .orderBy("vertex")
 
@@ -873,10 +879,11 @@ object TextQueries {
       "FROM tf JOIN df USING (word), n ORDER BY doc_id, word")),
     Q("q_dedup_clusters", dedupClustersQ, Some(
       shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-      "kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 200), " +
+      "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id), " +
+      "kept AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 200), " +
       "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
-      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+      "FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
       "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
       "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
       "JOIN sizes sb ON doc_b = sb.doc_id " +

@@ -87,12 +87,18 @@ object Curation {
 
   /** Stage 2 — near-dedup to cluster survivors: verified shingle-Jaccard
     * pairs (prefix-filtered AllPairs join, df-ceiling) → connected
-    * components → keep the min-id document per cluster. Unhashed
-    * shingles here so the composed oracle shares the exact shingle
-    * domain with `q_dedup_clusters`. */
+    * components → keep the min-id document per cluster. Shingles take
+    * the engine-portable 48-bit md5 hash before the wide shuffle
+    * (8-byte longs move instead of n-gram strings — raw text must
+    * never leave the scan stage at corpus scale); the composed oracle
+    * applies the IDENTICAL hash, so even a collision perturbs both
+    * engines the same way (`q_ngram_jaccard`'s scheme). */
   def nearDedupClusters(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val pairs = TextFunctions.jaccardPairs(
-      TextFunctions.shingles(docs, "doc_id", "text", cfg.shingleN),
+      TextFunctions.shingles(docs, "doc_id", "text", cfg.shingleN)
+        .select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
+            .as("shingle")),
       "doc_id", cfg.jaccardThreshold, cfg.maxDf)
     val comps = graft.query.ConnectedComponents.run(pairs, "id_a", "id_b",
       checkpointDir = cfg.checkpointDir)
