@@ -251,6 +251,12 @@ object Bench {
     val headline = Catalog.all.filter(_.headline)
     val loadBound = sys.env.get("SPARK_GRAFT_LOAD_BOUND")
       .map(_.toDouble).getOrElse(DefaultLoadBound)
+    // resolve ad-hoc names BEFORE any measurement: a typo must fail in
+    // seconds, not after the multi-minute headline pass
+    val extraQueries: Option[Seq[Q]] = sys.env.get("SPARK_GRAFT_TIME_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+      .map(_.map(n => Catalog.byName.getOrElse(n,
+        sys.error(s"unknown query in SPARK_GRAFT_TIME_QUERIES: $n"))))
 
     def jnum(v: Double): String = f"$v%.3f"
     def jmap(entries: Seq[(String, String)]): String =
@@ -287,11 +293,8 @@ object Bench {
     // the separate TimeQuery main + TIMEQUERY_rNN.txt side file):
     // SPARK_GRAFT_TIME_QUERIES=q_a,q_b adds an "extra" median map,
     // measured under the identical warm-up + round-robin protocol.
-    val extraPart = sys.env.get("SPARK_GRAFT_TIME_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-      .map { names =>
-        val qs2 = names.map(n => Catalog.byName.getOrElse(n,
-          sys.error(s"unknown query in SPARK_GRAFT_TIME_QUERIES: $n")))
+    val extraPart = extraQueries
+      .map { qs2 =>
         val rs = measure(spark, sfDir, qs2)
         val body = jmap(rs.filter(_.ok).map(r => r.name -> jnum(r.median)))
         val noisy2 = rs.filter(_.noisy(loadBound)).map(_.name)
