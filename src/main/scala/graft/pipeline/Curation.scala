@@ -120,10 +120,18 @@ object Curation {
     * (fingerprint, id) longs shuffle; the test index is a distinct
     * build side. */
   def decontaminate(docsWithSplit: DataFrame, cfg: Config = Config()): DataFrame = {
-    val fps = TextQueries.windowHashesOf(docsWithSplit)
+    // Only train (the filtered side) and test (the index side) ever
+    // consume fingerprints — restrict BEFORE the tokenize+hash+explode
+    // projection so the val split is never fingerprinted. At sf0.01
+    // that is 10% of the corpus; at 100 TB it is a full val-corpus
+    // scan-stage pass for nothing. Catalyst keeps the split filter
+    // below the projection (scan-level predicate on the boundary
+    // table), so the trim survives plan optimization.
+    val tt = docsWithSplit.filter(col("split").isin("train", "test"))
+    val fps = TextQueries.windowHashesOf(tt)
       .select(col("doc_id"),
         explode(TextFunctions.winnowMins(col("whs"), cfg.winnowW)).as("fp"))
-      .join(docsWithSplit.select("doc_id", "split"), "doc_id")
+      .join(tt.select("doc_id", "split"), "doc_id")
     val testFp = fps.filter(col("split") === "test").select("fp").distinct()
     val contaminated = fps.filter(col("split") === "train")
       .join(testFp, "fp").select("doc_id").distinct()

@@ -32,6 +32,28 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("pathological chain far longer than maxIter converges via pointer jumping") {
+    // 301-vertex path: one-hop propagation alone needs 300 rounds —
+    // before the jump step this silently returned unconverged labels
+    val got = cc((0L until 300L).map(i => (i, i + 1)))
+    assert(got.size == 301)
+    assert(got.values.toSet == Set(0L),
+      s"chain must collapse to component 0, got ${got.values.toSet.take(5)}")
+  }
+
+  test("strict mode fails loudly when maxIter is exhausted before the fixpoint") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, "a", "b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter=2"))
+    // non-strict: best-effort labels come back (membership right,
+    // minimality unfinished) — the caller opted into the caveat
+    val lax = ConnectedComponents.run(chain, "a", "b", maxIter = 2,
+      strict = false)
+    assert(lax.count() == 41)
+  }
+
   test("dedupClusters keeps exactly one survivor per duplicate cluster") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
     val pairs = graft.dedup.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)
