@@ -110,6 +110,31 @@ object PipelineQueries {
     "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
     "FROM pk ORDER BY source, bin, doc_id, chunk_id"
 
+  /** Fixed sink location for the roundtrip gate row: the oracle SQL is
+    * a static string, so the path must be one both engines know. */
+  val sinkPath = "/tmp/graft_pipeline_sink"
+
+  /** Write → read-back roundtrip of the pipeline egress
+    * ([[Curation.write]]): runs the full chain, ships it as the
+    * partitioned parquet table a training job consumes, and returns
+    * the READ-BACK rows. The DuckDB oracle reads the SAME files
+    * (`read_parquet`, hive partitioning), so a green row proves the
+    * shipped files are complete, losslessly typed and readable by a
+    * foreign engine — content correctness of the chain itself is
+    * `q_pipeline_e2e`'s independent recursive-CTE oracle. */
+  private def pipelineSink(s: SparkSession, d: String): DataFrame = {
+    Curation.write(Curation.run(Tables.documents(s, d)), sinkPath)
+    s.read.parquet(sinkPath)
+      .select("source", "bin", "doc_id", "chunk_id", "n_tokens", "chunk_md5")
+      .orderBy("source", "bin", "doc_id", "chunk_id")
+  }
+
+  private val pipelineSinkSql =
+    "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
+    s"FROM read_parquet('$sinkPath/*/*.parquet', hive_partitioning=true) " +
+    "ORDER BY source, bin, doc_id, chunk_id"
+
   val all: Seq[Q] = Seq(
-    Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true))
+    Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true),
+    Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)))
 }

@@ -209,6 +209,28 @@ object Curation {
       .select("source", "bin", "doc_id", "chunk_id", "n_tokens", "chunk_md5")
   }
 
+  /** Ship [[run]]'s packed output as a Hive-partitioned parquet table —
+    * the pipeline's egress, the files a training job actually reads
+    * (reference analogue: the S4/S5 sinks, server.erl:379-389,161-167,
+    * are the reference's only way results leave the engine).
+    *
+    * Layout: partitioned by `source` (the low-cardinality mixture key —
+    * readers filtering on it prune whole directories at planning time),
+    * rows sorted (source, bin, doc_id, chunk_id) within every file.
+    * DETERMINISTIC end to end: the hash `repartition` assigns each
+    * source the same write task on every run, and the within-partition
+    * sort is total (doc_id, chunk_id is a unique key), so two writes of
+    * the same input produce byte-identical parquet files
+    * (`PipelineSinkSpec` pins this; the `q_pipeline_sink` gate row
+    * hash-checks the write→read roundtrip against DuckDB reading the
+    * same files). At 100 TB the shuffle moves only the packed chunk
+    * table (digests + ids, no raw text), one exchange total. */
+  def write(packed: DataFrame, path: String): Unit =
+    packed
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "bin", "doc_id", "chunk_id")
+      .write.mode("overwrite").partitionBy("source").parquet(path)
+
   /** The full chain: packed training chunks from a raw document table.
     * Output: (source, bin, doc_id, chunk_id, n_tokens, chunk_md5). */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
