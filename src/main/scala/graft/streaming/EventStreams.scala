@@ -131,10 +131,42 @@ object EventStreams {
 
   val gapUs: Long = 1800L * 1000000L  // 30-minute inactivity gap
 
+  /** Shared fold of one group's arrivals into the session state: sort
+    * by time, close a session at every >30-min gap, leave the open
+    * session in `state`. Returns the CLOSED sessions. Both sessionize
+    * variants run exactly this, so their gap semantics cannot drift. */
+  private def foldSessions(user: Long, arrivals: Seq[(Long, Double)],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = arrivals.sortBy(_._1)
+    var cur = state.getOption.orNull
+    val closed = Seq.newBuilder[Session]
+    var nextSid = if (cur == null) 0L else cur.sid
+    sorted.foreach { case (tsUs, value) =>
+      if (cur == null) {
+        cur = SessionState(nextSid, tsUs, tsUs, 1L, value)
+      } else if (tsUs - cur.lastUs > gapUs) {
+        closed += Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value)
+        nextSid = cur.sid + 1
+        cur = SessionState(nextSid, tsUs, tsUs, 1L, value)
+      } else {
+        cur = cur.copy(lastUs = tsUs, n = cur.n + 1, value = cur.value + value)
+      }
+    }
+    if (cur != null) state.update(cur)
+    closed.result().iterator
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: per user,
     * order the batch's events by time, close a session whenever the
     * gap exceeds 30 minutes, carry the open session in state. The
-    * same gap rule as the batch q_sessionize. */
+    * same gap rule as the batch q_sessionize.
+    *
+    * NoTimeout semantics, deliberately: a session only closes when a
+    * LATER event of the same user proves the gap — right for bounded
+    * replays where the stream ends and state is discarded. For a
+    * forever stream this never emits an idle user's last session and
+    * holds one state entry per user unboundedly — use
+    * [[sessionizeIdleFlush]] there. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -142,23 +174,59 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.tsUs))
-          var cur = state.getOption.orNull
-          val closed = Seq.newBuilder[Session]
-          var nextSid = if (cur == null) 0L else cur.sid
-          sorted.foreach { e =>
-            if (cur == null) {
-              cur = SessionState(nextSid, e.tsUs, e.tsUs, 1L, e.value)
-            } else if (e.tsUs - cur.lastUs > gapUs) {
-              closed += Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value)
-              nextSid = cur.sid + 1
-              cur = SessionState(nextSid, e.tsUs, e.tsUs, 1L, e.value)
-            } else {
-              cur = cur.copy(lastUs = e.tsUs, n = cur.n + 1, value = cur.value + e.value)
+          foldSessions(user, evs.map(e => (e.tsUs, e.value)).toSeq, state)
+      }
+  }
+
+  /** [[Ev]] plus the timestamp column the watermark rides on. */
+  final case class EvT(user_id: Long, tsUs: Long, value: Double,
+      ts: java.sql.Timestamp)
+
+  /** [[sessionize]] with an event-time idle flush — the forever-stream
+    * form: same 30-min gap rule (the shared [[foldSessions]]), plus an
+    * `EventTimeTimeout` that EMITS a user's open session once the
+    * WATERMARK has passed `last event + gap` — the gap has then
+    * provably elapsed in event time (no on-time event can reopen it),
+    * not merely in wall-clock. The timeout also removes the entry, so
+    * state is bounded by users active within the watermark horizon
+    * instead of one entry per user ever seen. Same operational class
+    * as [[DedupStreams.bandVerdicts]]'s TTL, but watermark-driven:
+    * emission is part of the result contract here, not just eviction.
+    *
+    * `watermarkDelay` (late-data allowance) must stay below the 30-min
+    * gap: the flush timestamp `last + gap` is then always ahead of the
+    * watermark when armed, and a flushed session can never be
+    * contradicted by an admissible late event. */
+  def sessionizeIdleFlush(events: Dataset[Ev],
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[EvT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap in event time: the open session IS the
+            // final session — emit it and release the user's state
+            val cur = state.get
+            state.remove()
+            Iterator.single(
+              Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value))
+          } else {
+            val out = foldSessions(user,
+              evs.map(e => (e.tsUs, e.value)).toSeq, state)
+            // (re)arm the flush for the open session; max() guards the
+            // engine's timeout>watermark requirement against a
+            // just-inside-the-delay late event
+            state.getOption.foreach { cur =>
+              state.setTimeoutTimestamp(math.max((cur.lastUs + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
             }
+            out
           }
-          if (cur != null) state.update(cur)
-          closed.result().iterator
       }
   }
 }

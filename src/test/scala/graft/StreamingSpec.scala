@@ -178,4 +178,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == wantClosed, s"fmgws ${got.size} vs batch-closed ${wantClosed.size}")
     assert(got.nonEmpty)
   }
+
+  test("idle-flush sessionize emits an idle user's open session via the " +
+      "event-time timeout and matches the gap rule for active users") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val us = 1000000L
+    val in = MemoryStream[EventStreams.Ev](spark)
+    val q = EventStreams.sessionizeIdleFlush(in.toDS())
+      .writeStream.format("memory").queryName("sess_idle")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 10 s apart, then idle forever; plain
+      // sessionize would NEVER emit this session (ts offset from epoch
+      // zero — the initial watermark is 0 and a 0-ts row is "late")
+      in.addData(EventStreams.Ev(7L, 1000 * us, 1.0),
+        EventStreams.Ev(7L, 1010 * us, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_idle").isEmpty,
+        "nothing may close while the gap is still open under the watermark")
+      // user 8, two hours later: advances the watermark far past
+      // user 7's last+30min...
+      in.addData(EventStreams.Ev(8L, 7200 * us, 5.0))
+      q.processAllAvailable()
+      // ...and the NEXT trigger fires the expired timeout
+      in.addData(EventStreams.Ev(8L, 7210 * us, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_idle")
+      .filter(col("user_id") === 7L)
+      .collect().map(r => (r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_end"), r.getAs[Double]("session_value")))
+    assert(got.toSeq == Seq((2L, 1010 * us, 3.0)),
+      s"idle user's open session must be flushed exactly once, got ${got.toSeq}")
+    // user 8's session stayed open (still inside the watermark horizon)
+    assert(spark.table("sess_idle").filter(col("user_id") === 8L).isEmpty)
+  }
 }
