@@ -63,12 +63,21 @@ object BipartiteExpand {
     /** Always the shuffle fallback: both edge orientations cached
       * pre-partitioned, per-level hop joins co-partitioned. */
     case object Shuffle extends FrontierMode
-    /** Pick per level: broadcast while the measured frontier row count
-      * stays ≤ `maxBroadcastRows`, switch to the shuffle fallback (and
-      * build its partitioned caches, once) beyond it. The visited set
-      * gets the same test against its own running count — it grows
-      * monotonically, so it falls out of broadcast range first. */
-    final case class Auto(maxBroadcastRows: Long = DefaultMaxBroadcastRows)
+    /** Pick per level: broadcast while the measured frontier stays
+      * within BOTH ceilings — row count ≤ `maxBroadcastRows` AND
+      * measured cached bytes ≤ `maxBroadcastBytes` — switch to the
+      * shuffle fallback (and build its partitioned caches, once)
+      * beyond either. The byte test uses the ACTUAL in-memory size of
+      * the materialized frontier (free: the same persist+count probe
+      * produces it), so a wide key type — long URLs, composite string
+      * ids — trips the switch long before a million rows; where the
+      * size is unavailable (durable-checkpoint frames report no real
+      * stats) the row ceiling alone decides. The visited set gets the
+      * same two-ceiling test against its own running totals — it
+      * grows monotonically, so it falls out of broadcast range
+      * first. */
+    final case class Auto(maxBroadcastRows: Long = DefaultMaxBroadcastRows,
+        maxBroadcastBytes: Long = DefaultMaxBroadcastBytes)
       extends FrontierMode
   }
 
@@ -78,6 +87,15 @@ object BipartiteExpand {
     * make the shuffle path win (the IMDB factor-8100 level-3 frontier
     * stays under this; a 100 TB social-graph frontier does not). */
   val DefaultMaxBroadcastRows: Long = 1L << 20
+
+  /** Default byte ceiling for the same decision: 64 MiB of CACHED
+    * columnar frontier ≈ low-hundreds-of-MB deserialized on the
+    * driver — inside a default 1-4 GB driver budget with margin, far
+    * under Spark's 8 GB broadcast hard limit, and roughly what 1M
+    * rows of ordinary ids cost, so narrow keys keep hitting the row
+    * ceiling first and only genuinely wide keys move the switch
+    * earlier. */
+  val DefaultMaxBroadcastBytes: Long = 64L << 20
 
   /** Result of an expansion: vertices of the root's type and the
     * level-L src→dst edges that discovered them (G7, master.erl:255-263). */
@@ -129,6 +147,18 @@ object BipartiteExpand {
   private def hint(df: DataFrame, bcast: Boolean): DataFrame =
     if (bcast) broadcast(df) else df
 
+  /** Actual cached size of a just-materialized frame (InMemoryRelation
+    * stats, exact after the count job ran the cache), or 0 = unknown
+    * when no real measurement exists — reliable-checkpoint frames
+    * surface only the conservative planner default, which must not
+    * masquerade as a measurement. */
+  private def measuredBytes(df: DataFrame): Long = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s.isValidLong && s.toLong > 0 && s.toLong < (Long.MaxValue >> 2))
+      s.toLong
+    else 0L
+  }
+
   /** Shared mutable machinery of one expansion run: the edge-side
     * caches (plus the lazily-built shuffle orientations), the per-level
     * materialize-and-count probe, and the release bookkeeping. */
@@ -144,6 +174,10 @@ object BipartiteExpand {
 
     var visitedRows = 0L
     var frontierRows = 0L
+    /** Measured cached bytes of the same frames; 0 = no measurement
+      * yet (then the row ceilings alone decide). */
+    var visitedBytes = 0L
+    var frontierBytes = 0L
 
     /** Hop-join edge sides for a level: (hop-1 src-keyed, hop-2
       * dst-keyed). Broadcast levels stream the one cache for both hops;
@@ -168,33 +202,39 @@ object BipartiteExpand {
         (eSrc, eDstOpt.get)
       }
 
-    /** Materialize `df` and learn its row count in ONE job (persist +
-      * count), or reliably checkpoint first when a durable dir is set.
-      * The persisted frame is registered for release. */
-    def matCount(df: DataFrame): (DataFrame, Long) = checkpointDir match {
+    /** Materialize `df` and learn its row count AND cached byte size
+      * in ONE job (persist + count — the stats read is free), or
+      * reliably checkpoint first when a durable dir is set (bytes then
+      * 0 = unmeasured). The persisted frame is registered for
+      * release. */
+    def matCount(df: DataFrame): (DataFrame, Long, Long) = checkpointDir match {
       case Some(_) =>
         val c = Checkpoints.cut(df, checkpointDir)
-        (c, c.count())
+        (c, c.count(), measuredBytes(c))
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         owned += p
-        (p, p.count())
+        val n = p.count()
+        (p, n, measuredBytes(p))
     }
 
-    /** Frontier-side broadcast decision for the next level. */
+    /** Frontier-side broadcast decision for the next level: inside the
+      * row ceiling AND the byte ceiling (where measured). */
     def broadcastLevel(iterative: Boolean): Boolean = mode match {
       case FrontierMode.Broadcast => true
       case FrontierMode.Shuffle => false
       // single-iteration expansions carry no measured counts: the
       // frontier is the root set — trivially broadcastable
-      case FrontierMode.Auto(t) => !iterative || frontierRows <= t
+      case FrontierMode.Auto(tr, tb) => !iterative ||
+        (frontierRows <= tr && (frontierBytes == 0L || frontierBytes <= tb))
     }
 
-    /** The visited set gets its own decision from its running count. */
+    /** The visited set gets its own decision from its running totals. */
     def broadcastVisited(iterative: Boolean): Boolean = mode match {
       case FrontierMode.Broadcast => true
       case FrontierMode.Shuffle => false
-      case FrontierMode.Auto(t) => !iterative || visitedRows <= t
+      case FrontierMode.Auto(tr, tb) => !iterative ||
+        (visitedRows <= tr && (visitedBytes == 0L || visitedBytes <= tb))
     }
 
     def anythingOwned: Boolean = owned.nonEmpty
@@ -246,10 +286,12 @@ object BipartiteExpand {
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
     var visited = visited0
     if (iterative) {
-      val (v, n) = loop.matCount(visited0)
+      val (v, n, b) = loop.matCount(visited0)
       visited = v
       loop.visitedRows = n
       loop.frontierRows = n
+      loop.visitedBytes = b
+      loop.frontierBytes = b
     }
     var frontier = visited
 
@@ -274,10 +316,12 @@ object BipartiteExpand {
         hint(visited, loop.broadcastVisited(iterative)), Seq(srcCol), "left_anti")
       val fresh =
         if (more) {
-          val (f, n) = loop.matCount(fresh0)
+          val (f, n, b) = loop.matCount(fresh0)
           exhausted = n == 0
           loop.frontierRows = n
           loop.visitedRows += n
+          loop.frontierBytes = b
+          loop.visitedBytes += b
           f
         } else fresh0
       // No materialization of the union: both parents are already
@@ -322,10 +366,12 @@ object BipartiteExpand {
     val visited0 = e.select(col(srcCol)).filter(col(srcCol) === root).distinct()
     var visited = visited0
     if (iterative) {
-      val (v, n) = loop.matCount(visited0)
+      val (v, n, b) = loop.matCount(visited0)
       visited = v
       loop.visitedRows = n
       loop.frontierRows = n
+      loop.visitedBytes = b
+      loop.frontierBytes = b
     }
     var frontier = visited
     var acc: Option[DataFrame] = None
@@ -356,10 +402,12 @@ object BipartiteExpand {
         hint(visited, loop.broadcastVisited(iterative)), Seq(srcCol), "left_anti")
       val fresh =
         if (more) {
-          val (f, n) = loop.matCount(fresh0)
+          val (f, n, b) = loop.matCount(fresh0)
           exhausted = n == 0
           loop.frontierRows = n
           loop.visitedRows += n
+          loop.frontierBytes = b
+          loop.visitedBytes += b
           f
         } else fresh0
       // union of materialized parents: shallow lineage, no job needed

@@ -50,6 +50,42 @@ class FrontierModeSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("auto's byte ceiling catches wide keys the row ceiling misses") {
+    spark.catalog.clearCache() // see above
+    import spark.implicits._
+    // few hundred ROWS (far under any row ceiling) but megabytes of
+    // key BYTES: ~3 KB composite string ids — the shape that blows a
+    // driver broadcast budget while looking tiny by count
+    val pad = "url/" + ("x" * 3000) + "/p"
+    val wide = (0 until 300).flatMap { i =>
+      Seq(("R", s"m$i"), (s"$pad$i", s"m$i"),          // R ↔ peers, hop ring 1
+        (s"$pad$i", s"n$i"), (s"$pad-far-$i", s"n$i")) // peers ↔ far, ring 2
+    }.toDF("cust", "part")
+    def runWide(mode: FrontierMode,
+        probe: (Int, Boolean) => Unit = (_, _) => ()): Set[String] =
+      BipartiteExpand.expand(spark, wide, "cust", "part", lit("R"), 4,
+        mode = mode, onLevelMode = probe)
+        .collect().map(_.getString(0)).toSet
+    val modes = scala.collection.mutable.ArrayBuffer[(Int, Boolean)]()
+    val got = runWide(
+      FrontierMode.Auto(maxBroadcastRows = 1L << 20, maxBroadcastBytes = 64L << 10),
+      (l, b) => modes += ((l, b)))
+    // level 1's frontier is the 1-row root (broadcast); level 2+ carry
+    // the ~1 MB-cached wide-key frontiers — rows ≪ ceiling, bytes over
+    assert(modes.toList.map(_._1) == List(1, 2, 3), s"levels ran: $modes")
+    assert(modes.toList.map(_._2) == List(true, false, false),
+      s"wide keys must trip the byte ceiling despite the tiny row count: $modes")
+    assert(got == runWide(FrontierMode.Broadcast),
+      "byte-ceiling switch changed the result set")
+    // the same graph under the DEFAULT ceilings stays on broadcast:
+    // narrow row counts only trip the byte test when genuinely wide
+    val defModes = scala.collection.mutable.ArrayBuffer[(Int, Boolean)]()
+    runWide(FrontierMode.Auto(), (l, b) => defModes += ((l, b)))
+    assert(defModes.forall(_._2),
+      s"default 64 MiB ceiling should keep this small graph on broadcast: $defModes")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("per-level probes cost one job barrier each (fused materialize-and-count)") {
     // The absolute job count is AQE-fan-out noise; the stable signal is
     // the MARGINAL cost of one more iterative level. Each level adds
