@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}` —
+  * the COMPACT form (medians + external residuals + validity +
+  * errors), sized to survive the driver's bounded stdout-tail capture;
+  * the FULL artifact (adds quantiles, raw loads, extra timings, the
+  * second scale point) is written to `SPARK_GRAFT_BENCH_OUT`
+  * (default `bench_last.json`).
   *
   * Each query is forced with `.count()` (full plan execution, no
   * collect of wide results). Protocol (kept stable round over round so
@@ -175,11 +180,19 @@ object Bench {
         u
     }
 
+    @volatile private var running = true
     private val sampler = new Thread(() => {
-      while (true) {
-        val v = ownRunnable()
-        ewma.synchronized(ewma.update(System.nanoTime(), v))
-        Thread.sleep(500)
+      try {
+        while (running) {
+          val v = ownRunnable()
+          ewma.synchronized(ewma.update(System.nanoTime(), v))
+          Thread.sleep(500)
+        }
+      } catch {
+        // interrupt = close(): exit cleanly. Swallowing it silently in
+        // the loop would freeze the EWMA at its last value and let
+        // every later external residual drift high with no indication.
+        case _: InterruptedException => ()
       }
     }, "bench-selfload")
     sampler.setDaemon(true)
@@ -187,12 +200,29 @@ object Bench {
 
     /** Current self-load estimate. */
     def current: Double = ewma.synchronized(ewma.current)
+
+    /** Stop the sampler thread (idempotent). */
+    def close(): Unit = { running = false; sampler.interrupt() }
   }
+
+  /** The ONE estimator every default-sampled [[measure]] pass shares.
+    * A fresh SelfLoad per pass has no memory of the load the JVM
+    * generated before its construction — right after a heavy pass the
+    * kernel's 1-minute window still carries decaying self-load a
+    * newborn estimator cannot subtract, so the 'external' residual of
+    * the next pass reads falsely high (round 6's local artifact
+    * flagged both extra queries on a quiet box exactly this way). A
+    * single estimator whose EWMA spans the whole bench stays aligned
+    * with the kernel window across passes — and means one daemon
+    * thread total instead of one leaked per pass. */
+  lazy val sharedSelfLoad: SelfLoad = new SelfLoad
 
   /** Run `queries` against `dir`: one untimed warm-up each, then
     * `runs` round-robin measurement passes. Failed runs record the
     * error and contribute no time. `loadSampler` is read immediately
-    * before each measured run (injectable for the spec). */
+    * before each measured run (injectable for the spec; the default
+    * reads [[sharedSelfLoad]] so every pass in the JVM subtracts the
+    * same continuously-running estimate). */
   def measure(spark: SparkSession, dir: String, queries: Seq[Q],
       runs: Int = Runs,
       loadSampler: () => LoadSample = defaultSampler()): Seq[QResult] = {
@@ -222,14 +252,13 @@ object Bench {
       QResult(q.name, times(q.name).toSeq, loads(q.name).toSeq, errs.get(q.name)))
   }
 
-  /** Raw loadavg + external residual against a fresh [[SelfLoad]]. */
-  def defaultSampler(): () => LoadSample = {
-    val self = new SelfLoad
+  /** Raw loadavg + external residual against `self` (the JVM-wide
+    * [[sharedSelfLoad]] unless a test injects its own). */
+  def defaultSampler(self: SelfLoad = sharedSelfLoad): () => LoadSample =
     () => {
       val raw = loadAvg
       LoadSample(raw, math.max(0.0, raw - self.current))
     }
-  }
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
@@ -264,8 +293,13 @@ object Bench {
     def jarr(names: Seq[String]): String =
       names.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // ONE estimator across every pass below: a fresh SelfLoad per pass
+    // cannot subtract the decaying self-load the earlier passes left
+    // in the kernel's 1-minute window (see [[sharedSelfLoad]]).
+    val sampler = defaultSampler()
+
     val load0 = loadAvg
-    val results = measure(spark, sfDir, headline)
+    val results = measure(spark, sfDir, headline, loadSampler = sampler)
     val load1 = loadAvg
     val ok = results.filter(_.ok)
     val qs = jmap(ok.map(r => r.name -> jnum(r.median)))
@@ -275,16 +309,15 @@ object Bench {
         "p90" -> jnum(ts.last)))
     })
     val total = ok.map(_.median).sum
-    val errors = results.flatMap(r => r.err.map(e => r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
-    val errPart = if (errors.isEmpty) "" else s""","errors":${jmap(errors)}"""
 
     // Validity (docs/bench_protocol.md): per-query worst sampled
     // loadavg (raw + external residual), the queries whose numbers
     // are contention-suspect, and the run-level verdict a regression
     // analysis must check first.
-    val loadPart =
-      s""","load":${jmap(ok.map(r => r.name -> jnum(r.loadMax)))}""" +
+    val xloadPart =
       s""","xload":${jmap(ok.map(r => r.name -> jnum(r.xloadMax)))}"""
+    val loadPart =
+      s""","load":${jmap(ok.map(r => r.name -> jnum(r.loadMax)))}""" + xloadPart
     val noisyNames = ok.filter(_.noisy(loadBound)).map(_.name)
     val validPart =
       s""","load_bound":${jnum(loadBound)},"noisy":${jarr(noisyNames)},"valid":${noisyNames.isEmpty}"""
@@ -293,48 +326,75 @@ object Bench {
     // the separate TimeQuery main + TIMEQUERY_rNN.txt side file):
     // SPARK_GRAFT_TIME_QUERIES=q_a,q_b adds an "extra" median map,
     // measured under the identical warm-up + round-robin protocol.
-    val extraPart = extraQueries
-      .map { qs2 =>
-        val rs = measure(spark, sfDir, qs2)
-        val body = jmap(rs.filter(_.ok).map(r => r.name -> jnum(r.median)))
-        val noisy2 = rs.filter(_.noisy(loadBound)).map(_.name)
+    // Extra results join the headline ones in `errors` and the exit
+    // check below — a broken ad-hoc query fails as loudly as a broken
+    // headline one instead of silently vanishing from the map.
+    val extraResults = extraQueries
+      .map(qs2 => measure(spark, sfDir, qs2, loadSampler = sampler))
+      .getOrElse(Seq.empty)
+    val extraPart =
+      if (extraResults.isEmpty) ""
+      else {
+        val body = jmap(extraResults.filter(_.ok).map(r => r.name -> jnum(r.median)))
+        val noisy2 = extraResults.filter(_.noisy(loadBound)).map(_.name)
         s""","extra":$body,"extra_noisy":${jarr(noisy2)}"""
-      }.getOrElse("")
+      }
+
+    val allResults = results ++ extraResults
+    val errors = allResults.flatMap(r => r.err.map(e =>
+      r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
+    val errPart = if (errors.isEmpty) "" else s""","errors":${jmap(errors)}"""
 
     // Second scale point for the scaling slope (best-effort: skip when
     // absent so the bench contract never breaks on a custom sfDir).
+    // The same-directory guard applies to the EXPLICIT env var too: a
+    // second pass over the identical directory would masquerade as a
+    // scaling slope while measuring nothing new.
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF_DIR2")
-      .orElse(Some(sfDir.replace("sf0.1", "sf0.01"))
-        .filter(d => d != sfDir && new java.io.File(d).isDirectory))
+      .orElse(Some(sfDir.replace("sf0.1", "sf0.01")))
+      .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+    sys.env.get("SPARK_GRAFT_SF_DIR2").filter(_ == sfDir).foreach(d =>
+      System.err.println(s"bench: SPARK_GRAFT_SF_DIR2=$d equals " +
+        "SPARK_GRAFT_SF_DIR — skipping the duplicate scale point"))
     val sf2Part = sf2Dir match {
       case Some(d) =>
-        val r2 = measure(spark, d, headline)
+        val r2 = measure(spark, d, headline, loadSampler = sampler)
         val qs2 = jmap(r2.filter(_.ok).map(r => r.name -> jnum(r.median)))
         s""","sf2":"$d","queries_sf2":$qs2"""
       case None => ""
     }
     val load2 = loadAvg
+    val loadavgPart =
+      s""""loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir""""
 
-    val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part,"loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir"}"""
-    println(line)
-    // Also write the line verbatim to a file: under sbt, stdout is
-    // "[info]"-prefixed, which defeats line-oriented JSON parsers —
-    // the file is the clean artifact of record a change log can cite
-    // (copy it to BENCH_rNN_local.json and commit it).
+    // TWO artifact forms of the same run:
+    //  - the FULL line (quantiles, raw loads, extra, second scale
+    //    point) goes to the file — the artifact of record a change log
+    //    cites (copy to BENCH_rNN_local.json and commit);
+    //  - stdout gets a COMPACT line (medians, external residuals,
+    //    validity verdict, errors): the driver keeps only a bounded
+    //    tail of stdout (~2 KB — round 6's full line outgrew it and
+    //    the driver artifact's head was truncated into unparseability),
+    //    so the stdout form is sized to survive that window while
+    //    still carrying everything a cross-round comparison grades.
+    val fullLine =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part,$loadavgPart}"""
+    val compactLine =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$xloadPart$validPart$errPart,$loadavgPart}"""
+    println(compactLine)
     // Best-effort: an unwritable path must not mask the error summary
-    // and nonzero exit below (stdout already carries the line).
+    // and nonzero exit below (stdout already carries the compact line).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch {
       case e: Exception =>
         System.err.println(s"bench: could not write $outPath: $e")
     }
     spark.stop()
-    if (results.exists(_.err.isDefined)) {
+    if (allResults.exists(_.err.isDefined)) {
       System.err.println(
-        s"bench FAILED: ${results.count(_.err.isDefined)} queries threw — see 'errors' in the JSON line")
+        s"bench FAILED: ${allResults.count(_.err.isDefined)} queries threw — see 'errors' in the JSON line")
       sys.exit(1)
     }
   }

@@ -118,19 +118,26 @@ class BenchHarnessSpec extends SparkSpec {
     assert(l.raw >= 0.0)
     assert(l.external >= 0.0 && l.external <= l.raw + 1e-9)
 
-    // live estimator: spin 4 threads for ~1.2 s; the uniform-sampling
-    // daemon must observe a nonzero own-load (R-state threads exist
-    // while we spin, and the EWMA primes on its first observation)
-    val self = new Bench.SelfLoad
+    // live estimator: spin 4 threads, THEN construct the SelfLoad so
+    // its priming observation already sees R-state spinners — priming
+    // before the spin would anchor the 60 s-window EWMA near 0 and a
+    // ~1 s spin could not lift it past the assertion (a CI flake the
+    // round-6 advisor called out)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val spinners = (1 to 4).map { _ =>
       val th = new Thread(() => { var x = 0L; while (!stop.get()) { x += 1 } })
       th.setDaemon(true); th.start(); th
     }
-    Thread.sleep(1200)
-    val busy = self.current
-    stop.set(true)
-    spinners.foreach(_.join(1000))
-    assert(busy > 0.5, s"self-load during a 4-thread spin should be ≥ 1, got $busy")
+    Thread.sleep(100) // spinners provably running before priming
+    val self = new Bench.SelfLoad
+    try {
+      Thread.sleep(1200)
+      val busy = self.current
+      assert(busy > 0.5, s"self-load during a 4-thread spin should be ≥ 1, got $busy")
+    } finally {
+      self.close()
+      stop.set(true)
+      spinners.foreach(_.join(1000))
+    }
   }
 }

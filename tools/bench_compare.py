@@ -14,17 +14,36 @@ import re
 import sys
 
 
+def parse_tail(tail):
+    """Best-effort bench line from a bounded stdout tail: try every
+    '{"metric"' start with a balanced JSON decode and keep the LAST
+    one that parses — a head-truncated first line (the round-6
+    failure: the full line outgrew the driver's 2 KB window) must not
+    mask a complete later one."""
+    dec = json.JSONDecoder()
+    best = None
+    for m in re.finditer(r'\{"metric"', tail):
+        try:
+            obj, _ = dec.raw_decode(tail, m.start())
+            if "queries" in obj:
+                best = obj
+        except ValueError:
+            continue
+    return best
+
+
 def extract(path):
-    """Return the parsed bench line from a driver or local artifact."""
+    """Return the parsed bench line from a driver or local artifact.
+    Prefers the clean file forms (a local artifact IS the full bench
+    line; a driver artifact's `parsed` field) over scraping the
+    bounded stdout tail."""
     with open(path) as f:
         d = json.load(f)
     if "queries" in d:          # local artifact: already the bench line
         return d
     if d.get("parsed"):         # driver artifact with a working parser
         return d["parsed"]
-    tail = d.get("tail", "")
-    m = re.search(r'\{"metric".*\}', tail)
-    return json.loads(m.group(0)) if m else None
+    return parse_tail(d.get("tail", ""))
 
 
 def main():
