@@ -274,6 +274,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The engine's session default, not a bench trick: Spark's
+      // generated-class cache holds 100 entries, and one composed
+      // pipeline run alone emits more wholestage-codegen units than
+      // that, so EVERY run re-Janino-compiles and re-JITs the same
+      // sources (measured 6-8 s of compiler-thread time per
+      // q_pipeline_e2e repeat at steady state — the round-6 p90/p50
+      // spread of that query). 5000 entries holds the full operator
+      // catalog; measured effect: q_pipeline_e2e steady-state repeats
+      // 6.5-7.0 s -> 4.4-5.8 s and JIT churn 6-8 s -> 2-4 s per run
+      // (see CHANGES_r07.md). The same knob matters on a real
+      // cluster: the cache is per-executor JVM, and a long-lived
+      // session running this catalog cycles it just the same.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

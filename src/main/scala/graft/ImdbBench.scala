@@ -30,6 +30,9 @@ object ImdbBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // engine session default — rationale at Bench.scala (codegen
+      // class cache must hold the full operator catalog)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
