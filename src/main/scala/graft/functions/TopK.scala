@@ -27,10 +27,25 @@ object TopK {
 
     override def zero: Array[(Double, Long)] = Array.empty
 
+    // The buffer is maintained sorted best-first, so an accepted row is
+    // placed by binary search + shift: O(log k) compare, O(k) copy —
+    // not a full O(k log k) re-sort per accepted row (matters at large k).
     override def reduce(buf: Array[(Double, Long)], in: (Double, Long)): Array[(Double, Long)] =
-      if (buf.length < k) (buf :+ in).sortWith(better)
-      else if (better(in, buf(k - 1))) (buf.dropRight(1) :+ in).sortWith(better)
-      else buf
+      if (buf.length >= k && !better(in, buf(k - 1))) buf
+      else {
+        var lo = 0
+        var hi = buf.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (better(in, buf(mid))) hi = mid else lo = mid + 1
+        }
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[(Double, Long)](n)
+        System.arraycopy(buf, 0, out, 0, lo)
+        out(lo) = in
+        System.arraycopy(buf, lo, out, lo + 1, n - lo - 1)
+        out
+      }
 
     override def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
       (a ++ b).sortWith(better).take(k)
