@@ -483,6 +483,38 @@ object TextQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic weighted (priority) sample — k docs per source with
+    * inclusion biased toward heavier documents, via priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each doc draws u ∈ (0,1]
+    * from a salted 48-bit hash and is ranked by priority w/u; the k
+    * largest priorities per stratum win, so inclusion probability
+    * rises with w while membership stays rerun- and
+    * partitioning-stable. Here w = whitespace-token count — the
+    * "sample long documents proportionally more" policy a token-budget
+    * mixture wants; [[stratifiedSample]] is the unweighted twin.
+    * Cross-engine exact by construction: u = (h+1)/2^48 is a
+    * power-of-two division (no rounding), and ranking by w/u ≡ ranking
+    * by w/(h+1) — ONE correctly-rounded IEEE division of exact
+    * operands, so Spark and DuckDB order identically. (The classical
+    * exponential-key form u^(1/w) needs ln/pow, whose last-ulp
+    * rounding is math-library-specific — not safe to hash-match across
+    * engines.) Scale shape: same bounded-heap [[graft.functions.TopK]]
+    * as the stratified twin — map-side partial heaps, n_sources × k
+    * tuples shuffle, never a whole-stratum sort. */
+  private def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val h = conv(substring(
+      md5(concat(lit("prio|"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val scored = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (size(words(col("text"))).cast("double") /
+          (h + lit(1L)).cast("double")).as("priority"))
+    graft.functions.TopK.perKey(scored, "source", "priority", "doc_id", k)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Deterministic epoch upsampling — the other half of data mixing:
     * sources weighted ABOVE 1.0 are repeated, fractional weights
     * resolved per document by salted hash bucket (weight 2.25 → every
@@ -973,6 +1005,13 @@ object TextQueries {
       "SELECT source, doc_id FROM (" +
       "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
       "ORDER BY CAST('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id) AS rn " +
+      "FROM documents) t WHERE rn <= 20 ORDER BY source, doc_id")),
+    Q("q_weighted_sample", weightedSample, Some(
+      "SELECT source, doc_id FROM (" +
+      "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+      "ORDER BY CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / " +
+      "(CAST('0x' || substr(md5('prio|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1) DESC, " +
+      "doc_id) AS rn " +
       "FROM documents) t WHERE rn <= 20 ORDER BY source, doc_id")),
     Q("q_mixture_epochs", mixtureEpochs, Some(
       "WITH b AS (SELECT doc_id, source, " +

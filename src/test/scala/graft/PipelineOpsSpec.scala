@@ -105,6 +105,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q("q_stratified_sample").join(docs, "doc_id", "left_anti").count() == 0)
   }
 
+  test("q_weighted_sample: exact per-stratum counts, biased toward long docs") {
+    val docs = Tables.documents(spark, dir)
+    val r = q("q_weighted_sample")
+    val got = r.groupBy("source")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("nd"))
+    val want = docs.groupBy("source").agg(count(lit(1)).as("total"))
+    val bad = got.join(want, "source")
+      .filter(col("n") =!= least(lit(20), col("total")) || col("n") =!= col("nd"))
+    assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+    assert(r.join(docs, "doc_id", "left_anti").count() == 0)
+    // the point of the weighting: sampled docs are longer on average
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.words(col("text"))).as("w"))
+    val sampledMean =
+      r.join(toks, "doc_id").agg(avg("w")).head.getDouble(0)
+    val corpusMean = toks.agg(avg("w")).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean <= corpus mean $corpusMean")
+  }
+
   test("q_mixture_epochs: per-doc epochs contiguous, counts match the weight") {
     val r = q("q_mixture_epochs")
     val perDoc = r.groupBy("doc_id", "source")
