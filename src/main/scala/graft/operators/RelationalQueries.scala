@@ -404,6 +404,39 @@ object RelationalQueries {
           lit(0.02) * col("exact_parts")).as("approx_ok"))
       .orderBy("l_returnflag")
 
+  /** Approximate quantile sketch (percentile_approx, a GK-style
+    * mergeable summary — the single-pass, bounded-memory way to get
+    * tail latencies / price quantiles over 100 TB where an exact
+    * percentile needs a per-group sort), semantically checked like
+    * the HLL row: sketch internals differ across engines, but the
+    * contract — the approximate quantile lands inside the exact
+    * [p−5, p+5] rank window — is checkable in both. Each engine
+    * computes its own sketch AND the exact window bounds; the hashed
+    * row carries the (rounded) exact quantiles plus one boolean
+    * verdict per percentile, so the compare fails if EITHER engine's
+    * sketch drifts out of rank tolerance (Spark runs at accuracy
+    * 10000 ⇒ ~0.01% rank error; the ±5-point window is >100× that). */
+  private def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.45D, 0.5D, 0.55D, " +
+          "0.85D, 0.9D, 0.95D, 0.98D, 0.99D, 0.995D))").as("ex"),
+        expr("percentile_approx(l_extendedprice, " +
+          "array(0.5D, 0.9D, 0.99D), 10000)").as("ap"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ex"), 2), 4).as("p50"),
+        round(element_at(col("ex"), 5), 4).as("p90"),
+        round(element_at(col("ex"), 8), 4).as("p99"),
+        element_at(col("ap"), 1).between(
+          element_at(col("ex"), 1), element_at(col("ex"), 3)).as("ok_p50"),
+        element_at(col("ap"), 2).between(
+          element_at(col("ex"), 4), element_at(col("ex"), 6)).as("ok_p90"),
+        element_at(col("ap"), 3).between(
+          element_at(col("ex"), 7), element_at(col("ex"), 9)).as("ok_p99"))
+      .orderBy("l_returnflag")
+
   val all: Seq[Q] = Seq(
     Q("q_percentiles", percentiles, Some(
       "SELECT o_orderstatus, pcts[1] AS p50, pcts[2] AS p90, pcts[3] AS p99 FROM " +
@@ -439,6 +472,17 @@ object RelationalQueries {
       "abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) " +
       "<= 0.02 * count(DISTINCT l_partkey) AS approx_ok " +
       "FROM lineitem GROUP BY 1 ORDER BY 1")),
+    Q("q_approx_percentiles", approxPercentiles, Some(
+      "WITH g AS (SELECT l_returnflag, " +
+      "quantile_cont(l_extendedprice, [0.45, 0.5, 0.55, 0.85, 0.9, 0.95, 0.98, 0.99, 0.995]) AS ex, " +
+      "approx_quantile(l_extendedprice, [0.5, 0.9, 0.99]) AS ap " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, round(ex[2], 4) AS p50, round(ex[5], 4) AS p90, " +
+      "round(ex[8], 4) AS p99, " +
+      "ap[1] BETWEEN ex[1] AND ex[3] AS ok_p50, " +
+      "ap[2] BETWEEN ex[4] AND ex[6] AS ok_p90, " +
+      "ap[3] BETWEEN ex[7] AND ex[9] AS ok_p99 " +
+      "FROM g ORDER BY l_returnflag")),
     Q("q_scan_filter_project", scanFilterProject, Some(
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber")),
     Q("q_explode_split", explodeSplit, Some(
