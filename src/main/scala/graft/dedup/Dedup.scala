@@ -42,6 +42,39 @@ object Dedup {
     TextFunctions.lshCandidatePairs(bands, idCol)
   }
 
+  /** The corpus's LSH band-signature table — the PERSISTED index an
+    * incremental pipeline stores (snapshot/bucket it on (band, sig))
+    * so later increments never re-read corpus text. One row per
+    * (idCol, band) with the 32-char band digest; append an
+    * increment's own index rows after admitting it. */
+  def lshIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    TextFunctions.lshBands(
+      TextFunctions.minhashRows(
+        TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, k),
+      idCol, rowsPerBand)
+
+  /** Incremental near-dup: candidate pairs between a NEW increment and
+    * an EXISTING corpus represented ONLY by its stored [[lshIndex]]
+    * table. The daily-crawl shape at corpus scale: signature work is
+    * O(|increment|) — the corpus side is a table scan of 40-byte index
+    * rows, its text never re-read, never re-shingled — and the match
+    * is an equi-join on (band, sig), broadcastable whenever the
+    * increment is small. Returns (new_id, corpus_id) distinct; run
+    * jaccard/edit-distance verification on survivors, and append the
+    * increment's index rows for the next increment. Same recall
+    * semantics as [[lshCandidates]] restricted to cross pairs. */
+  def incrementalLsh(newDocs: DataFrame, idCol: String, textCol: String,
+      corpusIndex: DataFrame, shingleN: Int = 3, k: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val newBands = lshIndex(newDocs, idCol, textCol, shingleN, k, rowsPerBand)
+    newBands.select(col(idCol).as("new_id"), col("band"), col("sig"))
+      .join(corpusIndex.select(col(idCol).as("corpus_id"),
+        col("band"), col("sig")), Seq("band", "sig"))
+      .select("new_id", "corpus_id")
+      .distinct()
+  }
+
   /** Default document-frequency ceiling for shingle posting lists: a
     * shingle shared by more than this many documents is a
     * stop-shingle — it carries ~no dedup signal but quadratic pair

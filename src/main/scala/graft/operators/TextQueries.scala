@@ -96,6 +96,26 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup — the daily-crawl shape: the corpus is
+    * represented ONLY by its stored band-signature index
+    * ([[graft.dedup.Dedup.lshIndex]] — here built in-query, in
+    * production a persisted table bucketed on (band, sig)); the
+    * increment (every 5th doc id) is the only side that gets shingled
+    * and minhashed, and the match is an equi-join on band digests.
+    * At 100 TB the corpus side of that join is 40-byte index rows —
+    * its text is never re-read. The oracle recomputes BOTH sides'
+    * signatures from scratch and restricts to cross pairs, so a green
+    * row proves the stored-index path equals the recompute-everything
+    * path. */
+  private def incrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val index = graft.dedup.Dedup.lshIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    graft.dedup.Dedup.incrementalLsh(inc, "doc_id", "text", index)
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** MinHash Jaccard ESTIMATION over the LSH candidates — the middle
     * stage of the scale pipeline (band → estimate → exact-verify only
     * survivors): estimated J = fraction of agreeing signature
@@ -839,6 +859,14 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id " +
       "ORDER BY doc_a, doc_b")),
+    Q("q_incremental_lsh", incrementalLsh, Some(
+      minhashCte + ", " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh GROUP BY doc_id, k // 2) " +
+      "SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id FROM bands n " +
+      "JOIN bands c ON n.band = c.band AND n.sig = c.sig " +
+      "WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
+      "ORDER BY new_id, corpus_id")),
     Q("q_minhash_estimate", minhashEstimate, Some(
       minhashCte + ", " +
       "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +

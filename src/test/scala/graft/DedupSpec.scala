@@ -98,4 +98,26 @@ class DedupSpec extends SparkSpec {
       .filter(col("c") > 1)
     assert(dupSigs.filter(col("n") =!= 1).count() == 0)
   }
+
+  test("incremental LSH via a STORED index equals full-recompute cross pairs") {
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // the index survives a parquet roundtrip — the persisted-table path
+    val idxDir = java.nio.file.Files.createTempDirectory("lsh-idx").toString
+    Dedup.lshIndex(corpus, "doc_id", "text").write
+      .mode("overwrite").parquet(idxDir)
+    val viaIndex = Dedup.incrementalLsh(inc, "doc_id", "text",
+        spark.read.parquet(idxDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: recompute everything, restrict to cross pairs
+    val full = Dedup.lshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(viaIndex == cross,
+      s"index path ${viaIndex.size} pairs, recompute path ${cross.size}")
+    assert(viaIndex.nonEmpty, "sf0.1 plants cross-split near-dups")
+  }
 }
