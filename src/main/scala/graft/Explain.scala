@@ -12,7 +12,8 @@ object Explain {
       else Seq("q_scan_filter_project", "q_broadcast_join_agg",
         "q_shuffle_join_agg", "q_cosine_topk", "q_ngram_jaccard",
         "q_embed_neardup_lsh", "q_range_join_binned", "q_asof_join",
-        "q_tfidf", "q_pipeline_e2e", "q_stratified_sample")
+        "q_tfidf", "q_pipeline_e2e", "q_stratified_sample",
+        "q_weighted_sample", "q_approx_percentiles", "q_incremental_lsh")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
