@@ -366,9 +366,17 @@ object Bench {
     val sf2Dir = sys.env.get("SPARK_GRAFT_SF_DIR2")
       .orElse(Some(sfDir.replace("sf0.1", "sf0.01")))
       .filter(d => d != sfDir && new java.io.File(d).isDirectory)
-    sys.env.get("SPARK_GRAFT_SF_DIR2").filter(_ == sfDir).foreach(d =>
-      System.err.println(s"bench: SPARK_GRAFT_SF_DIR2=$d equals " +
-        "SPARK_GRAFT_SF_DIR — skipping the duplicate scale point"))
+    // an EXPLICIT second dir that gets dropped deserves a diagnostic:
+    // silently losing the scale point hides a typo'd path (the derived
+    // fallback may legitimately not exist — no warning there)
+    sys.env.get("SPARK_GRAFT_SF_DIR2").foreach { d =>
+      if (d == sfDir)
+        System.err.println(s"bench: SPARK_GRAFT_SF_DIR2=$d equals " +
+          "SPARK_GRAFT_SF_DIR — skipping the duplicate scale point")
+      else if (!new java.io.File(d).isDirectory)
+        System.err.println(s"bench: SPARK_GRAFT_SF_DIR2=$d is not a " +
+          "directory — skipping the second scale point (typo?)")
+    }
     val sf2Part = sf2Dir match {
       case Some(d) =>
         val r2 = measure(spark, d, headline, loadSampler = sampler)

@@ -110,9 +110,21 @@ object PipelineQueries {
     "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
     "FROM pk ORDER BY source, bin, doc_id, chunk_id"
 
-  /** Fixed sink location for the roundtrip gate row: the oracle SQL is
-    * a static string, so the path must be one both engines know. */
-  val sinkPath = "/tmp/graft_pipeline_sink"
+  /** Sink location for the roundtrip gate row: the oracle SQL is a
+    * static string, so the ROOT must be one both engines know; the
+    * per-scale SUBDIR (the sf directory's basename) keeps concurrent
+    * runs at different scales from clobbering each other between the
+    * Spark write and the driver's DuckDB read (a bench extras pass at
+    * sf0.1 racing a Verify gate at sf0.01 previously shared one
+    * directory). The oracle is pinned to the driver's gate scale. */
+  val sinkRoot = "/tmp/graft_pipeline_sink"
+  def sinkPath(sfDir: String): String =
+    s"$sinkRoot/${new java.io.File(sfDir).getName}"
+
+  /** The driver runs the correctness gate at sf0.01 (TESTDATA.md /
+    * driver contract) — the static oracle SQL reads that scale's
+    * subdir. */
+  private val gateSinkPath = s"$sinkRoot/sf0.01"
 
   /** Write → read-back roundtrip of the pipeline egress
     * ([[Curation.write]]): runs the full chain, ships it as the
@@ -123,15 +135,16 @@ object PipelineQueries {
     * foreign engine — content correctness of the chain itself is
     * `q_pipeline_e2e`'s independent recursive-CTE oracle. */
   private def pipelineSink(s: SparkSession, d: String): DataFrame = {
-    Curation.write(Curation.run(Tables.documents(s, d)), sinkPath)
-    s.read.parquet(sinkPath)
+    val dest = sinkPath(d)
+    Curation.write(Curation.run(Tables.documents(s, d)), dest)
+    s.read.parquet(dest)
       .select("source", "bin", "doc_id", "chunk_id", "n_tokens", "chunk_md5")
       .orderBy("source", "bin", "doc_id", "chunk_id")
   }
 
   private val pipelineSinkSql =
     "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
-    s"FROM read_parquet('$sinkPath/*/*.parquet', hive_partitioning=true) " +
+    s"FROM read_parquet('$gateSinkPath/*/*.parquet', hive_partitioning=true) " +
     "ORDER BY source, bin, doc_id, chunk_id"
 
   val all: Seq[Q] = Seq(

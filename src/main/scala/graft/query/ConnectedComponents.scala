@@ -88,6 +88,20 @@ object ConnectedComponents {
       }
       i += 1
     }
+    if (!converged) {
+      // `converged` was computed BEFORE the final iteration's pointer
+      // jump; the jump may have completed propagation, so re-test the
+      // true fixpoint (one neighbor-min probe) before condemning the
+      // labels — otherwise strict mode throws on correct results that
+      // converged via the last jump. Only runs on the maxIter boundary.
+      converged = sym
+        .join(labels, sym("src") === labels("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(min("component").as("nmin"))
+        .join(labels, Seq("vertex"))
+        .filter(col("nmin") < col("component"))
+        .isEmpty
+    }
     sym.unpersist()
     if (!converged && strict)
       throw new IllegalStateException(

@@ -39,25 +39,35 @@ object CurationStream {
       watermarkHours: Option[(String, Int)] = None): DataFrame = {
     val kept = Curation.qualityLangFilter(docs, cfg)
       .withColumn("digest", md5(col("text")))
-    watermarkHours match {
+    val deduped = watermarkHours match {
       case Some((tsCol, hours)) =>
         kept.withWatermark(tsCol, s"$hours hours")
           .dropDuplicatesWithinWatermark("digest")
       case None => kept.dropDuplicates("digest")
     }
+    // the digest is dedup-internal: shipped rows keep the batch
+    // pipeline's schema (no 32-byte-per-row artifact bloat, no schema
+    // drift between the stream and batch tables)
+    deduped.drop("digest")
   }
 
   /** Sink: append curated docs to `path` partitioned by source (the
-    * [[Curation.write]] layout), checkpointed for exactly-once. */
+    * [[Curation.write]] layout). Uses Spark's NATIVE file sink, not
+    * `foreachBatch` + blind append: the file sink commits each batch
+    * to its `_spark_metadata` manifest atomically, so a micro-batch
+    * replayed after a crash mid-append is NOT double-counted by
+    * readers (a blind append in foreachBatch is only at-least-once —
+    * the re-run batch lands twice). Spark readers follow the manifest;
+    * foreign engines reading the bare files see at-least-once on the
+    * crash path, exactly-once on any clean run. */
   def writeCurated(curated: DataFrame, path: String,
       checkpoint: String): StreamingQuery =
     curated
       .writeStream
+      .format("parquet")
+      .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          batch.write.mode("append").partitionBy("source").parquet(path)
-      }
+      .partitionBy("source")
+      .outputMode("append")
       .start()
 }

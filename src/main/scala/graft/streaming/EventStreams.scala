@@ -106,20 +106,22 @@ object EventStreams {
     * date-partitioned parquet table (the standard landing-zone shape —
     * readers prune on the partition column; see
     * [[graft.sources.ImdbTsv.snapshotPartitioned]] for the batch
-    * form). foreachBatch is the right tool because the partitioned
-    * append is a plain batch write Spark's file streaming sink cannot
-    * express with dynamic partition columns + custom layout control.
-    * Exactly-once comes from the checkpoint: a replayed batch id is
-    * skipped by the caller-visible batchId contract. */
+    * form). Uses Spark's NATIVE file sink — each batch commits to the
+    * `_spark_metadata` manifest atomically, so a micro-batch replayed
+    * after a crash mid-write is not double-counted by readers. (An
+    * earlier foreachBatch + blind-append form was only at-least-once
+    * on that crash path: the re-run batch landed twice with nothing
+    * skipping the duplicate.) */
   def writePartitionedStream(events: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events
       .withColumn("day", to_date(col("ts")))
       .writeStream
+      .format("parquet")
+      .option("path", path)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").partitionBy("day").parquet(path)
-      }
+      .partitionBy("day")
+      .outputMode("append")
       .start()
 
   final case class Ev(user_id: Long, tsUs: Long, value: Double)
@@ -134,20 +136,31 @@ object EventStreams {
   /** Shared fold of one group's arrivals into the session state: sort
     * by time, close a session at every >30-min gap, leave the open
     * session in `state`. Returns the CLOSED sessions. Both sessionize
-    * variants run exactly this, so their gap semantics cannot drift. */
+    * variants run exactly this, so their gap semantics cannot drift.
+    *
+    * `timeSid`: sid = the session's start timestamp instead of a
+    * per-user counter. The counter lives in the state entry, so any
+    * variant that REMOVES state (the idle flush) would restart a
+    * returning user at sid 0 and emit duplicate (user_id, sid) keys;
+    * start-timestamp sids are unique for a user forever (sessions are
+    * time-disjoint and a session's start is one of its event times)
+    * without keeping anything after the flush. */
   private def foldSessions(user: Long, arrivals: Seq[(Long, Double)],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[SessionState],
+      timeSid: Boolean = false): Iterator[Session] = {
     val sorted = arrivals.sortBy(_._1)
     var cur = state.getOption.orNull
     val closed = Seq.newBuilder[Session]
     var nextSid = if (cur == null) 0L else cur.sid
+    def sidFor(counter: Long, startUs: Long): Long =
+      if (timeSid) startUs else counter
     sorted.foreach { case (tsUs, value) =>
       if (cur == null) {
-        cur = SessionState(nextSid, tsUs, tsUs, 1L, value)
+        cur = SessionState(sidFor(nextSid, tsUs), tsUs, tsUs, 1L, value)
       } else if (tsUs - cur.lastUs > gapUs) {
         closed += Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value)
         nextSid = cur.sid + 1
-        cur = SessionState(nextSid, tsUs, tsUs, 1L, value)
+        cur = SessionState(sidFor(nextSid, tsUs), tsUs, tsUs, 1L, value)
       } else {
         cur = cur.copy(lastUs = tsUs, n = cur.n + 1, value = cur.value + value)
       }
@@ -196,7 +209,14 @@ object EventStreams {
     * `watermarkDelay` (late-data allowance) must stay below the 30-min
     * gap: the flush timestamp `last + gap` is then always ahead of the
     * watermark when armed, and a flushed session can never be
-    * contradicted by an admissible late event. */
+    * contradicted by an admissible late event.
+    *
+    * `sid` here is the session's START TIMESTAMP (micros), not the
+    * per-user counter [[sessionize]] uses: the flush REMOVES the state
+    * entry that carries the counter, so a returning user would restart
+    * at sid 0 and collide with their own earlier sessions; start-time
+    * sids stay unique for the user's whole lifetime with zero retained
+    * state. */
   def sessionizeIdleFlush(events: Dataset[Ev],
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -217,7 +237,7 @@ object EventStreams {
               Session(user, cur.sid, cur.n, cur.startUs, cur.lastUs, cur.value))
           } else {
             val out = foldSessions(user,
-              evs.map(e => (e.tsUs, e.value)).toSeq, state)
+              evs.map(e => (e.tsUs, e.value)).toSeq, state, timeSid = true)
             // (re)arm the flush for the open session; max() guards the
             // engine's timeout>watermark requirement against a
             // just-inside-the-delay late event

@@ -54,6 +54,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(lax.count() == 41)
   }
 
+  test("strict mode does NOT throw when the final iteration's jump converges") {
+    // 5-vertex chain, maxIter=2: the i=1 neighbor step still reports
+    // changes (converged=false) but the i=1 pointer jump completes
+    // propagation — the boundary re-check must recognize the fixpoint
+    // instead of condemning correct labels
+    val chain = (0L until 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.run(chain, "a", "b", maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 5)
+  }
+
   test("dedupClusters keeps exactly one survivor per duplicate cluster") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
     val pairs = graft.dedup.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)

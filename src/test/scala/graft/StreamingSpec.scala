@@ -204,14 +204,24 @@ class StreamingSpec extends SparkSpec {
       // ...and the NEXT trigger fires the expired timeout
       in.addData(EventStreams.Ev(8L, 7210 * us, 1.0))
       q.processAllAvailable()
+      // user 7 RETURNS after the flush discarded their state; the new
+      // session must not reuse an old sid (start-timestamp sids)
+      in.addData(EventStreams.Ev(7L, 9000 * us, 4.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Ev(8L, 14000 * us, 1.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.Ev(8L, 14010 * us, 1.0))
+      q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sess_idle")
-      .filter(col("user_id") === 7L)
-      .collect().map(r => (r.getAs[Long]("n_events"),
+      .filter(col("user_id") === 7L).orderBy("session_start")
+      .collect().map(r => (r.getAs[Long]("sid"), r.getAs[Long]("n_events"),
         r.getAs[Long]("session_end"), r.getAs[Double]("session_value")))
-    assert(got.toSeq == Seq((2L, 1010 * us, 3.0)),
-      s"idle user's open session must be flushed exactly once, got ${got.toSeq}")
-    // user 8's session stayed open (still inside the watermark horizon)
-    assert(spark.table("sess_idle").filter(col("user_id") === 8L).isEmpty)
+    assert(got.toSeq == Seq(
+      (1000 * us, 2L, 1010 * us, 3.0),
+      (9000 * us, 1L, 9000 * us, 4.0)),
+      s"flushed sessions must carry unique start-time sids, got ${got.toSeq}")
+    assert(got.map(_._1).distinct.length == got.length,
+      "a returning user must never collide with their own earlier sid")
   }
 }
