@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.multimodal.Multimodal
+import graft.sources.Tables
 
 /** Multimodal-column operators (see [[graft.multimodal.Multimodal]]):
   * metadata extraction is oracle-checked; the decode/feature pipeline
@@ -91,8 +92,49 @@ object MultimodalQueries {
     "CAST(CASE WHEN corrupt THEN 0 ELSE rgb % 256 END AS INT) AS mean_b " +
     "FROM d ORDER BY doc_id"
 
+  /** Frame sampling from an opaque video-shaped binary column — the
+    * multimodal operation a training pipeline runs on video payloads:
+    * ONE binary column holds all frames; the engine slices every k-th
+    * frame out by byte offset (substring on BinaryType — scan-stage,
+    * no UDF, the payload never leaves the executor as anything but
+    * the sampled slices) and fingerprints each sampled frame. The
+    * synthetic payload is deterministic (frame f of doc = 32 bytes of
+    * `(doc_id·31 + f·7) mod 256`), so the DuckDB oracle reconstructs
+    * each EXPECTED sampled frame independently and md5-compares — a
+    * one-byte slicing error in the Spark side mismatches every hash.
+    * At scale the same plan applies per 100 MB payload: offsets are
+    * metadata arithmetic; only sampled frames materialize. */
+  private def frameSample(s: SparkSession, d: String): DataFrame = {
+    val nFrames = 12; val frameBytes = 32; val every = 3
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+      .orderBy("doc_id").limit(200)
+    // build the "video": concat of per-frame 32-byte solid payloads
+    val frameHex = (f: Int) =>
+      lpad(hex((col("doc_id") * 31 + lit(f) * 7) % 256), 2, "0")
+    val payload = unhex(concat(
+      (0 until nFrames).map(f => repeat(frameHex(f), frameBytes)): _*))
+    ids.withColumn("payload", payload)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), lit(nFrames - 1), lit(every)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // fingerprint the sliced frame via its hex encoding (DuckDB's
+        // md5 is VARCHAR-only); the BINARY slicing itself stays on
+        // this side — a one-byte offset error still flips every hash
+        md5(lower(hex(expr(s"substring(payload, " +
+          s"frame_idx * $frameBytes + 1, $frameBytes)")))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val frameSampleSql =
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200) " +
+    "SELECT doc_id, CAST(f AS INT) AS frame_idx, " +
+    "md5(repeat(lower(lpad(to_hex((doc_id * 31 + f * 7) % 256), 2, '0')), 32)) AS frame_md5 " +
+    "FROM ids, range(0, 12, 3) t(f) ORDER BY doc_id, frame_idx"
+
   val all: Seq[Q] = Seq(
     Q("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
+    Q("q_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q_media_meta", mediaMeta, Some(
       "SELECT doc_id, 'text/plain' AS mime, " +
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
