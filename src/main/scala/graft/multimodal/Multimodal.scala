@@ -94,6 +94,59 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize via an exact integer box filter (no
+    * `getScaledInstance` / `AreaAveraging` — their rounding is
+    * implementation-defined; this must be bit-deterministic across
+    * JVMs for the gate). Decodes, downsamples to at most
+    * `tw × th` (never upsamples), and emits
+    * [outW, outH, mean R, mean G, mean B] of the RESIZED image, each
+    * mean the truncating integer average over exact block sums — the
+    * thumbnail/feature-prep step of a media pipeline, through the
+    * same partition-batched [[extractFeatures]] plumbing as decode.
+    * Undecodable payloads yield the zero vector ([[ImageCodec]]
+    * semantics). `ImageResizeSpec` pins block-exact averages on a
+    * checkerboard and the no-upsample rule. */
+  final case class ImageResizeCodec(tw: Int, th: Int) extends Codec {
+    val dim = 5
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) new Array[Float](dim)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val ow = math.min(w, tw)
+        val oh = math.min(h, th)
+        var r = 0L; var g = 0L; var b = 0L
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            // exact pixel block [x0,x1) × [y0,y1) of this output cell
+            val x0 = ox * w / ow; val x1 = (ox + 1) * w / ow
+            val y0 = oy * h / oh; val y1 = (oy + 1) * h / oh
+            var br = 0L; var bg = 0L; var bb = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = img.getRGB(x, y)
+                br += (p >> 16) & 0xff; bg += (p >> 8) & 0xff; bb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = ((x1 - x0).toLong * (y1 - y0)).max(1L)
+            r += br / n; g += bg / n; b += bb / n
+            ox += 1
+          }
+          oy += 1
+        }
+        val cells = (ow.toLong * oh).toFloat
+        Array(ow.toFloat, oh.toFloat, r / cells, g / cells, b / cells)
+      }
+    }
+  }
+
   /** Wrap the documents table as fake media rows: utf-8 payload bytes +
     * deterministic metadata (the schema/partitioning shape of a real
     * image table). */

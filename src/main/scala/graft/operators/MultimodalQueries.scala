@@ -92,6 +92,38 @@ object MultimodalQueries {
     "CAST(CASE WHEN corrupt THEN 0 ELSE rgb % 256 END AS INT) AS mean_b " +
     "FROM d ORDER BY doc_id"
 
+  /** REAL image resize under the gate: the same executor-encoded PNGs
+    * as [[mediaDecode]], pushed through
+    * [[Multimodal.ImageResizeCodec]]'s exact integer box filter
+    * (deterministic by construction — no library scaler whose rounding
+    * varies) to at most 4×4. Solid fills make the resized means an
+    * exact integer function of doc_id and the dims `min(w, 4)` /
+    * `min(h, 4)`, so the DuckDB oracle is pure arithmetic; the
+    * pixel-level pooling math is pinned separately on non-uniform
+    * images by `ImageResizeSpec`. */
+  private def mediaResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticPngs(s, d),
+        codec = Multimodal.ImageResizeCodec(4, 4)).toDF()
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        element_at(col("features"), 3).cast("int").as("mean_r"),
+        element_at(col("features"), 4).cast("int").as("mean_g"),
+        element_at(col("features"), 5).cast("int").as("mean_b"))
+      .orderBy("doc_id")
+
+  private val mediaResizeSql =
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), " +
+    "d AS (SELECT doc_id, doc_id % 50 = 49 AS corrupt, " +
+    "(doc_id * 2654435761) // 256 % 16777216 AS rgb FROM ids) " +
+    "SELECT doc_id, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE LEAST(doc_id % 16 + 1, 4) END AS INT) AS width, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE LEAST(doc_id % 8 + 1, 4) END AS INT) AS height, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb // 65536 END AS INT) AS mean_r, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb // 256 % 256 END AS INT) AS mean_g, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE rgb % 256 END AS INT) AS mean_b " +
+    "FROM d ORDER BY doc_id"
+
   /** Frame sampling from an opaque video-shaped binary column — the
     * multimodal operation a training pipeline runs on video payloads:
     * ONE binary column holds all frames; the engine slices every k-th
@@ -134,6 +166,7 @@ object MultimodalQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
+    Q("q_media_resize", mediaResize, Some(mediaResizeSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q_media_meta", mediaMeta, Some(
       "SELECT doc_id, 'text/plain' AS mime, " +
