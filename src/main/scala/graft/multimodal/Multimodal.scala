@@ -147,6 +147,96 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (in every JDK — zero
+    * added dependencies): WAV/AIFF bytes → [sample rate, frame count,
+    * RMS amplitude, zero-crossing count, peak amplitude] over 16-bit
+    * signed PCM, honoring the container's declared endianness.
+    * Undecodable payloads and unsupported formats (non-16-bit,
+    * multichannel) yield the zero vector ([[ImageCodec]] semantics) —
+    * at corpus scale a bad blob must not kill the task. RMS uses exact
+    * integer square sums (a square wave of amplitude A reads back
+    * exactly A, which is what lets the gate hash-check this against
+    * pure arithmetic); `AudioCodecSpec` pins the waveform math on
+    * non-uniform samples and the big-endian (AIFF) path. */
+  object AudioCodec extends Codec {
+    val dim = 5
+    def decode(bytes: Array[Byte]): Array[Float] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          new Array[Float](dim)
+        else {
+          val data = in.readAllBytes()
+          in.close()
+          val n = data.length / 2
+          var sumSq = 0.0
+          var peak = 0
+          var crossings = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s =
+              if (fmt.isBigEndian) (data(2 * i) << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > 0 && (s < 0) != (prev < 0)) crossings += 1
+            prev = s
+            i += 1
+          }
+          Array(fmt.getSampleRate, n.toFloat,
+            math.sqrt(sumSq / math.max(n, 1)).toFloat,
+            crossings.toFloat, peak.toFloat)
+        }
+      } catch { case _: Exception => new Array[Float](dim) }
+  }
+
+  /** Deterministic REAL-WAV media table derived from the documents
+    * table's ids: each row's payload is an actual RIFF/WAVE file
+    * encoded on the executors (`javax.sound.sampled`) holding a 16-bit
+    * PCM square wave whose frame count, half-period and amplitude are
+    * integer functions of doc_id — so RMS equals the amplitude EXACTLY
+    * and zero crossings are `(n-1) div p`, giving `q_audio_features` a
+    * pure-arithmetic DuckDB oracle over a real encode → decode path.
+    * Every 50th row is a deliberately corrupt non-audio blob. */
+  def syntheticWavs(s: SparkSession, dir: String,
+      limit: Int = 200): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).orderBy("doc_id")
+      .limit(limit).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 50L == 49L) // corrupt blob: must decode to zeros
+            MediaRow(id, Array[Byte](7, 7, (id % 127).toByte),
+              MediaMeta("application/octet-stream", 3L, 0, 0))
+          else {
+            val n = ((id % 64L).toInt + 1) * 8 // frames
+            val p = (id % 4L).toInt + 1        // half-period in frames
+            val a = 1000 + (id % 100L).toInt   // amplitude
+            val pcm = new Array[Byte](n * 2)   // little-endian 16-bit
+            var i = 0
+            while (i < n) {
+              val v = if ((i / p) % 2 == 0) a else -a
+              pcm(2 * i) = (v & 0xff).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+            val bytes = out.toByteArray
+            MediaRow(id, bytes, MediaMeta("audio/wav", bytes.length.toLong, 0, 0))
+          }
+        }
+      }
+  }
+
   /** Wrap the documents table as fake media rows: utf-8 payload bytes +
     * deterministic metadata (the schema/partitioning shape of a real
     * image table). */

@@ -124,6 +124,40 @@ object MultimodalQueries {
     "CAST(CASE WHEN corrupt THEN 0 ELSE rgb % 256 END AS INT) AS mean_b " +
     "FROM d ORDER BY doc_id"
 
+  /** REAL audio decode under the gate: executor-encoded RIFF/WAVE
+    * square waves ([[Multimodal.syntheticWavs]]) through
+    * [[Multimodal.AudioCodec]] (`javax.sound.sampled`) via the same
+    * partition-batched `extractFeatures` plumbing as the image rows.
+    * Square-wave construction makes every feature an exact integer:
+    * RMS = amplitude, zero crossings = (n−1) div half-period, peak =
+    * amplitude — so the DuckDB oracle is pure arithmetic and a one-
+    * sample decode error (endianness, off-by-one frame, header bytes
+    * misread as PCM) flips the hash. Corrupt blobs must come back as
+    * the documented zero vector. */
+  private def audioFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticWavs(s, d),
+        codec = Multimodal.AudioCodec).toDF()
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("sample_rate"),
+        element_at(col("features"), 2).cast("int").as("n_frames"),
+        element_at(col("features"), 3).cast("int").as("rms"),
+        element_at(col("features"), 4).cast("int").as("zero_crossings"),
+        element_at(col("features"), 5).cast("int").as("peak"))
+      .orderBy("doc_id")
+
+  private val audioFeaturesSql =
+    "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), " +
+    "d AS (SELECT doc_id, doc_id % 50 = 49 AS corrupt, " +
+    "(doc_id % 64 + 1) * 8 AS n, doc_id % 4 + 1 AS p, " +
+    "1000 + doc_id % 100 AS a FROM ids) " +
+    "SELECT doc_id, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE 8000 END AS INT) AS sample_rate, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE n END AS INT) AS n_frames, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE a END AS INT) AS rms, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE (n - 1) // p END AS INT) AS zero_crossings, " +
+    "CAST(CASE WHEN corrupt THEN 0 ELSE a END AS INT) AS peak " +
+    "FROM d ORDER BY doc_id"
+
   /** Frame sampling from an opaque video-shaped binary column — the
     * multimodal operation a training pipeline runs on video payloads:
     * ONE binary column holds all frames; the engine slices every k-th
@@ -167,6 +201,7 @@ object MultimodalQueries {
   val all: Seq[Q] = Seq(
     Q("q_media_decode", mediaDecode, Some(mediaDecodeSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),
+    Q("q_audio_features", audioFeatures, Some(audioFeaturesSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q_media_meta", mediaMeta, Some(
       "SELECT doc_id, 'text/plain' AS mime, " +
