@@ -336,6 +336,56 @@ object TextQueries {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .orderBy("doc_a", "doc_b")
 
+  /** ExactSubstr-style duplicated-span accounting (the substring-level
+    * dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): a 4-word window whose hash also occurs
+    * in an EARLIER document (smaller doc_id — the same keep-first rule
+    * as the exact-dedup stage) is a duplicated span, and its 4 token
+    * positions count as duplicated text. Per document: total tokens,
+    * duplicated-window count, and the number of token positions
+    * covered by ≥ 1 duplicated window (overlapping spans merged) —
+    * exactly what a substring-cut pass would remove. Scale shape: only
+    * (hash, doc_id, pos) longs cross the exchanges — text never leaves
+    * the scan stage; the first-occurrence reduction is a map-side
+    * partial min (skew-safe on hot boilerplate 4-grams); and the
+    * merged cover is a running-max window fused into the SAME doc_id
+    * pass as the counts — O(1) state per row, no position explode, no
+    * second aggregate-join. */
+  def substrDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = windowHashesOf(docs)
+      .select(col("doc_id"), (size(col("whs")) + 3).as("n_tokens"),
+        posexplode(col("whs")).as(Seq("i", "wh")))
+      .withColumn("pos", col("i") + 1)
+    // first occurrence per window hash as groupBy+join, NOT a window
+    // over wh: the partial (map-side) min collapses a hot boilerplate
+    // 4-gram before the exchange, where a window would buffer the
+    // whole hot group in one task
+    val firstDoc = pos.groupBy("wh").agg(min("doc_id").as("first_doc"))
+    val dup = col("first_doc") < col("doc_id")
+    // merged-interval cover in the SAME pass as the window count: each
+    // duplicated window spans tokens [pos, pos+3]; its new-cover
+    // contribution is the span end minus the running max end of the
+    // doc's earlier duplicated spans (overlaps subtract themselves) —
+    // no explode of covered positions, no second aggregate-join
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevEnd = max(when(dup, col("pos") + 3)).over(byDoc)
+    val contrib = when(dup, greatest(
+      col("pos") + 3 - greatest(col("pos") - 1, coalesce(prevEnd, lit(0))),
+      lit(0))).otherwise(0)
+    pos.join(firstDoc, "wh")
+      .withColumn("contrib", contrib)
+      .groupBy("doc_id")
+      .agg(max("n_tokens").cast("int").as("n_tokens"),
+        sum(when(dup, 1).otherwise(0)).cast("int").as("dup_windows"),
+        sum("contrib").cast("int").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private def substrDedup(s: SparkSession, d: String): DataFrame =
+    substrDedupOf(Tables.documents(s, d))
+
   /** Deterministic train/val/test split assignment: bucket 0-99 from
     * the leading 16 bits of md5(doc_id), 80/10/10 split. The property a
     * training pipeline needs is REPRODUCIBILITY — the same document
@@ -349,6 +399,33 @@ object TextQueries {
       .select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
           .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle into fixed training shards — the
+    * data-loader prep step after curation: every document gets a
+    * reproducible shard (salted md5 mod 8) and a dense 0-based
+    * position within its shard, ordered by a SECOND independent
+    * salted hash (within-shard order decorrelated from ids and from
+    * the shard hash) with doc_id as the total tiebreak. The property
+    * a trainer needs is a byte-reproducible epoch order on any
+    * cluster size — a `rand()` shuffle can't give that, and
+    * `zipWithIndex` imposes a global order barrier. Plan: ONE hash
+    * exchange on `shard` + per-shard sort (row_number window); at
+    * 100 TB each shard streams through an external sort — there is
+    * never a single-partition global order. */
+  private def shardShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def h(salt: String, digits: Int) = conv(substring(
+      md5(concat(lit(salt), col("doc_id").cast("string"))), 1, digits), 16, 10)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (h("shard|", 4).cast("int") % 8).as("shard"),
+        h("ord|", 8).cast("long").as("ord"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id")))
+        .cast("int") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
   }
 
@@ -930,6 +1007,14 @@ object TextQueries {
       "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM " +
       "(SELECT doc_id, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) " +
       "% 100 AS INT) AS bucket FROM documents) t ORDER BY doc_id")),
+    Q("q_shard_shuffle", shardShuffle, Some(
+      "WITH t AS (SELECT doc_id, " +
+      "CAST(CAST('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 8 AS INT) AS shard, " +
+      "CAST('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ord " +
+      "FROM documents) " +
+      "SELECT doc_id, shard, CAST(row_number() OVER " +
+      "(PARTITION BY shard ORDER BY ord, doc_id) - 1 AS INT) AS pos " +
+      "FROM t ORDER BY doc_id")),
     Q("q_tfidf", tfidf, Some(
       "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
       "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2), " +
@@ -993,6 +1078,24 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
       "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
+    Q("q_substr_dedup", substrDedup, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, len(w) AS n_tokens, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h0 AS (SELECT doc_id, n_tokens, unnest(list_transform(range(1, len(us) - 2), " +
+      "i -> {'pos': i, 'wh': us[i]*2248091 + us[i+1]*17161 + us[i+2]*131 + us[i+3]})) AS s FROM u), " +
+      "h AS (SELECT doc_id, n_tokens, s.pos AS pos, s.wh AS wh FROM h0), " +
+      "f AS (SELECT wh, min(doc_id) AS first_doc FROM h GROUP BY wh), " +
+      "dup AS (SELECT h.doc_id, h.pos FROM h JOIN f USING (wh) WHERE f.first_doc < h.doc_id), " +
+      "dw AS (SELECT doc_id, count(*) AS dup_windows FROM dup GROUP BY doc_id), " +
+      "cov AS (SELECT doc_id, count(DISTINCT pos + o) AS dup_tokens " +
+      "FROM dup, unnest([0,1,2,3]) t(o) GROUP BY doc_id) " +
+      "SELECT u.doc_id, CAST(u.n_tokens AS INT) AS n_tokens, " +
+      "CAST(coalesce(dw.dup_windows, 0) AS INT) AS dup_windows, " +
+      "CAST(coalesce(cov.dup_tokens, 0) AS INT) AS dup_tokens " +
+      "FROM u LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id) " +
+      "ORDER BY doc_id")),
     Q("q_edit_distance", editDistance, Some(
       minhashCte + ", " +
       "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextQueries
+
+/** Structural invariants for the substring-dedup accounting and the
+  * deterministic shard shuffle — the oracle rows pin cross-engine
+  * equality; these pin the semantics themselves (span merging, cover
+  * bounds, positional density) on crafted inputs, so an edit that
+  * changes BOTH engines at once still fails. */
+class SubstrShardSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) = Catalog.byName(name).fn(spark, dir)
+
+  test("q_substr_dedup: crafted overlaps count merged covers, keep-first exempts the earliest doc") {
+    import spark.implicits._
+    // doc 1 is first: nothing to blame. doc 2 repeats doc 1's full
+    // "c d e f" window once (1 window, 4 tokens). doc 3 shares the two
+    // overlapping windows "a b c d" / "b c d e": merged cover = 5
+    // tokens, NOT 8. doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e f"),
+      (3L, "a b c d e"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val got = TextQueries.substrDedupOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ((6, 0, 0)), s"first doc exempt: ${got(1L)}")
+    assert(got(2L) == ((6, 1, 4)), s"single span: ${got(2L)}")
+    assert(got(3L) == ((5, 2, 5)), s"merged overlap: ${got(3L)}")
+    assert(got(4L) == ((5, 0, 0)), s"no overlap: ${got(4L)}")
+  }
+
+  test("q_substr_dedup: cover bounds hold corpus-wide and the earliest doc has none") {
+    val df = q("q_substr_dedup").cache()
+    try {
+      val bad = df.filter(
+        (col("dup_windows") > 0 &&
+          (col("dup_tokens") < col("dup_windows") + 3 ||
+           col("dup_tokens") > col("dup_windows") * 4)) ||
+        col("dup_tokens") > col("n_tokens") ||
+        col("dup_windows") > col("n_tokens") - 3)
+      assert(bad.count() == 0, bad.limit(5).collect().mkString("\n"))
+      val firstId = df.agg(min("doc_id")).head.getLong(0)
+      val firstRow = df.filter(col("doc_id") === firstId).head
+      assert(firstRow.getInt(2) == 0,
+        "the globally earliest doc can have no earlier duplicate")
+    } finally df.unpersist()
+  }
+
+  test("q_shard_shuffle: a permutation — dense 0-based positions per shard, every doc once") {
+    val df = q("q_shard_shuffle").cache()
+    try {
+      val n = df.count()
+      assert(df.select("doc_id").distinct().count() == n)
+      assert(df.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+      val perShard = df.groupBy("shard").agg(
+        count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      val bad = perShard.filter(
+        col("lo") =!= 0 || col("hi") =!= col("n") - 1 || col("d") =!= col("n"))
+      assert(bad.count() == 0, bad.collect().mkString("\n"))
+      // reproducibility: a second independent evaluation is identical
+      assert(q("q_shard_shuffle").except(df).count() == 0)
+    } finally df.unpersist()
+  }
+}
