@@ -99,14 +99,18 @@ object Multimodal {
     * implementation-defined; this must be bit-deterministic across
     * JVMs for the gate). Decodes, downsamples to at most
     * `tw × th` (never upsamples), and emits
-    * [outW, outH, mean R, mean G, mean B] of the RESIZED image, each
-    * mean the truncating integer average over exact block sums — the
-    * thumbnail/feature-prep step of a media pipeline, through the
-    * same partition-batched [[extractFeatures]] plumbing as decode.
+    * [outW, outH, mean R, mean G, mean B] of the RESIZED image — each
+    * output cell's value is the TRUNCATING integer average of its
+    * exact pixel block, and the emitted mean is the float average of
+    * those integer cells (integer only when cells agree, e.g. solid
+    * fills) — the thumbnail/feature-prep step of a media pipeline,
+    * through the same partition-batched [[extractFeatures]] plumbing
+    * as decode.
     * Undecodable payloads yield the zero vector ([[ImageCodec]]
     * semantics). `ImageResizeSpec` pins block-exact averages on a
     * checkerboard and the no-upsample rule. */
   final case class ImageResizeCodec(tw: Int, th: Int) extends Codec {
+    require(tw >= 1 && th >= 1, s"target dims must be positive: $tw x $th")
     val dim = 5
     def decode(bytes: Array[Byte]): Array[Float] = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -287,13 +287,17 @@ object TextQueries {
     * arithmetic end to end, so engine-exact. */
   def windowHashesOf(docs: DataFrame): DataFrame = {
     val B1 = 131L; val B2 = 17161L; val B3 = 2248091L  // 131^1..131^3
-    def wordHash(w: Column): Column =
-      (1 to 8).map(j => ascii(substring(md5(w), j, 1)) * lit(j)).reduce(_ + _)
+    // nested transform: md5 once per word, then fold its hex head —
+    // as a single lambda the 8 substring terms would each hold their
+    // OWN md5(w) instance, and HOF lambdas evaluate interpreted with
+    // no common-subexpression elimination → 8 digests per word
+    def hexFold(h: Column): Column =
+      (1 to 8).map(j => ascii(substring(h, j, 1)) * lit(j)).reduce(_ + _)
         .cast("long")
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 4)
-      .withColumn("us", transform(col("w"), wordHash(_)))
+      .withColumn("us", transform(transform(col("w"), md5(_)), hexFold(_)))
       .withColumn("whs", transform(
         sequence(lit(1), size(col("us")) - 3),
         i => element_at(col("us"), i) * B3 +
@@ -347,13 +351,21 @@ object TextQueries {
     * exactly what a substring-cut pass would remove. Scale shape: only
     * (hash, doc_id, pos) longs cross the exchanges — text never leaves
     * the scan stage; the first-occurrence reduction is a map-side
-    * partial min (skew-safe on hot boilerplate 4-grams); and the
+    * partial min (skew-safe on hot boilerplate 4-grams); the
     * merged cover is a running-max window fused into the SAME doc_id
     * pass as the counts — O(1) state per row, no position explode, no
-    * second aggregate-join. */
-  def substrDedupOf(docs: DataFrame): DataFrame = {
+    * second aggregate-join; and the tokenize+hash projection is
+    * lineage-cut ([[graft.query.Checkpoints.cut]], the `Curation`
+    * boundary rule) because BOTH sides of the first-occurrence join
+    * derive from it — without the cut the corpus is scanned, split
+    * and md5-hashed twice per query. The cut stores the NARROW
+    * (doc_id, hashes) frame, ~8 bytes/token, not the 5-column
+    * exploded position table. */
+  def substrDedupOf(docs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = windowHashesOf(docs)
+    val whs = graft.query.Checkpoints.cut(windowHashesOf(docs), checkpointDir)
+    val pos = whs
       .select(col("doc_id"), (size(col("whs")) + 3).as("n_tokens"),
         posexplode(col("whs")).as(Seq("i", "wh")))
       .withColumn("pos", col("i") + 1)
@@ -385,6 +397,98 @@ object TextQueries {
 
   private def substrDedup(s: SparkSession, d: String): DataFrame =
     substrDedupOf(Tables.documents(s, d))
+
+  /** Substring-cut transform — the EXECUTION of the [[substrDedupOf]]
+    * accounting (Lee et al. 2021's ExactSubstr removal): every token
+    * position covered by a window duplicated from an EARLIER document
+    * is cut, and the cleaned document is emitted (kept-token count +
+    * md5 fingerprint of the re-joined text, so the gate hash pins the
+    * exact surviving byte sequence, not just counts). By construction
+    * `kept_tokens = n_tokens − dup_tokens` of the accounting row —
+    * the two operators cross-check each other. Scale shape: the hash
+    * side is identical to [[substrDedupOf]] (longs only across the
+    * wide exchanges, map-side-partial first-occurrence min); the cut
+    * itself needs tokens and duplicated-span starts co-located, which
+    * costs ONE exchange of the token arrays keyed by doc_id (or none,
+    * when the starts table — only docs that HAVE duplicated spans —
+    * is small enough to broadcast; AQE decides). Per-token work is a
+    * 4-element `exists` over the sorted starts array — O(1) per
+    * token, no covered-position explode. */
+  def substrCutOf(docs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val whs = graft.query.Checkpoints.cut(windowHashesOf(docs), checkpointDir)
+    val pos = whs
+      .select(col("doc_id"), posexplode(col("whs")).as(Seq("i", "wh")))
+      .withColumn("pos", col("i") + 1)
+    val firstDoc = pos.groupBy("wh").agg(min("doc_id").as("first_doc"))
+    val dupStarts = pos.join(firstDoc, "wh")
+      .filter(col("first_doc") < col("doc_id"))
+      .groupBy("doc_id")
+      .agg(collect_set("pos").as("starts"))
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .select(col("doc_id"), size(col("w")).cast("int").as("n_tokens"),
+        filter(col("w"), (_, i) => {
+          // token at 0-based index i = 1-based position i+1; covered
+          // iff some duplicated window starts in [i-2, i+1]
+          val p = i + 1
+          !exists(sequence(greatest(p - 3, lit(1)), p),
+            st => array_contains(col("starts"), st))
+        }).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("int").as("kept_tokens"),
+        md5(array_join(col("kept"), " ")).as("cut_fp"))
+      .orderBy("doc_id")
+  }
+
+  private def substrCut(s: SparkSession, d: String): DataFrame =
+    substrCutOf(Tables.documents(s, d))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-bigram profile is
+    * under a TARGET distribution than under the RAW corpus — the
+    * data-selection signal for "make the crawl look like the
+    * reference corpus". Target here: the corpus's English documents
+    * (a stand-in for any curated seed set). The published recipe:
+    * feature-hash word bigrams into a fixed bucket space (512 here),
+    * estimate Laplace-smoothed bucket probabilities for target and
+    * raw, and weight a document by the mean log-ratio over its bigram
+    * occurrences. Scale shape: text is tokenized and hashed in the
+    * scan stage — only 8-byte bucket ids cross any exchange; the two
+    * bucket-count tables are ≤ 512 rows each (broadcast joins), the
+    * totals a single broadcast row, and the per-doc mean is one hash
+    * aggregate keyed by doc_id. */
+  private def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    val B = 512
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => conv(substring(md5(concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1))), 1, 8), 16, 10)
+          .cast("long") % B)).as("b"))
+    val raw = bg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bg.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = bg.agg(count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("nt"))
+    bg.join(broadcast(raw), "b")
+      .join(broadcast(tgt), Seq("b"), "left")
+      .na.fill(0, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log(((col("ct") + 1.0) / (col("nt") + B)) /
+            ((col("cr") + 1.0) / (col("nr") + B))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg("lr"), 4).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
 
   /** Deterministic train/val/test split assignment: bucket 0-99 from
     * the leading 16 bits of md5(doc_id), 80/10/10 split. The property a
@@ -1096,6 +1200,40 @@ object TextQueries {
       "CAST(coalesce(cov.dup_tokens, 0) AS INT) AS dup_tokens " +
       "FROM u LEFT JOIN dw USING (doc_id) LEFT JOIN cov USING (doc_id) " +
       "ORDER BY doc_id")),
+    Q("q_substr_cut", substrCut, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h0 AS (SELECT doc_id, unnest(list_transform(range(1, len(us) - 2), " +
+      "i -> {'pos': i, 'wh': us[i]*2248091 + us[i+1]*17161 + us[i+2]*131 + us[i+3]})) AS s FROM u), " +
+      "h AS (SELECT doc_id, s.pos AS pos, s.wh AS wh FROM h0), " +
+      "f AS (SELECT wh, min(doc_id) AS first_doc FROM h GROUP BY wh), " +
+      "ds AS (SELECT h.doc_id, h.pos FROM h JOIN f USING (wh) WHERE f.first_doc < h.doc_id), " +
+      "cov AS (SELECT DISTINCT ds.doc_id, ds.pos + t.o AS i FROM ds, unnest([0,1,2,3]) t(o)), " +
+      "t0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), " +
+      "i -> {'i': i, 'tok': w[i]})) AS s FROM w), " +
+      "tk AS (SELECT doc_id, s.i AS i, s.tok AS tok FROM t0), " +
+      "kept AS (SELECT tk.doc_id, tk.i, tk.tok FROM tk LEFT JOIN cov " +
+      "ON tk.doc_id = cov.doc_id AND tk.i = cov.i WHERE cov.i IS NULL), " +
+      "ag AS (SELECT doc_id, count(*) AS kept_tokens, " +
+      "string_agg(tok, ' ' ORDER BY i) AS txt FROM kept GROUP BY doc_id) " +
+      "SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_tokens, " +
+      "CAST(coalesce(ag.kept_tokens, 0) AS INT) AS kept_tokens, " +
+      "md5(coalesce(ag.txt, '')) AS cut_fp " +
+      "FROM w LEFT JOIN ag USING (doc_id) ORDER BY w.doc_id")),
+    Q("q_dsir_weight", dsirWeight, Some(
+      "WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "d AS (SELECT doc_id, lang, w FROM w WHERE len(w) >= 2), " +
+      "bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(w)), " +
+      "i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8) AS BIGINT) % 512)) AS b FROM d), " +
+      "raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b), " +
+      "tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b), " +
+      "tot AS (SELECT count(*) AS nr, count(*) FILTER (WHERE lang = 'en') AS nt FROM bg) " +
+      "SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, " +
+      "round(avg(ln(((coalesce(ct, 0) + 1.0) / (nt + 512)) / ((cr + 1.0) / (nr + 512)))), 4) AS dsir_weight " +
+      "FROM bg JOIN raw USING (b) LEFT JOIN tgt USING (b), tot " +
+      "GROUP BY doc_id ORDER BY doc_id")),
     Q("q_edit_distance", editDistance, Some(
       minhashCte + ", " +
       "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +

@@ -50,6 +50,49 @@ class SubstrShardSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q_substr_cut: cuts exactly the covered positions; accounting row cross-checks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y c d e f"),
+      (3L, "a b c d e"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val got = TextQueries.substrCutOf(docs)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // doc 2: window "c d e f" (start pos 3) duplicated → tokens 3-6 cut,
+    // "x y" kept. doc 3: windows at 1 and 2 → tokens 1-5 cut, nothing left.
+    assert(got(1L) == ((6, 6)), s"first doc untouched: ${got(1L)}")
+    assert(got(2L) == ((6, 2)), s"span cut: ${got(2L)}")
+    assert(got(3L) == ((5, 0)), s"fully duplicated doc emptied: ${got(3L)}")
+    assert(got(4L) == ((5, 5)), s"unique doc untouched: ${got(4L)}")
+    val cutFp2 = TextQueries.substrCutOf(docs)
+      .filter(col("doc_id") === 2L).head.getString(3)
+    assert(cutFp2 == org.apache.commons.codec.digest.DigestUtils.md5Hex("x y"),
+      "cut text of doc 2 is exactly the surviving prefix")
+    // corpus-wide: kept = n_tokens − dup_tokens of the accounting row
+    val acct = q("q_substr_dedup").select(col("doc_id"),
+      (col("n_tokens") - col("dup_tokens")).as("expect"))
+    val joined = q("q_substr_cut").join(acct, "doc_id")
+    assert(joined.filter(col("kept_tokens") =!= col("expect")).count() == 0,
+      "cut and accounting disagree")
+  }
+
+  test("q_dsir_weight: target-language docs outweigh disjoint-script docs; deterministic") {
+    val df = q("q_dsir_weight").cache()
+    try {
+      val docs = sources.Tables.documents(spark, dir).select("doc_id", "lang")
+      val byLang = df.join(docs, "doc_id").groupBy("lang")
+        .agg(avg("dsir_weight").as("w")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // zh bigrams are script-disjoint from the en target: every bucket
+      // they hit is (almost surely) target-unseen, so their mean
+      // log-ratio must sit below the en docs'
+      assert(byLang("en") > byLang("zh"),
+        s"en ${byLang("en")} should outweigh zh ${byLang("zh")}")
+      assert(q("q_dsir_weight").except(df).count() == 0, "not deterministic")
+    } finally df.unpersist()
+  }
+
   test("q_shard_shuffle: a permutation — dense 0-based positions per shard, every doc once") {
     val df = q("q_shard_shuffle").cache()
     try {
