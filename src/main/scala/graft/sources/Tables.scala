@@ -25,16 +25,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects. Read it as a raw long (legacy conf) and convert to a
-    * microsecond timestamp with integer division — the same truncation
-    * DuckDB applies, so oracle comparisons line up.
+  /** `events.ts` has shipped in two parquet encodings: TIMESTAMP(NANOS)
+    * (readable only as a raw long via the legacy conf) and native
+    * TIMESTAMP(MICROS). Adapt to whichever the fixture currently uses:
+    * a `LongType` column is nanos → truncate to micros (the same
+    * truncation DuckDB applies); a timestamp column passes through,
+    * normalized NTZ→session-local (session TZ is UTC, so the wall-clock
+    * micros are identical either way).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless for MICROS files; required to read legacy NANOS at all.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(load(s, d, "events"))
+  }
+
+  /** Normalize whatever `ts` encoding the fixture shipped to a plain
+    * session-local timestamp. Shared by the batch loader and the
+    * streaming reader so both surfaces adapt identically.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other — fixture drifted again?")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -18,27 +18,34 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Physical schema of events.parquet (`ts` is TIMESTAMP(NANOS),
-    * readable only as long — see [[graft.sources.Tables.events]]). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream of the events table (one file per micro-batch
-    * locally; a directory listing feed at scale). */
-  def readEventStream(s: SparkSession, dir: String): DataFrame = {
+  /** Physical schema of the events fixture at `path`, probed with a
+    * batch read so the streaming source (which requires an explicit
+    * schema) adapts to whichever `ts` encoding the fixture shipped —
+    * legacy TIMESTAMP(NANOS)-as-long or native TIMESTAMP(MICROS). See
+    * [[graft.sources.Tables.normalizeEventTs]]. */
+  def probeSchema(s: SparkSession, path: String): StructType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    s.read.parquet(path).schema
   }
+
+  /** File-source stream over a directory of event parquet parts (one
+    * file per micro-batch locally; a directory listing feed at scale),
+    * normalized to a session-local `ts` regardless of fixture encoding. */
+  def readSplitStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.normalizeEventTs(
+      s.readStream
+        .schema(probeSchema(s, dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
+
+  /** File-source stream of the events table itself. */
+  def readEventStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.normalizeEventTs(
+      s.readStream
+        .schema(probeSchema(s, s"$dir/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
 
   /** Watermarked tumbling-window aggregate — the streaming form of
     * q_hourly_events. Late events beyond 10 minutes are dropped;

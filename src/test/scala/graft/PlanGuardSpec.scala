@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_tfidf",       // 1-row corpus-count scalar
     "q_kmeans_step", // k-row centroid table (k = label count, bounded)
     "q_bm25",        // 1-row (N, avgdl) corpus-stats scalar
-    "q_bigram_lm"    // 1-row vocabulary-size scalar
+    "q_bigram_lm",   // 1-row vocabulary-size scalar
+    "q_dsir_weight"  // 1-row target-vs-raw totals scalar
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

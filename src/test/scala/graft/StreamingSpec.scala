@@ -29,9 +29,7 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$dir/events.parquet")
       .repartition(4).write.mode("overwrite").parquet(splitDir)
     val stream = EventStreams.hourlyCounts(
-      spark.readStream.schema(EventStreams.rawSchema)
-        .option("maxFilesPerTrigger", "1").parquet(splitDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+      EventStreams.readSplitStream(spark, splitDir))
     val q = stream.writeStream
       .format("memory").queryName("hourly_multi")
       .outputMode("complete")
@@ -52,9 +50,7 @@ class StreamingSpec extends SparkSpec {
     once.coalesce(1).write.mode("overwrite").parquet(dupDir)
     once.coalesce(1).write.mode("append").parquet(dupDir)
     val stream = EventStreams.dedupWithinWatermark(
-      spark.readStream.schema(EventStreams.rawSchema)
-        .option("maxFilesPerTrigger", "1").parquet(dupDir)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+      EventStreams.readSplitStream(spark, dupDir))
     val q = stream.writeStream
       .format("memory").queryName("dedup_out")
       .outputMode("append")
@@ -110,9 +106,7 @@ class StreamingSpec extends SparkSpec {
 
     def run(): Unit = {
       val q = EventStreams.dedupWithinWatermark(
-          spark.readStream.schema(EventStreams.rawSchema)
-            .option("maxFilesPerTrigger", "1").parquet(srcDir)
-            .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+          EventStreams.readSplitStream(spark, srcDir))
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append").start()
