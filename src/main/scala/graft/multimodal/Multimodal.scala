@@ -168,13 +168,17 @@ object Multimodal {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        try decodeStream(in) finally in.close()
+      } catch { case _: Exception => new Array[Float](dim) }
+
+    private def decodeStream(
+        in: javax.sound.sampled.AudioInputStream): Array[Float] = {
         val fmt = in.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
             fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
           new Array[Float](dim)
         else {
           val data = in.readAllBytes()
-          in.close()
           val n = data.length / 2
           var sumSq = 0.0
           var peak = 0
@@ -195,7 +199,7 @@ object Multimodal {
             math.sqrt(sumSq / math.max(n, 1)).toFloat,
             crossings.toFloat, peak.toFloat)
         }
-      } catch { case _: Exception => new Array[Float](dim) }
+    }
   }
 
   /** Deterministic REAL-WAV media table derived from the documents

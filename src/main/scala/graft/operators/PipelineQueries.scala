@@ -123,7 +123,11 @@ object PipelineQueries {
 
   /** The driver runs the correctness gate at sf0.01 (TESTDATA.md /
     * driver contract) — the static oracle SQL reads that scale's
-    * subdir. */
+    * subdir. A gate run at any OTHER scale cannot silently compare
+    * against stale sf0.01 files: every written row carries a
+    * `sink_scale` stamp that both sides select, so a scale/oracle
+    * mismatch hash-fails loudly (and an empty sink dir is a DuckDB
+    * read error, equally loud). */
   private val gateSinkPath = s"$sinkRoot/sf0.01"
 
   /** Write → read-back roundtrip of the pipeline egress
@@ -136,14 +140,19 @@ object PipelineQueries {
     * `q_pipeline_e2e`'s independent recursive-CTE oracle. */
   private def pipelineSink(s: SparkSession, d: String): DataFrame = {
     val dest = sinkPath(d)
-    Curation.write(Curation.run(Tables.documents(s, d)), dest)
+    val scale = new java.io.File(d).getName
+    Curation.write(
+      Curation.run(Tables.documents(s, d))
+        .withColumn("sink_scale", org.apache.spark.sql.functions.lit(scale)),
+      dest)
     s.read.parquet(dest)
-      .select("source", "bin", "doc_id", "chunk_id", "n_tokens", "chunk_md5")
+      .select("source", "bin", "doc_id", "chunk_id", "n_tokens",
+        "chunk_md5", "sink_scale")
       .orderBy("source", "bin", "doc_id", "chunk_id")
   }
 
   private val pipelineSinkSql =
-    "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5 " +
+    "SELECT source, bin, doc_id, chunk_id, n_tokens, chunk_md5, sink_scale " +
     s"FROM read_parquet('$gateSinkPath/*/*.parquet', hive_partitioning=true) " +
     "ORDER BY source, bin, doc_id, chunk_id"
 

@@ -116,6 +116,28 @@ object TextQueries {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** Daily-crawl admission loop end-to-end ([[graft.pipeline
+    * .Admission]]): the document table is split into two increments by
+    * id, each is admitted against the persisted state the previous one
+    * left behind (digests + seen-signature index — text of increment 1
+    * is never re-read while admitting increment 2), and the admitted
+    * corpus is read back from the durable files. The oracle recomputes
+    * the ONE-SHOT greedy rule over the whole table in DuckDB — a green
+    * row proves the two-increment incremental run admits exactly the
+    * one-shot set (the compositionality contract `AdmissionSpec` also
+    * pins engine-internally, plus restart idempotence). */
+  private def admissionLoop(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val root = s"/tmp/graft_admission/${new java.io.File(d).getName}"
+    graft.pipeline.Admission.reset(s, root)
+    graft.pipeline.Admission.admit(docs.filter(col("doc_id") <= split), root, "d1")
+    graft.pipeline.Admission.admit(docs.filter(col("doc_id") > split), root, "d2")
+    graft.pipeline.Admission.corpus(s, root)
+      .select(col("doc_id"), col("inc"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash Jaccard ESTIMATION over the LSH candidates — the middle
     * stage of the scale pipeline (band → estimate → exact-verify only
     * survivors): estimated J = fraction of agreeing signature
@@ -411,9 +433,14 @@ object TextQueries {
     * itself needs tokens and duplicated-span starts co-located, which
     * costs ONE exchange of the token arrays keyed by doc_id (or none,
     * when the starts table — only docs that HAVE duplicated spans —
-    * is small enough to broadcast; AQE decides). Per-token work is a
-    * 4-element `exists` over the sorted starts array — O(1) per
-    * token, no covered-position explode. */
+    * is small enough to broadcast; AQE decides). Per-doc work is
+    * LINEAR: the sorted duplicated-start list is merged into disjoint
+    * covered intervals elementwise (window length is fixed at 4, so a
+    * maximal run needs only neighbor gap comparisons — no fold, no
+    * accumulator copying), and the kept text is reassembled as the
+    * slices of the gaps BETWEEN covered intervals — O(n + |starts|),
+    * where the previous per-token membership probe was
+    * O(n·|starts|), quadratic on a long fully-duplicated document. */
   def substrCutOf(docs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val whs = graft.query.Checkpoints.cut(windowHashesOf(docs), checkpointDir)
@@ -425,19 +452,38 @@ object TextQueries {
       .filter(col("first_doc") < col("doc_id"))
       .groupBy("doc_id")
       .agg(collect_set("pos").as("starts"))
+    // a duplicated window starting at st covers tokens [st, st+3];
+    // successive sorted starts ≤ 4 apart belong to one merged cover
+    val sorted = array_sort(col("starts"))
+    val m = size(sorted)
+    val emptyInt = array().cast("array<int>")
+    // interior gap indices only — every element_at stays in [1, m]
+    // (sequence(1, 0) would descend and index 0 always throws)
+    val tailIdx = when(m >= 2, sequence(lit(2), m)).otherwise(emptyInt)
+    val initIdx = when(m >= 2, sequence(lit(1), m - 1)).otherwise(emptyInt)
+    val runStartIdx = when(m > 0, concat(array(lit(1)), filter(tailIdx, j =>
+      element_at(sorted, j) - element_at(sorted, j - 1) > 4)))
+      .otherwise(emptyInt)
+    val runEndIdx = when(m > 0, concat(filter(initIdx, j =>
+      element_at(sorted, j + 1) - element_at(sorted, j) > 4), array(m)))
+      .otherwise(emptyInt)
+    val covStart = transform(runStartIdx, j => element_at(sorted, j))
+    val covEnd = transform(runEndIdx, j => element_at(sorted, j) + 3)
+    // kept text = the gap slices between covered intervals (before the
+    // first, between consecutive, after the last — empty gaps slice to
+    // zero length); concatenation preserves token order
+    val gapStart = concat(array(lit(1)), transform(covEnd, b => b + 1))
+    val gapEnd = concat(transform(covStart, a => a - 1),
+      array(size(col("w"))))
+    val kept = flatten(zip_with(gapStart, gapEnd, (gs, ge) =>
+      slice(col("w"), gs, greatest(ge - gs + 1, lit(0)))))
     docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .join(dupStarts, Seq("doc_id"), "left")
       .withColumn("starts",
         coalesce(col("starts"), array().cast("array<int>")))
       .select(col("doc_id"), size(col("w")).cast("int").as("n_tokens"),
-        filter(col("w"), (_, i) => {
-          // token at 0-based index i = 1-based position i+1; covered
-          // iff some duplicated window starts in [i-2, i+1]
-          val p = i + 1
-          !exists(sequence(greatest(p - 3, lit(1)), p),
-            st => array_contains(col("starts"), st))
-        }).as("kept"))
+        kept.as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("kept")).cast("int").as("kept_tokens"),
         md5(array_join(col("kept"), " ")).as("cut_fp"))
@@ -456,11 +502,22 @@ object TextQueries {
     * (a stand-in for any curated seed set). The published recipe:
     * feature-hash word bigrams into a fixed bucket space (512 here),
     * estimate Laplace-smoothed bucket probabilities for target and
-    * raw, and weight a document by the mean log-ratio over its bigram
-    * occurrences. Scale shape: text is tokenized and hashed in the
-    * scan stage — only 8-byte bucket ids cross any exchange; the two
-    * bucket-count tables are ≤ 512 rows each (broadcast joins), the
-    * totals a single broadcast row, and the per-doc mean is one hash
+    * raw, and weight a document by its bigrams' log-ratios. Hash-
+    * stability rule (same as [[weightedSample]]'s docstring): the
+    * oracle-hashed output must not contain libm floats — JVM vs DuckDB
+    * `ln` last-ulp drift plus partition-order `avg` accumulation can
+    * flip a rounded 4th decimal — so the gate emits the EXACT integer
+    * form of the signal instead: a bigram "boosts" a document iff its
+    * smoothed target probability exceeds its raw probability, i.e.
+    * (ct+1)·(nr+B) > (cr+1)·(nt+B) — a pure integer comparison no
+    * math library touches — and a document is target_like iff a
+    * majority of its bigram occurrences boost. (The float mean
+    * log-ratio is a trivial `avg(ln(...))` over the same joined table
+    * for library users; it just cannot be hash-compared.) Scale
+    * shape: text is tokenized and hashed in the scan stage — only
+    * 8-byte bucket ids cross any exchange; the two bucket-count
+    * tables are ≤ 512 rows each (broadcast joins), the totals a
+    * single broadcast row, and the per-doc count is one hash
     * aggregate keyed by doc_id. */
   private def dsirWeight(s: SparkSession, d: String): DataFrame = {
     val B = 512
@@ -481,12 +538,13 @@ object TextQueries {
       .join(broadcast(tgt), Seq("b"), "left")
       .na.fill(0, Seq("ct"))
       .crossJoin(broadcast(totals))
-      .withColumn("lr",
-        log(((col("ct") + 1.0) / (col("nt") + B)) /
-            ((col("cr") + 1.0) / (col("nr") + B))))
+      .withColumn("boost",
+        ((col("ct") + 1L) * (col("nr") + B) >
+         (col("cr") + 1L) * (col("nt") + B)).cast("int"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        round(avg("lr"), 4).as("dsir_weight"))
+        sum("boost").cast("int").as("n_boosted"))
+      .withColumn("target_like", col("n_boosted") * 2 > col("n_bigrams"))
       .orderBy("doc_id")
   }
 
@@ -1048,6 +1106,18 @@ object TextQueries {
       "JOIN bands c ON n.band = c.band AND n.sig = c.sig " +
       "WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 " +
       "ORDER BY new_id, corpus_id")),
+    Q("q_admission_loop", admissionLoop, Some(
+      minhashCte + ", " +
+      "dg AS (SELECT min(doc_id) AS keep FROM documents GROUP BY md5(text)), " +
+      "ex AS (SELECT doc_id FROM documents WHERE doc_id IN (SELECT keep FROM dg)), " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh " +
+      "WHERE doc_id IN (SELECT keep FROM dg) GROUP BY doc_id, k // 2), " +
+      "losers AS (SELECT DISTINCT b.doc_id AS doc_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
+      "SELECT doc_id, CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents) " +
+      "THEN 'd1' ELSE 'd2' END AS inc " +
+      "FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id")),
     Q("q_minhash_estimate", minhashEstimate, Some(
       minhashCte + ", " +
       "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
@@ -1231,7 +1301,8 @@ object TextQueries {
       "tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b), " +
       "tot AS (SELECT count(*) AS nr, count(*) FILTER (WHERE lang = 'en') AS nt FROM bg) " +
       "SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams, " +
-      "round(avg(ln(((coalesce(ct, 0) + 1.0) / (nt + 512)) / ((cr + 1.0) / (nr + 512)))), 4) AS dsir_weight " +
+      "CAST(count(*) FILTER (WHERE (coalesce(ct, 0) + 1) * (nr + 512) > (cr + 1) * (nt + 512)) AS INT) AS n_boosted, " +
+      "2 * count(*) FILTER (WHERE (coalesce(ct, 0) + 1) * (nr + 512) > (cr + 1) * (nt + 512)) > count(*) AS target_like " +
       "FROM bg JOIN raw USING (b) LEFT JOIN tgt USING (b), tot " +
       "GROUP BY doc_id ORDER BY doc_id")),
     Q("q_edit_distance", editDistance, Some(

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Admission
+import graft.sources.Tables
+
+/** The admission loop's two contracts beyond the oracle row:
+  * compositionality (N sequential increments admit exactly the
+  * one-shot set over their union — the property that makes a daily
+  * loop trustworthy) and restart idempotence (re-running an increment
+  * changes nothing — the crash-recovery story). */
+class AdmissionSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft_admission").toString + "/state"
+
+  test("two sequential increments admit exactly the one-shot set (real corpus)") {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val twoStep = freshRoot()
+    Admission.admit(docs.filter(col("doc_id") <= split), twoStep, "d1")
+    Admission.admit(docs.filter(col("doc_id") > split), twoStep, "d2")
+    val oneShot = freshRoot()
+    Admission.admit(docs, oneShot, "all")
+    val a = Admission.corpus(spark, twoStep).select("doc_id")
+    val b = Admission.corpus(spark, oneShot).select("doc_id")
+    assert(a.count() > 0, "nothing admitted — fixture or rule broken")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"two-step admitted ${a.count()} docs, one-shot ${b.count()}")
+    // every admitted doc carries the increment it arrived in
+    val wrongInc = Admission.corpus(spark, twoStep)
+      .filter((col("doc_id") <= split && col("inc") =!= "d1") ||
+        (col("doc_id") > split && col("inc") =!= "d2"))
+    assert(wrongInc.count() == 0, wrongInc.limit(5).collect().mkString("\n"))
+  }
+
+  test("re-running an increment is idempotent; state survives for the next one") {
+    import spark.implicits._
+    val inc1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src0"), // exact dup of 1
+      (3L, "one two three four five six seven", "src0")
+    ).toDF("doc_id", "text", "source")
+    val inc2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "src1"), // exact dup, cross
+      // same shingle SET as doc 3 (cyclic repeat) -> identical minhash
+      // signatures, different digest: only the seen-signature index
+      // can reject it
+      (11L, "one two three four five six seven one two three four five six seven", "src1"),
+      (12L, "totally unrelated fresh content here now", "src1")
+    ).toDF("doc_id", "text", "source")
+    val root = freshRoot()
+    assert(Admission.admit(inc1, root, "d1").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val first = Admission.admit(inc2, root, "d2")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(first == Seq(12L),
+      s"10 is an exact dup, 11 collides with doc 3's stored signatures: $first")
+    // crash-recovery: the same increment re-runs; state must not change
+    Admission.admit(inc2, root, "d2")
+    val corpus = Admission.corpus(spark, root)
+    assert(corpus.count() == 3)
+    assert(corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 12L))
+    // index rows exist for SEEN docs of each increment (12 admitted,
+    // 11 rejected-but-seen; 10's content was already indexed as doc 1)
+    val indexed = Admission.index(spark, root)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 3L, 11L, 12L),
+      s"seen-not-admitted docs must be indexed too: $indexed")
+  }
+
+  test("a third increment is checked against appended state, not just the first") {
+    import spark.implicits._
+    val root = freshRoot()
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d1")
+    Admission.admit(Seq((2L, "hh ii jj kk ll mm nn", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2")
+    val got = Admission.admit(Seq(
+      (3L, "hh ii jj kk ll mm nn", "s"), // dup of increment 2's doc
+      (4L, "brand new words entirely present", "s"))
+      .toDF("doc_id", "text", "source"), root, "d3")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(4L), s"doc 3 duplicates increment 2's content: $got")
+    assert(Admission.corpus(spark, root).count() == 3)
+  }
+}

@@ -77,16 +77,39 @@ class SubstrShardSpec extends SparkSpec {
       "cut and accounting disagree")
   }
 
+  test("q_substr_cut: long fully-duplicated doc and scattered spans stay linear and exact") {
+    import spark.implicits._
+    // the old per-token membership probe was O(n·|starts|) — a 5000-token
+    // fully-duplicated doc made it a 25M-op row; the merged-interval
+    // cover must handle it instantly and still cut exactly
+    val n = 5000
+    val longText = (0 until n).map(i => s"t$i").mkString(" ")
+    // patchwork doc: two 4-token runs lifted from doc 1, separated and
+    // flanked by unique tokens -> two disjoint covered intervals
+    val patch = "u1 u2 t10 t11 t12 t13 u3 u4 u5 t50 t51 t52 t53 u6"
+    val docs = Seq(
+      (1L, longText), (2L, longText), (3L, patch)).toDF("doc_id", "text")
+    val got = TextQueries.substrCutOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L)._1 == n && got(1L)._2 == n, s"first copy untouched: ${got(1L)}")
+    assert(got(2L)._1 == n && got(2L)._2 == 0, s"second copy emptied: ${got(2L)}")
+    assert(got(3L)._1 == 14 && got(3L)._2 == 6, s"patchwork gaps kept: ${got(3L)}")
+    assert(got(3L)._3 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("u1 u2 u3 u4 u5 u6"),
+      "kept text must be exactly the inter-span gaps, in order")
+  }
+
   test("q_dsir_weight: target-language docs outweigh disjoint-script docs; deterministic") {
     val df = q("q_dsir_weight").cache()
     try {
       val docs = sources.Tables.documents(spark, dir).select("doc_id", "lang")
       val byLang = df.join(docs, "doc_id").groupBy("lang")
-        .agg(avg("dsir_weight").as("w")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        .agg(avg(col("n_boosted").cast("double") / col("n_bigrams")).as("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       // zh bigrams are script-disjoint from the en target: every bucket
-      // they hit is (almost surely) target-unseen, so their mean
-      // log-ratio must sit below the en docs'
+      // they hit is (almost surely) target-unseen, so the share of
+      // boosted bigrams must sit below the en docs'
       assert(byLang("en") > byLang("zh"),
         s"en ${byLang("en")} should outweigh zh ${byLang("zh")}")
       assert(q("q_dsir_weight").except(df).count() == 0, "not deterministic")
