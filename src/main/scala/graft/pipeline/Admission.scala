@@ -117,6 +117,35 @@ object Admission {
     s.read.parquet(s"$root/corpus/inc=$incId")
   }
 
+  /** Streaming admission — the continuous form of the daily loop
+    * ([[graft.streaming.CurationStream]]'s ingest feeding this state):
+    * every micro-batch is one increment whose id is the MICRO-BATCH
+    * id. Structured Streaming replays a failed batch under the SAME
+    * id, and [[admit]] is idempotent per increment id (a re-run
+    * overwrites its own subdirs and excludes them from the seen
+    * state), so the composed loop is exactly-once end-to-end under
+    * crash/restart — no dedup-sink tricks needed, the admission state
+    * itself is the sink. `cfg` applies the batch pipeline's
+    * quality/language filter ([[Curation.qualityLangFilter]], pure
+    * scan-stage expressions) before admission, completing the
+    * ingest → filter → match-against-index → admit → append-index
+    * chain as one restartable flow. Batch ids are zero-padded so
+    * lexicographic `inc=` ordering equals arrival order. */
+  def admitStream(docs: DataFrame, root: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      cfg: Option[Curation.Config] = Some(Curation.Config()))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val kept = cfg.fold(batch.toDF())(c =>
+          Curation.qualityLangFilter(batch.toDF(), c))
+        admit(kept, root, f"b$batchId%09d", idCol, textCol)
+        ()
+      }
+      .start()
+
   /** All admitted documents (original columns + `inc`, cast to string —
     * partition-value inference would otherwise strip a numeric id's
     * leading zeros). */

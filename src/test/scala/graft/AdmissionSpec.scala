@@ -73,6 +73,69 @@ class AdmissionSpec extends SparkSpec {
       s"seen-not-admitted docs must be indexed too: $indexed")
   }
 
+  /** Write `df` as a single parquet FILE at `dest` with mtime `t` so
+    * the file-source processes increments in id order. */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame,
+      dest: java.nio.file.Path, t: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_adm_one").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(t))
+  }
+
+  test("streaming admission: micro-batch increments equal the batch loop, " +
+      "exactly-once across restart") {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val srcDir = Files.createTempDirectory("graft_adm_src")
+    val t0 = System.currentTimeMillis() - 60000
+    writeOneFile(docs.filter(col("doc_id") <= split),
+      srcDir.resolve("00_low.parquet"), t0)
+    writeOneFile(docs.filter(col("doc_id") > split),
+      srcDir.resolve("01_high.parquet"), t0 + 10000)
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_adm_ck").toString
+    def run(): Unit = {
+      val q = Admission.admitStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString),
+        root, ckpt, cfg = None)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val oneShot = freshRoot()
+    Admission.admit(docs, oneShot, "all")
+    val a = Admission.corpus(spark, root).select("doc_id")
+    val b = Admission.corpus(spark, oneShot).select("doc_id")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"streamed ${a.count()} admitted vs one-shot ${b.count()}")
+    // two micro-batches -> two increments
+    assert(Admission.corpus(spark, root).select("inc").distinct().count() == 2)
+    // restart with no new input: the checkpoint prevents reprocessing
+    val n1 = Admission.corpus(spark, root).count()
+    run()
+    assert(Admission.corpus(spark, root).count() == n1, "restart must be a no-op")
+    // a later file is admitted incrementally against the full state —
+    // one doc duplicates already-admitted content, one is new
+    import spark.implicits._
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val keptText = Admission.corpus(spark, root)
+      .orderBy("doc_id").select("text").head.getString(0)
+    writeOneFile(Seq(
+      (maxId + 1, keptText, "en", "srcX", keptText.length.toLong),
+      (maxId + 2, "genuinely new streaming content arrives here", "en",
+        "srcX", 44L)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      srcDir.resolve("02_late.parquet"), t0 + 20000)
+    run()
+    assert(Admission.corpus(spark, root).count() == n1 + 1,
+      "the duplicate must be rejected, the new doc admitted")
+  }
+
   test("a third increment is checked against appended state, not just the first") {
     import spark.implicits._
     val root = freshRoot()
