@@ -180,6 +180,70 @@ object VectorQueries {
     "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
     "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.9 ORDER BY va, vb"
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space coarsely, then find
+    * near-duplicate pairs ONLY within each cluster and keep one
+    * survivor per duplicate group. The clustering is what makes the
+    * operator 100 TB-safe — the quadratic pair stage is bounded by
+    * the largest cluster, never the corpus (the paper's design
+    * point), and here it is an equi-join on the cluster id; the
+    * centroid table (k·dim doubles) is the only broadcast. Run on
+    * the planted twin corpus: every 5-member twin group sits at
+    * cos ≥ 0.99 pairwise (complete subgraph, so greedy min-id keeps
+    * exactly one) while unrelated vectors top out near 0.60 — both
+    * thresholds have orders-of-magnitude margins, so the row is
+    * hash-stable. Output: every vector with its cluster and whether
+    * it survived. Paper variant note: SemDeDup keeps the member
+    * FARTHEST from the centroid; we keep min-id (deterministic
+    * without a float tie-break in the hashed row — the same
+    * survivor-rule normalization as [[graft.dedup.Dedup]]). */
+  private def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // coarse quantizer: per-label mean centroids of the base table
+    val cent = graft.query.KMeans.centroids(
+      emb.select(col("label").as("cluster"), asDouble(col("embedding")).as("e")))
+    val asg = graft.query.KMeans
+      .assign(plantedEmbeddings(s, d), cent, "vec_id")
+      .select(col("vec_id"), col("e"), col("cluster"))
+    val a = asg.select(col("vec_id").as("va"), col("e").as("ea"), col("cluster"))
+    val b = asg.select(col("vec_id").as("vb"), col("e").as("eb"), col("cluster"))
+    val losers = a.join(b, "cluster")
+      .filter(col("va") < col("vb"))
+      .filter(dot(col("ea"), col("eb")) /
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb"))))
+        >= 0.99)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+    asg
+      .join(losers.withColumn("graft_lost", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("graft_lost").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql =
+    plantedCte + ", " +
+    "cent AS (SELECT label AS c, i, avg(embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2), " +
+    "sc AS (SELECT p.vec_id, c.c, sum(p.e[c.i] * c.m) / " +
+    "(sqrt(sum(p.e[c.i] * p.e[c.i])) * sqrt(sum(c.m * c.m))) AS s " +
+    "FROM planted p, cent c GROUP BY 1, 2), " +
+    "asg AS (SELECT vec_id, c AS cluster FROM sc " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "pairs AS (SELECT xa.vec_id AS va, xb.vec_id AS vb, " +
+    "sum(pa.e[i] * pb.e[i]) AS dd, sum(pa.e[i] * pa.e[i]) AS na, " +
+    "sum(pb.e[i] * pb.e[i]) AS nb " +
+    "FROM asg xa JOIN asg xb ON xa.cluster = xb.cluster AND xa.vec_id < xb.vec_id " +
+    "JOIN planted pa ON pa.vec_id = xa.vec_id " +
+    "JOIN planted pb ON pb.vec_id = xb.vec_id, range(1, 65) t(i) " +
+    "GROUP BY 1, 2), " +
+    "losers AS (SELECT DISTINCT vb FROM pairs " +
+    "WHERE dd / (sqrt(na) * sqrt(nb)) >= 0.99) " +
+    "SELECT vec_id, cluster, vec_id NOT IN (SELECT vb FROM losers) AS kept " +
+    "FROM asg ORDER BY vec_id"
+
   /** IVF-style probed search: coarse-quantize by per-label centroid,
     * probe the 2 closest clusters to the query, brute-force only there. */
   private def ivfTopk(s: SparkSession, d: String): DataFrame = {
@@ -439,6 +503,7 @@ object VectorQueries {
       Some(plantedPairsSql), headline = true),
     Q("q_embed_neardup_planted", embedNeardupPlanted,
       Some(plantedPairsSql), headline = true),
+    Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     Q("q_ivf_topk", ivfTopk, Some(
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "cent AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +

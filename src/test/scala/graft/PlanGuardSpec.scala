@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_kmeans_step", // k-row centroid table (k = label count, bounded)
     "q_bm25",        // 1-row (N, avgdl) corpus-stats scalar
     "q_bigram_lm",   // 1-row vocabulary-size scalar
-    "q_dsir_weight"  // 1-row target-vs-raw totals scalar
+    "q_dsir_weight", // 1-row target-vs-raw totals scalar
+    "q_semantic_dedup" // k-row centroid table (KMeans.assign broadcast)
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {
