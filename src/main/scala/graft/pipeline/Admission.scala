@@ -72,13 +72,17 @@ object Admission {
     * Returns the admitted rows as durably written. Re-running the same
     * `incId` is idempotent; `incId`s must be distinct per increment and
     * doc ids must ascend across increments for the one-shot parity. */
-  def admit(newDocs: DataFrame, root: String, incId: String,
-      idCol: String = "doc_id", textCol: String = "text",
-      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val s = newDocs.sparkSession
-    val seenIndex = readSeen(s, s"$root/index", indexSchema(idCol), incId)
-    val seenDigests = readSeen(s, s"$root/digests", digestSchema, incId)
-
+  /** Lazy decision plans for one increment — returned un-materialized
+    * so `AdmissionSpec` can pin the join shapes (every corpus-side
+    * match an equi/semi join, never a cartesian), the same
+    * plan-exposure pattern as [[graft.dedup.Dedup
+    * .embedNearDupBucketedPlan]]. Returns (freshDigests, incIndex,
+    * admittedIdsOf): `admittedIdsOf` builds the admitted-id plan from
+    * the (normally checkpointed) increment index it is given. */
+  private[graft] def admitPlan(newDocs: DataFrame, seenIndex: DataFrame,
+      seenDigests: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     // (1) within-increment exact: keep the min id per distinct content
     val digested = newDocs
       .select(col(idCol), md5(col(textCol)).as("digest"))
@@ -90,23 +94,37 @@ object Admission {
     val freshDocs = newDocs.join(fresh.select(idCol), Seq(idCol), "left_semi")
     val incIndex = Dedup
       .lshIndex(freshDocs, idCol, textCol, shingleN, k, rowsPerBand)
-      .localCheckpoint() // decision tables materialize BEFORE state writes
-    val freshDigests = fresh.select("digest").localCheckpoint()
-    // (4) cross near-dup: any band collision with a seen document
-    val crossLosers = incIndex
-      .join(seenIndex.select("band", "sig"), Seq("band", "sig"), "left_semi")
-      .select(idCol)
-    // (5) within-increment near-dup, greedy: a band collision with a
-    // smaller id of this increment rejects the larger id
-    val withinLosers = incIndex.select(col(idCol).as("gr_b"), col("band"), col("sig"))
-      .join(incIndex.select(col(idCol).as("gr_a"), col("band"), col("sig")),
-        Seq("band", "sig"))
-      .filter(col("gr_a") < col("gr_b"))
-      .select(col("gr_b").as(idCol))
-    val admittedIds = incIndex.select(idCol)
-      .join(crossLosers.union(withinLosers), Seq(idCol), "left_anti")
-      .distinct()
-      .localCheckpoint()
+    val admittedIdsOf = (idx: DataFrame) => {
+      // (4) cross near-dup: any band collision with a seen document
+      val crossLosers = idx
+        .join(seenIndex.select("band", "sig"), Seq("band", "sig"), "left_semi")
+        .select(idCol)
+      // (5) within-increment near-dup, greedy: a band collision with a
+      // smaller id of this increment rejects the larger id
+      val withinLosers = idx.select(col(idCol).as("gr_b"), col("band"), col("sig"))
+        .join(idx.select(col(idCol).as("gr_a"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("gr_a") < col("gr_b"))
+        .select(col("gr_b").as(idCol))
+      idx.select(idCol)
+        .join(crossLosers.union(withinLosers), Seq(idCol), "left_anti")
+        .distinct()
+    }
+    (fresh.select("digest"), incIndex, admittedIdsOf)
+  }
+
+  def admit(newDocs: DataFrame, root: String, incId: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val s = newDocs.sparkSession
+    val seenIndex = readSeen(s, s"$root/index", indexSchema(idCol), incId)
+    val seenDigests = readSeen(s, s"$root/digests", digestSchema, incId)
+    val (freshDigestsPlan, incIndexPlan, admittedIdsOf) = admitPlan(
+      newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
+    // decision tables materialize BEFORE state writes
+    val incIndex = incIndexPlan.localCheckpoint()
+    val freshDigests = freshDigestsPlan.localCheckpoint()
+    val admittedIds = admittedIdsOf(incIndex).localCheckpoint()
 
     // state writes — every plan below reads only newDocs + materialized
     // decision tables, never a state directory

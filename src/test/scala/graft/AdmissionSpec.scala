@@ -136,6 +136,28 @@ class AdmissionSpec extends SparkSpec {
       "the duplicate must be rejected, the new doc admitted")
   }
 
+  test("admission decision plans stay cartesian-free (equi/semi joins only)") {
+    // q_admission_loop's catalog row returns a post-write parquet scan,
+    // so PlanGuardSpec's sweep cannot see the internal join tree — pin
+    // the LAZY plans directly (same pattern as the eagerly-materialized
+    // operators in PlanGuardSpec).
+    val docs = Tables.documents(spark, dir)
+    val root = freshRoot()
+    Admission.admit(docs.filter(col("doc_id") % 2 === 0), root, "seed")
+    val seenIndex = Admission.index(spark, root)
+    import spark.implicits._
+    val seenDigests = Seq.empty[String].toDF("digest")
+    val (digPlan, idxPlan, decide) = Admission.admitPlan(
+      docs.filter(col("doc_id") % 2 === 1), seenIndex, seenDigests,
+      "doc_id", "text", 3, 8, 2)
+    for ((label, df) <- Seq("freshDigests" -> digPlan, "incIndex" -> idxPlan,
+        "admittedIds" -> decide(idxPlan))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$label plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label plans a BNLJ")
+    }
+  }
+
   test("a third increment is checked against appended state, not just the first") {
     import spark.implicits._
     val root = freshRoot()
