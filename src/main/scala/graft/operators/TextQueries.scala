@@ -645,6 +645,71 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the [[bm25]] sparse ranking and a dense cosine ranking
+    * against the query vector (vec_id 0, the same probe as
+    * q_cosine_topk; embeddings row i is document i's vector): the
+    * retrieval-based curation operator a seed-guided corpus filter
+    * runs at scale. RRF(d) = Σ_list 1/(60 + rank_list(d)) over the
+    * top-50 of each list. Hash stability: both ranks are computed on
+    * the 4-decimal-ROUNDED scores with a doc-id tiebreak — the
+    * rounded scores are cross-engine-exact (the green q_bm25 /
+    * q_cosine_topk rows prove it), so the integer ranks and the
+    * 2-term RRF sum cannot drift; the raw libm floats never
+    * determine the hashed row beyond their rounded form. Scale
+    * shape: each top-50 list is a distributed partial top-k
+    * (TakeOrderedAndProject), the rank window then runs on 50 rows;
+    * the fusion is a 50×50 full-outer equi-join; the query vector
+    * and corpus stats are 1-row broadcasts. */
+  private def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vf = graft.functions.VectorFunctions
+    vf.register(s)
+    val kList = 50
+    val queryTerms = Seq("data", "table", "join")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = Tables.documents(s, d)
+      .join(dl, "doc_id")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("word").isin(queryTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val bm = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (lit(1.2) + 1) /
+          (col("tf") + lit(1.2) *
+            (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"))
+    val rankW = Window.orderBy(col("score").desc, col("doc_id"))
+    val topS = bm.select(col("doc_id"), col("bm25").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(kList)
+      .withColumn("rank_sparse", row_number().over(rankW).cast("int"))
+      .select("doc_id", "rank_sparse")
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+    val topD = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(vf.vecDot(col("e"), col("qe")) /
+          (sqrt(vf.vecDot(col("e"), col("e"))) *
+           sqrt(vf.vecDot(col("qe"), col("qe")))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(kList)
+      .withColumn("rank_dense", row_number().over(rankW).cast("int"))
+      .select("doc_id", "rank_dense")
+    topS.join(topD, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_sparse")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .select("doc_id", "rank_sparse", "rank_dense", "rrf")
+  }
+
   /** Near-duplicate clusters: the engine's min-label-propagation
     * connected components ([[graft.query.ConnectedComponents]]) over
     * the verified Jaccard pair graph — checked against a DuckDB
@@ -1329,6 +1394,34 @@ object TextQueries {
       "FROM tfd JOIN dl USING (doc_id), stats) " +
       "SELECT doc_id, round(sum(term_score), 4) AS bm25, " +
       "count(*) AS n_terms_hit FROM sc GROUP BY 1 ORDER BY doc_id")),
+    Q("q_hybrid_search", hybridSearch, Some(
+      "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM documents JOIN dl USING (doc_id)), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks " +
+      "WHERE word IN ('data', 'table', 'join') GROUP BY 1, 2), " +
+      "tfd AS (SELECT *, count(*) OVER (PARTITION BY word) AS df FROM tf), " +
+      "sc AS (SELECT doc_id, " +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) / " +
+      "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS term_score " +
+      "FROM tfd JOIN dl USING (doc_id), stats), " +
+      "bm AS (SELECT doc_id, round(sum(term_score), 4) AS score FROM sc GROUP BY 1), " +
+      "ts AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_sparse " +
+      "FROM bm QUALIFY rank_sparse <= 50), " +
+      "qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "cs AS (SELECT e.vec_id AS doc_id, " +
+      "round(sum(e.embedding[i]::DOUBLE * qv.qe[i]::DOUBLE) / " +
+      "(sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) * " +
+      "sqrt(sum(qv.qe[i]::DOUBLE * qv.qe[i]::DOUBLE))), 4) AS score " +
+      "FROM embeddings e, qv, range(1, 65) t(i) GROUP BY 1), " +
+      "td AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_dense " +
+      "FROM cs QUALIFY rank_dense <= 50), " +
+      "fu AS (SELECT coalesce(ts.doc_id, td.doc_id) AS doc_id, rank_sparse, rank_dense " +
+      "FROM ts FULL JOIN td ON ts.doc_id = td.doc_id) " +
+      "SELECT doc_id, rank_sparse, rank_dense, " +
+      "round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_sparse), 0) + " +
+      "coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_dense), 0), 6) AS rrf " +
+      "FROM fu ORDER BY rrf DESC, doc_id LIMIT 20")),
     Q("q_repetition", repetition, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "f AS (SELECT doc_id, w FROM w WHERE len(w) >= 2), " +

@@ -27,7 +27,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_bm25",        // 1-row (N, avgdl) corpus-stats scalar
     "q_bigram_lm",   // 1-row vocabulary-size scalar
     "q_dsir_weight", // 1-row target-vs-raw totals scalar
-    "q_semantic_dedup" // k-row centroid table (KMeans.assign broadcast)
+    "q_semantic_dedup", // k-row centroid table (KMeans.assign broadcast)
+    "q_hybrid_search" // 1-row query vector + 1-row corpus-stats scalar
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {
