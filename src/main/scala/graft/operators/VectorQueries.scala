@@ -197,7 +197,12 @@ object VectorQueries {
     * it survived. Paper variant note: SemDeDup keeps the member
     * FARTHEST from the centroid; we keep min-id (deterministic
     * without a float tie-break in the hashed row — the same
-    * survivor-rule normalization as [[graft.dedup.Dedup]]). */
+    * survivor-rule normalization as [[graft.dedup.Dedup]]). The
+    * assignment feeds both sides of the pair self-join lazily here
+    * (gate-scale double-compute is cheaper than hiding the join tree
+    * from the plan guard); at corpus scale checkpoint the assignment
+    * first — the [[graft.query.KMeans.run]]/[[graft.dedup.Dedup
+    * .embedNearDupBucketedPlan]] materialize-then-release rule. */
   private def semanticDedup(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)

@@ -136,6 +136,23 @@ class AdmissionSpec extends SparkSpec {
       "the duplicate must be rejected, the new doc admitted")
   }
 
+  test("an increment that admits nothing still leaves readable state") {
+    import spark.implicits._
+    val root = freshRoot()
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d1")
+    // the whole second increment is duplicate content -> zero admitted;
+    // the empty corpus/inc=d2 must still carry schema and read back
+    val got = Admission.admit(Seq((2L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2")
+    assert(got.count() == 0)
+    assert(Admission.corpus(spark, root).count() == 1)
+    // and the loop continues past the empty increment
+    Admission.admit(Seq((3L, "totally different words in here", "s"))
+      .toDF("doc_id", "text", "source"), root, "d3")
+    assert(Admission.corpus(spark, root).count() == 2)
+  }
+
   test("admission decision plans stay cartesian-free (equi/semi joins only)") {
     // q_admission_loop's catalog row returns a post-write parquet scan,
     // so PlanGuardSpec's sweep cannot see the internal join tree — pin
