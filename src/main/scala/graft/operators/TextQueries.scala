@@ -619,7 +619,11 @@ object TextQueries {
     * b = 0.75. Same one-scan shape as [[tfidf]]: tf is a (doc, term)
     * aggregate, df a window over it, N and avgdl broadcast scalars —
     * no shuffle touches raw text. */
-  private def bm25(s: SparkSession, d: String): DataFrame = {
+  /** Shared BM25 scoring core: (doc_id, bm25 rounded 4, n_terms_hit)
+    * for documents hitting ≥ 1 seed term — used verbatim by both the
+    * q_bm25 gate row and q_hybrid_search's sparse leg so the two can
+    * never drift apart. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queryTerms = Seq("data", "table", "join")
     val toks = Tables.documents(s, d)
@@ -642,8 +646,10 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(round(sum("term_score"), 4).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy("doc_id")
   }
+
+  private def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d).orderBy("doc_id")
 
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009)
     * of the [[bm25]] sparse ranking and a dense cosine ranking
@@ -666,28 +672,8 @@ object TextQueries {
     val vf = graft.functions.VectorFunctions
     vf.register(s)
     val kList = 50
-    val queryTerms = Seq("data", "table", "join")
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = Tables.documents(s, d)
-      .join(dl, "doc_id")
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = toks.filter(col("word").isin(queryTerms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
-    val bm = tf.join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("term_score",
-        col("idf") * col("tf") * (lit(1.2) + 1) /
-          (col("tf") + lit(1.2) *
-            (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum("term_score"), 4).as("bm25"))
     val rankW = Window.orderBy(col("score").desc, col("doc_id"))
-    val topS = bm.select(col("doc_id"), col("bm25").as("score"))
+    val topS = bm25Scores(s, d).select(col("doc_id"), col("bm25").as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(kList)
       .withColumn("rank_sparse", row_number().over(rankW).cast("int"))
       .select("doc_id", "rank_sparse")

@@ -76,25 +76,32 @@ object Admission {
     * so `AdmissionSpec` can pin the join shapes (every corpus-side
     * match an equi/semi join, never a cartesian), the same
     * plan-exposure pattern as [[graft.dedup.Dedup
-    * .embedNearDupBucketedPlan]]. Returns (freshDigests, incIndex,
-    * admittedIdsOf): `admittedIdsOf` builds the admitted-id plan from
-    * the (normally checkpointed) increment index it is given. */
+    * .embedNearDupBucketedPlan]]. Returns (freshKeys, incIndexOf,
+    * admittedIdsOf): `incIndexOf` builds the increment's signature
+    * rows from the (normally checkpointed) fresh keys, and
+    * `admittedIdsOf` resolves the admitted ids from the index and
+    * fresh keys. The admitted set starts from the FRESH key set, not
+    * the index universe: a document too short to shingle (< shingleN
+    * tokens) has no index rows, participates only in exact dedup,
+    * and must still be admitted — deriving from the index would
+    * silently drop it while its digest was already marked seen. */
   private[graft] def admitPlan(newDocs: DataFrame, seenIndex: DataFrame,
       seenDigests: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, rowsPerBand: Int)
-      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
+      : (DataFrame, DataFrame => DataFrame,
+         (DataFrame, DataFrame) => DataFrame) = {
     // (1) within-increment exact: keep the min id per distinct content
     val digested = newDocs
       .select(col(idCol), md5(col(textCol)).as("digest"))
     val exactKeep = digested.groupBy("digest").agg(min(idCol).as(idCol))
     // (2) cross-exact: content already seen in ANY earlier increment
-    val fresh = exactKeep
+    val freshKeys = exactKeep
       .join(seenDigests, Seq("digest"), "left_anti")
     // (3) signatures for every fresh doc — seen-index rows, admitted or not
-    val freshDocs = newDocs.join(fresh.select(idCol), Seq(idCol), "left_semi")
-    val incIndex = Dedup
-      .lshIndex(freshDocs, idCol, textCol, shingleN, k, rowsPerBand)
-    val admittedIdsOf = (idx: DataFrame) => {
+    val incIndexOf = (fk: DataFrame) => Dedup.lshIndex(
+      newDocs.join(fk.select(idCol), Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN, k, rowsPerBand)
+    val admittedIdsOf = (idx: DataFrame, fk: DataFrame) => {
       // (4) cross near-dup: any band collision with a seen document
       val crossLosers = idx
         .join(seenIndex.select("band", "sig"), Seq("band", "sig"), "left_semi")
@@ -106,11 +113,10 @@ object Admission {
           Seq("band", "sig"))
         .filter(col("gr_a") < col("gr_b"))
         .select(col("gr_b").as(idCol))
-      idx.select(idCol)
+      fk.select(idCol)
         .join(crossLosers.union(withinLosers), Seq(idCol), "left_anti")
-        .distinct()
     }
-    (fresh.select("digest"), incIndex, admittedIdsOf)
+    (freshKeys, incIndexOf, admittedIdsOf)
   }
 
   def admit(newDocs: DataFrame, root: String, incId: String,
@@ -119,12 +125,13 @@ object Admission {
     val s = newDocs.sparkSession
     val seenIndex = readSeen(s, s"$root/index", indexSchema(idCol), incId)
     val seenDigests = readSeen(s, s"$root/digests", digestSchema, incId)
-    val (freshDigestsPlan, incIndexPlan, admittedIdsOf) = admitPlan(
+    val (freshKeysPlan, incIndexOf, admittedIdsOf) = admitPlan(
       newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
     // decision tables materialize BEFORE state writes
-    val incIndex = incIndexPlan.localCheckpoint()
-    val freshDigests = freshDigestsPlan.localCheckpoint()
-    val admittedIds = admittedIdsOf(incIndex).localCheckpoint()
+    val freshKeys = freshKeysPlan.localCheckpoint()
+    val incIndex = incIndexOf(freshKeys).localCheckpoint()
+    val freshDigests = freshKeys.select("digest")
+    val admittedIds = admittedIdsOf(incIndex, freshKeys).localCheckpoint()
 
     // state writes — every plan below reads only newDocs + materialized
     // decision tables, never a state directory

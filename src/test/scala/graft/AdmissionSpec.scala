@@ -42,14 +42,17 @@ class AdmissionSpec extends SparkSpec {
     val inc1 = Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "src0"),
       (2L, "alpha beta gamma delta epsilon zeta", "src0"), // exact dup of 1
-      (3L, "one two three four five six seven", "src0")
+      (3L, "one two three one two three", "src0")
     ).toDF("doc_id", "text", "source")
     val inc2 = Seq(
       (10L, "alpha beta gamma delta epsilon zeta", "src1"), // exact dup, cross
-      // same shingle SET as doc 3 (cyclic repeat) -> identical minhash
-      // signatures, different digest: only the seen-signature index
-      // can reject it
-      (11L, "one two three four five six seven one two three four five six seven", "src1"),
+      // doc 3's text is a period-3 cyclic repeat, so ANY longer repeat
+      // of the same period has the IDENTICAL 3-shingle set
+      // {one two three, two three one, three one two} -> identical
+      // minhash signatures in every band, different digest: only the
+      // seen-signature index can reject it (guaranteed, not a lucky
+      // band collision)
+      (11L, "one two three one two three one two three", "src1"),
       (12L, "totally unrelated fresh content here now", "src1")
     ).toDF("doc_id", "text", "source")
     val root = freshRoot()
@@ -136,6 +139,25 @@ class AdmissionSpec extends SparkSpec {
       "the duplicate must be rejected, the new doc admitted")
   }
 
+  test("a document too short to shingle is admitted via exact dedup alone") {
+    import spark.implicits._
+    val root = freshRoot()
+    // doc 2 has < 3 whitespace tokens -> no shingles, no index rows;
+    // it must still be admitted (and its digest recorded as seen)
+    val got1 = Admission.admit(Seq(
+      (1L, "aa bb cc dd ee ff gg", "s"),
+      (2L, "hello world", "s")).toDF("doc_id", "text", "source"),
+      root, "d1").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 == Seq(1L, 2L), s"short doc lost: $got1")
+    // a later exact copy of the short doc is rejected through digests
+    val got2 = Admission.admit(Seq(
+      (10L, "hello world", "s"),
+      (11L, "ww xx yy zz aa bb cc", "s")).toDF("doc_id", "text", "source"),
+      root, "d2").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == Seq(11L), s"short-doc exact dup must be rejected: $got2")
+    assert(Admission.corpus(spark, root).count() == 3)
+  }
+
   test("an increment that admits nothing still leaves readable state") {
     import spark.implicits._
     val root = freshRoot()
@@ -164,11 +186,12 @@ class AdmissionSpec extends SparkSpec {
     val seenIndex = Admission.index(spark, root)
     import spark.implicits._
     val seenDigests = Seq.empty[String].toDF("digest")
-    val (digPlan, idxPlan, decide) = Admission.admitPlan(
+    val (fkPlan, idxOf, decide) = Admission.admitPlan(
       docs.filter(col("doc_id") % 2 === 1), seenIndex, seenDigests,
       "doc_id", "text", 3, 8, 2)
-    for ((label, df) <- Seq("freshDigests" -> digPlan, "incIndex" -> idxPlan,
-        "admittedIds" -> decide(idxPlan))) {
+    val idxPlan = idxOf(fkPlan)
+    for ((label, df) <- Seq("freshKeys" -> fkPlan, "incIndex" -> idxPlan,
+        "admittedIds" -> decide(idxPlan, fkPlan))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$label plans a cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$label plans a BNLJ")
