@@ -1010,7 +1010,10 @@ object TextQueries {
     * aggregates, broadcastable vocab scalar, no driver-side state.
     * Tokens contain no spaces (\\S+ runs), so the bigram join key is
     * an unambiguous "w1 w2" string in both engines. */
-  private def bigramLm(s: SparkSession, d: String): DataFrame = {
+  /** Shared bigram-LM scoring core: (doc_id, n_bigrams, avg_logp
+    * rounded 4) — used verbatim by the q_bigram_lm gate row and
+    * q_ppl_buckets' scoring leg so the two cannot drift apart. */
+  private def bigramLmScores(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
@@ -1029,6 +1032,32 @@ object TextQueries {
         log((col("cb") + 1.0) / (col("cu") + col("v"))).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("avg_logp"))
+  }
+
+  private def bigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLmScores(s, d).orderBy("doc_id")
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    * corpus into head / middle / tail by the TERCILES of the bigram-LM
+    * score — the standard "keep the head, drop or down-weight the
+    * tail" curation knob. Scale shape: the two cutoffs are ONE tiny
+    * percentile aggregate broadcast back (never a global ntile sort —
+    * that would funnel the corpus through a single ordering task);
+    * bucket assignment is then scan-stage. Hash stability: cutoffs
+    * are exact type-7 interpolated percentiles OF THE 4-DECIMAL-
+    * ROUNDED scores (cross-engine-exact per the green q_bigram_lm
+    * row), compared with `>=` in both engines, so a document lands in
+    * the same bucket everywhere. */
+  private def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramLmScores(s, d)
+    val cuts = scored.agg(
+      percentile(col("avg_logp"), lit(1.0 / 3)).as("c1"),
+      percentile(col("avg_logp"), lit(2.0 / 3)).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_logp"),
+        when(col("avg_logp") >= col("c2"), "head")
+          .when(col("avg_logp") >= col("c1"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
       .orderBy("doc_id")
   }
 
@@ -1087,6 +1116,24 @@ object TextQueries {
       "FROM b2 JOIN bi USING (big) JOIN uni USING (w1), v) " +
       "SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logp " +
       "FROM sc GROUP BY 1 ORDER BY doc_id")),
+    Q("q_ppl_buckets", pplBuckets, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "f AS (SELECT doc_id, w FROM w WHERE len(w) >= 2), " +
+      "b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i] || ' ' || w[i+1])) AS big FROM f), " +
+      "b2 AS (SELECT doc_id, big, split_part(big, ' ', 1) AS w1 FROM b), " +
+      "toks AS (SELECT unnest(w) AS word FROM f), " +
+      "uni AS (SELECT word AS w1, count(*) AS cu FROM toks GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT word) AS v FROM toks), " +
+      "bi AS (SELECT big, count(*) AS cb FROM b GROUP BY 1), " +
+      "sc AS (SELECT doc_id, ln((cb + 1.0) / (cu + v)) AS lp " +
+      "FROM b2 JOIN bi USING (big) JOIN uni USING (w1), v), " +
+      "sc2 AS (SELECT doc_id, round(avg(lp), 4) AS avg_logp FROM sc GROUP BY 1), " +
+      "cut AS (SELECT quantile_cont(avg_logp, CAST(1 AS DOUBLE) / 3) AS c1, " +
+      "quantile_cont(avg_logp, CAST(2 AS DOUBLE) / 3) AS c2 FROM sc2) " +
+      "SELECT doc_id, avg_logp, " +
+      "CASE WHEN avg_logp >= c2 THEN 'head' WHEN avg_logp >= c1 THEN 'middle' " +
+      "ELSE 'tail' END AS ppl_bucket FROM sc2, cut ORDER BY doc_id")),
     Q("q_chunking", chunking, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w " +
       "FROM documents), " +
