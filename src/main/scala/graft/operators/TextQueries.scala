@@ -332,6 +332,34 @@ object TextQueries {
   private def windowHashes(s: SparkSession, d: String): DataFrame =
     windowHashesOf(Tables.documents(s, d))
 
+  /** Corpus-health report on duplicated n-gram MASS (the statistic
+    * Lee et al. 2021 report when motivating dedup): per source, the
+    * fraction of 4-token window occurrences whose hash appears more
+    * than once CORPUS-WIDE — "how much of this source is boilerplate
+    * shared with anything else", the triage number that decides
+    * which sources are worth aggressive dedup. Companion to the
+    * per-source exact-dup loss report (q_dedup_report) at the
+    * sub-document granularity. Scale shape: only (doc_id, wh) longs
+    * cross the exchanges; the occurrence count is a map-side-partial
+    * hash aggregate; the join back on wh is the standard posting-
+    * list shape; the final report is |sources| rows. dup_frac is a
+    * single division of two exact integers rounded once —
+    * engine-exact. */
+  private def dupNgramMass(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = windowHashesOf(docs)
+      .select(col("doc_id"), explode(col("whs")).as("wh"))
+    val counts = h.groupBy("wh").agg(count(lit(1)).as("c"))
+    h.join(counts, "wh")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("total_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long").as("dup_windows"))
+      .withColumn("dup_frac",
+        round(col("dup_windows") / col("total_windows"), 6))
+      .orderBy("source")
+  }
+
   /** Rolling-hash fingerprint (winnowing-style): the document
     * fingerprint is the minimum window hash. */
   private def rollingFingerprint(s: SparkSession, d: String): DataFrame =
@@ -1350,6 +1378,19 @@ object TextQueries {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
       "FROM f a JOIN kept ON a.fp = kept.fp JOIN f b ON a.fp = b.fp " +
       "WHERE a.doc_id < b.doc_id ORDER BY 1, 2")),
+    Q("q_dup_ngram_mass", dupNgramMass, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
+      (1 to 8).map(j => s"ascii(substr(md5(x), $j, 1)) * $j").mkString(" + ") +
+      " AS BIGINT)) AS us FROM w WHERE len(w) >= 4), " +
+      "h AS (SELECT doc_id, unnest(list_transform(range(1, len(us) - 2), " +
+      "i -> us[i]*2248091 + us[i+1]*17161 + us[i+2]*131 + us[i+3])) AS wh FROM u), " +
+      "c AS (SELECT wh, count(*) AS c FROM h GROUP BY wh) " +
+      "SELECT d.source, count(*) AS total_windows, " +
+      "CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows, " +
+      "round(CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac " +
+      "FROM h JOIN c USING (wh) JOIN documents d USING (doc_id) " +
+      "GROUP BY 1 ORDER BY 1")),
     Q("q_substr_dedup", substrDedup, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "u AS (SELECT doc_id, len(w) AS n_tokens, list_transform(w, x -> CAST(" +
