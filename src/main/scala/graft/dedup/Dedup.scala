@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -264,5 +264,66 @@ object Dedup {
       .select(col(idCol), xxhash64(col("shingle")).as("sh"))
       .groupBy(idCol)
       .agg(agg(col("sh")).as("sig"))
+  }
+
+  /** Bloom-prefiltered admission against a reference digest set —
+    * EXACT anti-join semantics at a fraction of the join cost.
+    *
+    * The reference corpus is represented by the distinct BIT POSITIONS
+    * its digests set in an m-bit Bloom filter (numHashes positions per
+    * digest via seeded xxhash64). That position table is bounded by
+    * mBits rows no matter how many digests the reference holds — at
+    * 100 TB you broadcast ≤ m ints where broadcasting billions of
+    * 16-byte digests is impossible. Each fresh row probes its
+    * numHashes positions against the broadcast table:
+    *
+    *  - any position missing → definitely NOT in the reference
+    *    (Bloom filters have no false negatives) → admitted with NO
+    *    join against the reference at all;
+    *  - all positions present → "maybe" → verified by an exact
+    *    left-anti join, which now processes only the tiny
+    *    maybe-duplicate slice instead of the whole increment.
+    *
+    * Because false positives are re-checked exactly, the result is
+    * byte-identical to a plain anti-join — the Bloom internals (hash
+    * choice, m, k) affect only cost, never the answer, which is what
+    * makes the operator oracle-checkable with plain SQL.
+    *
+    * `fresh` must carry (idCol, digestCol); `ref` carries digestCol.
+    * Returns the admitted fresh rows (idCol, digestCol).
+    */
+  def bloomAdmit(fresh: DataFrame, ref: DataFrame, idCol: String,
+      digestCol: String, mBits: Long = 1L << 20,
+      numHashes: Int = 3): DataFrame = {
+    require(numHashes >= 1 && mBits >= 2, "degenerate Bloom geometry")
+    def position(i: Int, c: Column): Column =
+      pmod(xxhash64(lit(i), c), lit(mBits))
+    val refBits = ref
+      .select(explode(array(
+        (0 until numHashes).map(i => position(i, col(digestCol))): _*))
+        .as("bloom_pos"))
+      .distinct()
+    // One broadcast left-join per hash function, all stacked in the
+    // scan stage — the fresh side never shuffles; each join only adds
+    // a presence flag. (A groupBy-count formulation would re-shuffle
+    // the entire increment just to count its own exploded rows.)
+    val probed = (0 until numHashes).foldLeft(
+      fresh.select(col(idCol), col(digestCol))) { (acc, i) =>
+      acc
+        .withColumn(s"bloom_pos_$i", position(i, col(digestCol)))
+        .join(
+          broadcast(refBits.select(col("bloom_pos").as(s"bloom_pos_$i"))
+            .withColumn(s"bloom_hit_$i", lit(1))),
+          Seq(s"bloom_pos_$i"), "left")
+    }
+    val allHit = (0 until numHashes)
+      .map(i => col(s"bloom_hit_$i").isNotNull)
+      .reduce(_ && _)
+    val definitelyNew = probed.filter(!allHit).select(idCol, digestCol)
+    val maybe = probed.filter(allHit).select(idCol, digestCol)
+    val verifiedNew = maybe.join(
+      ref.select(col(digestCol)).distinct(), Seq(digestCol), "left_anti")
+      .select(idCol, digestCol)
+    definitelyNew.unionByName(verifiedNew)
   }
 }

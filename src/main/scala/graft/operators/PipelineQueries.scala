@@ -156,7 +156,47 @@ object PipelineQueries {
     s"FROM read_parquet('$gateSinkPath/*/*.parquet', hive_partitioning=true) " +
     "ORDER BY source, bin, doc_id, chunk_id"
 
+  /** Corpus snapshot diff — the maintenance operator an incremental
+    * pipeline runs between two crawl snapshots: classify every doc_id
+    * as added / removed / changed (content digest moved) and emit the
+    * non-unchanged rows. Two snapshots are simulated from the fixture
+    * (old = ids ∉ 11ℤ; new = ids ∉ 13ℤ, with ids ∈ 17ℤ rewritten).
+    *
+    * Scale shape: each side reduces to (doc_id, digest) in its scan
+    * stage — raw text never crosses the exchange — and the full-outer
+    * join co-partitions both 24-byte-row sides on doc_id, the join key
+    * a snapshot store would already be bucketed on (zero shuffle
+    * there). Output is bounded by the churn, not the corpus. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val b = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true),
-    Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)))
+    Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)),
+    Q("q_snapshot_diff", snapshotDiff, Some(
+      "WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0), " +
+      "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h " +
+      "FROM documents WHERE doc_id % 13 <> 0) " +
+      "SELECT doc_id, status FROM (" +
+      "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "CASE WHEN a.doc_id IS NULL THEN 'added' WHEN b.doc_id IS NULL THEN 'removed' " +
+      "WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM a FULL JOIN b ON a.doc_id = b.doc_id) t " +
+      "WHERE status <> 'unchanged' ORDER BY doc_id")))
 }

@@ -51,6 +51,45 @@ object TextQueries {
       .filter(col("n") > 1)
       .orderBy("h")
 
+  /** Bloom-prefiltered admission against an already-ingested reference
+    * corpus ([[graft.dedup.Dedup.bloomAdmit]]): docs whose digest the
+    * broadcast bit-position table rules out are admitted with no join
+    * at all; only the Bloom-"maybe" slice pays the exact anti-join.
+    * The result is EXACT (no false negatives + re-verified positives),
+    * so the oracle is a plain SQL anti-join — Bloom geometry affects
+    * cost only, never the answer. Reference = ids ∈ 7ℤ. */
+  private def bloomDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    graft.dedup.Dedup.bloomAdmit(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0).select("digest"),
+      "doc_id", "digest")
+      .orderBy("doc_id")
+  }
+
+  /** BPE tokenizer-training round 1 (Sennrich et al. 2016): the
+    * top-20 most frequent adjacent character pairs over the corpus's
+    * word-frequency dictionary — the pair a byte-pair-encoding learner
+    * would merge first. The corpus collapses to its DISTINCT-word
+    * dictionary before any pair work (the standard BPE compression:
+    * pair counts are weighted by word frequency, so 100 TB of text
+    * becomes a vocabulary-sized table), and the final top-20 plans as
+    * a distributed partial top-k (TakeOrderedAndProject), never a
+    * global sort. */
+  private def bpeMerges(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(words(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+
   /** N-gram Jaccard near-dup: pairs with shingle-set Jaccard ≥ 0.8 via
     * the prefix-filtered threshold join ([[graft.functions
     * .TextFunctions.jaccardPairs]], AllPairs/PPJoin); n_common / union
@@ -1203,6 +1242,17 @@ object TextQueries {
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id")),
     Q("q_dedup_groups", dedupGroups, Some(
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h")),
+    Q("q_bloom_dedup", bloomDedup, Some(
+      "SELECT doc_id, md5(text) AS digest FROM documents f " +
+      "WHERE doc_id % 7 <> 0 AND NOT EXISTS (SELECT 1 FROM documents r " +
+      "WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(f.text)) ORDER BY doc_id")),
+    Q("q_bpe_merges", bpeMerges, Some(
+      "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents), " +
+      "f AS (SELECT word, count(*) AS wc FROM t WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1), " +
+      "p AS (SELECT wc, unnest(list_transform(range(1, length(word)), " +
+      "i -> word[i:i+1])) AS pair FROM f WHERE length(word) >= 2) " +
+      "SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY 1 " +
+      "ORDER BY cnt DESC, pair LIMIT 20")),
     Q("q_ngram_jaccard", ngramJaccard, Some(
       shinglesCte + ", " +
       "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
