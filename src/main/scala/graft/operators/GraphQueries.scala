@@ -102,6 +102,28 @@ object GraphQueries {
         s"$imdbDir/names1000.tsv")
       .orderBy("title", "name")
 
+  /** GNN-minibatch neighbor sampling (GraphSAGE, Hamilton et al.
+    * 2017): cap every vertex's fan-out at k=5 neighbors, selected by a
+    * salted-hash rank — deterministic, rerun- and partitioning-stable,
+    * the step that turns a power-law adjacency into a bounded training
+    * sample. Scale shape: the bounded-heap [[graft.functions.TopK]]
+    * Aggregator (map-side partial heaps; n_vertices × k tuples cross
+    * the exchange, never a per-vertex window sort — on a 100 TB edge
+    * list the hub vertices are exactly where a window form dies). The
+    * rank hash is 48-bit, exact in both a double and a BIGINT, so both
+    * engines select identical neighbor sets. */
+  private def neighborSample(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val h = conv(substring(md5(concat(
+      lit("nbr|"), col("cust").cast("string"),
+      lit("|"), col("part").cast("string"))), 1, 12), 16, 10).cast("long")
+    val scored = copurchaseEdges(s, d).distinct()
+      .select(col("cust"), col("part"), (-h).cast("double").as("neg_h"))
+    graft.functions.TopK.perKey(scored, "cust", "neg_h", "part", k)
+      .select(col("cust"), col("part"))
+      .orderBy("cust", "part")
+  }
+
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
@@ -161,5 +183,12 @@ object GraphQueries {
     Q("q_degree_histogram", degreeHistogram, Some(
       edgesCte + ", deg AS (SELECT cust, count(*) AS degree FROM edges GROUP BY cust) " +
       "SELECT degree, count(*) AS n_custs FROM deg GROUP BY degree ORDER BY degree")),
+    Q("q_neighbor_sample", neighborSample, Some(
+      edgesCte + ", scored AS (SELECT cust, part, " +
+      "CAST('0x' || substr(md5('nbr|' || CAST(cust AS VARCHAR) || '|' || CAST(part AS VARCHAR)), 1, 12) AS BIGINT) AS h " +
+      "FROM edges) " +
+      "SELECT cust, part FROM (SELECT cust, part, " +
+      "row_number() OVER (PARTITION BY cust ORDER BY h, part) AS rn FROM scored) t " +
+      "WHERE rn <= 5 ORDER BY cust, part")),
   )
 }

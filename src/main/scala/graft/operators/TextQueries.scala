@@ -77,6 +77,47 @@ object TextQueries {
     * becomes a vocabulary-sized table), and the final top-20 plans as
     * a distributed partial top-k (TakeOrderedAndProject), never a
     * global sort. */
+  /** Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1,
+    * adapted to the fixture's newline-free text): per-document boolean
+    * verdicts with every threshold evaluated in EXACT integer form
+    * (cross-multiplications, never a float ratio), so the gate row
+    * cannot flip on rounding. Rules: word count ∈ [50, 100000]; mean
+    * word length ∈ [3, 10] (as 3n ≤ Σlen ∧ Σlen ≤ 10n); ≥ 2 distinct
+    * stopwords; duplicate-bigram mass ≤ 20% (as 5·dup ≤ n_bigrams).
+    * `q_quality_score`/`q_repetition` report the underlying ratios;
+    * THIS row is the admit/reject battery a Gopher-style pipeline
+    * executes. Everything is scan-stage higher-order-function work on
+    * the words array — zero shuffles before the output sort. */
+  private def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n"),
+        expr("aggregate(transform(w, x -> length(x)), 0, (a, x) -> a + x)")
+          .as("sum_len"),
+        size(array_intersect(array_distinct(col("w")),
+          array(stop.map(lit): _*))).as("n_stop"),
+        greatest(size(col("w")) - 1, lit(0)).as("n_bg"),
+        (greatest(size(col("w")) - 1, lit(0)) -
+          when(size(col("w")) >= 2, size(array_distinct(expr(
+            "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))))
+            .otherwise(0)).as("dup_bg"))
+    base.select(col("doc_id"),
+      col("n").as("n_words"),
+      col("n_stop").as("n_stopwords"),
+      col("dup_bg").as("dup_bigrams"),
+      col("n").between(50, 100000).as("r_wordcount"),
+      (lit(3) * col("n") <= col("sum_len") &&
+        col("sum_len") <= lit(10) * col("n")).as("r_meanlen"),
+      (col("n_stop") >= 2).as("r_stopwords"),
+      (lit(5) * col("dup_bg") <= col("n_bg")).as("r_repetition"))
+      .withColumn("keep", col("r_wordcount") && col("r_meanlen") &&
+        col("r_stopwords") && col("r_repetition"))
+      .orderBy("doc_id")
+  }
+
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("word"))
@@ -1246,6 +1287,24 @@ object TextQueries {
       "SELECT doc_id, md5(text) AS digest FROM documents f " +
       "WHERE doc_id % 7 <> 0 AND NOT EXISTS (SELECT 1 FROM documents r " +
       "WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(f.text)) ORDER BY doc_id")),
+    Q("q_gopher_rules", gopherRules, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "b AS (SELECT doc_id, len(w) AS n, " +
+      "list_sum(list_transform(w, x -> length(x))) AS sum_len, " +
+      "len(list_intersect(list_distinct(w), " +
+      "['the','a','and','of','to','in','is','that'])) AS n_stop, " +
+      "greatest(len(w) - 1, 0) AS n_bg, " +
+      "greatest(len(w) - 1, 0) - len(list_distinct(list_transform(" +
+      "range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS dup_bg FROM w) " +
+      "SELECT doc_id, CAST(n AS INT) AS n_words, CAST(n_stop AS INT) AS n_stopwords, " +
+      "CAST(dup_bg AS INT) AS dup_bigrams, " +
+      "n BETWEEN 50 AND 100000 AS r_wordcount, " +
+      "(3 * n <= sum_len AND sum_len <= 10 * n) AS r_meanlen, " +
+      "n_stop >= 2 AS r_stopwords, " +
+      "5 * dup_bg <= n_bg AS r_repetition, " +
+      "(n BETWEEN 50 AND 100000 AND 3 * n <= sum_len AND sum_len <= 10 * n " +
+      "AND n_stop >= 2 AND 5 * dup_bg <= n_bg) AS keep " +
+      "FROM b ORDER BY doc_id")),
     Q("q_bpe_merges", bpeMerges, Some(
       "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents), " +
       "f AS (SELECT word, count(*) AS wc FROM t WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1), " +

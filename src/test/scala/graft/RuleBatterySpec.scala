@@ -1,0 +1,44 @@
+package graft
+
+/** Property pins for q_gopher_rules and q_neighbor_sample (both are
+  * hash-checked against DuckDB in the gate; these assert the semantic
+  * invariants a hash can't explain). */
+class RuleBatterySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q_gopher_rules: keep is the conjunction of its rule columns") {
+    val rows = Catalog.byName("q_gopher_rules")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("r_wordcount", "r_meanlen", "r_stopwords", "r_repetition", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c, d, keep) =>
+      assert(keep === (a && b && c && d))
+    }
+    // the battery must actually discriminate at smoke scale
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "all documents landed on one side of the battery")
+  }
+
+  test("q_neighbor_sample: fan-out capped at 5, sample ⊆ adjacency") {
+    val dir = "/root/testdata/sf0.001"
+    val sample = Catalog.byName("q_neighbor_sample").fn(spark, dir)
+    val fanOut = sample.groupBy("cust").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 5).count()
+    assert(fanOut === 0, "a vertex exceeded the k=5 fan-out cap")
+    val edges = graft.operators.GraphQueries.copurchaseEdges(spark, dir)
+      .distinct()
+    assert(sample.join(edges, Seq("cust", "part"), "left_anti").count() === 0,
+      "sampled a non-existent edge")
+    // vertices with degree >= k must be sampled at exactly k
+    val deg = edges.groupBy("cust").count().filter(
+      org.apache.spark.sql.functions.col("count") >= 5)
+    val under = sample.groupBy("cust").count()
+      .withColumnRenamed("count", "got")
+      .join(deg, "cust")
+      .filter(org.apache.spark.sql.functions.col("got") =!= 5)
+      .count()
+    assert(under === 0, "a high-degree vertex was sampled below k")
+  }
+}
