@@ -189,6 +189,26 @@ object EventQueries {
         countDistinct("user_id").as("n_users"))
       .orderBy("day", "event_type")
 
+  /** Cohort retention: users grouped by the day of their first event,
+    * counted on each later active day — the canonical product-health
+    * rollup. Scale shape: one (user_id, day) distinct + one groupBy
+    * user_id for the cohort day, then a user_id-co-partitioned join
+    * (AQE reuses the exchange) and a tiny (cohort × offset) final
+    * aggregate; raw events collapse to (user_id, day) pairs in the
+    * scan stage. */
+  private def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = ud.groupBy("user_id").agg(min("day").as("cohort"))
+    ud.join(firstDay, "user_id")
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** JSON property extraction from the `props` column — the
     * semi-structured-payload operator a pipeline engine needs (absent
     * from the reference; north-star surface). */
@@ -277,5 +297,12 @@ object EventQueries {
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    Q("q_retention_cohorts", retentionCohorts, Some(
+      "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+      "fd AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) " +
+      "SELECT strftime(fd.cohort, '%Y-%m-%d') AS cohort, " +
+      "CAST(date_diff('day', fd.cohort, ud.day) AS INT) AS day_offset, " +
+      "count(*) AS n_users " +
+      "FROM ud JOIN fd USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2")),
   )
 }

@@ -186,9 +186,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MERGE / upsert application — the write-side twin of
+    * [[snapshotDiff]]: apply a changeset (upserts that win over the
+    * base, plus deletes) to a base snapshot, Delta-MERGE semantics
+    * expressed as one digest-only full-outer join on doc_id plus a
+    * broadcast-scale anti-join for the deletes. Base = ids ∉ 11ℤ;
+    * upserts = ids ∈ 13ℤ (content rewritten); deletes = ids ∈ 19ℤ.
+    * Raw text never crosses an exchange; at 100 TB both sides arrive
+    * bucketed on doc_id and the merge is exchange-free. */
+  private def mergeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_base"))
+    val upserts = docs.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), md5(concat(col("text"), lit(" v2"))).as("h_up"))
+    val deletes = docs.filter(col("doc_id") % 19 === 0).select("doc_id")
+    base.join(upserts, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), coalesce(col("h_up"), col("h_base")).as("digest"))
+      .join(deletes, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true),
     Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)),
+    Q("q_merge_apply", mergeApply, Some(
+      "WITH base AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0), " +
+      "up AS (SELECT doc_id, md5(text || ' v2') AS h FROM documents WHERE doc_id % 13 = 0) " +
+      "SELECT coalesce(base.doc_id, up.doc_id) AS doc_id, " +
+      "coalesce(up.h, base.h) AS digest " +
+      "FROM base FULL JOIN up ON base.doc_id = up.doc_id " +
+      "WHERE coalesce(base.doc_id, up.doc_id) % 19 <> 0 " +
+      "ORDER BY doc_id")),
     Q("q_snapshot_diff", snapshotDiff, Some(
       "WITH a AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0), " +
       "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h " +

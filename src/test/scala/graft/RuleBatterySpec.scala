@@ -41,4 +41,35 @@ class RuleBatterySpec extends SparkSpec {
       .count()
     assert(under === 0, "a high-degree vertex was sampled below k")
   }
+
+  test("q_retention_cohorts: offset-0 row is each cohort's maximum") {
+    val rows = Catalog.byName("q_retention_cohorts")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("cohort", "day_offset", "n_users")
+      .as[(String, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative day offset")
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      val day0 = rs.find(_._2 == 0)
+        .getOrElse(fail(s"cohort $c has no offset-0 row"))._3
+      assert(rs.forall(_._3 <= day0),
+        s"cohort $c: a later day exceeds the cohort size")
+    }
+  }
+
+  test("q_merge_apply: deletes absent, upserts win") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val merged = Catalog.byName("q_merge_apply").fn(spark, dir)
+    assert(merged.filter(col("doc_id") % 19 === 0).count() === 0,
+      "a deleted id survived the merge")
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val upserted = docs.filter(col("doc_id") % 13 === 0 &&
+        col("doc_id") % 19 =!= 0 && col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), md5(concat(col("text"), lit(" v2"))).as("expect"))
+    val wrong = merged.join(upserted, "doc_id")
+      .filter(col("digest") =!= col("expect")).count()
+    assert(wrong === 0, "an upsert did not win over the base row")
+  }
 }
