@@ -209,6 +209,61 @@ object EventQueries {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Z-order layout assignment — the OPTIMIZE ZORDER shape a 100 TB
+    * table needs for multi-column pruning: each event's (user_id,
+    * hour) coordinate pair maps to a Morton z-value (8+8-bit
+    * interleave, pure integer bit arithmetic in one scan-stage
+    * expression) and a 256-way bucket from the z-prefix. The output
+    * is the ZONE MAP the layout would produce — per-bucket row counts
+    * plus BOTH dimensions' min/max, each provably confined to a
+    * 16-wide slice of its 256-value range (`RuleBatterySpec` pins the
+    * bound) — demonstrating that z-bucketing bounds every dimension
+    * at once where a single-column sort bounds only its own. Writing
+    * would be `repartitionByRange($"z")`; the math here is the part
+    * worth oracle-checking. */
+  private def zorderLayout(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("user_id").bitwiseAND(lit(255L)).as("a"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
+          .bitwiseAND(lit(255L)).as("b"))
+      .select(col("a"), col("b"), expr(
+        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> " +
+        "acc + shiftleft(shiftright(a, i) & 1, 2*i + 1) + " +
+        "shiftleft(shiftright(b, i) & 1, 2*i))").as("z"))
+      .groupBy(expr("shiftright(z, 8)").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("min_user"), max("a").as("max_user"),
+        min("b").as("min_hour"), max("b").as("max_hour"))
+      .orderBy("bucket")
+
+  /** Ordered 3-step funnel (view → click → purchase): users whose
+    * first click follows their first view, and first purchase follows
+    * that click. Each step is a type-pushed-down scan + a
+    * user_id-co-partitioned join with the previous step's frontier
+    * (AQE reuses the exchange), so the funnel is 3 narrow stages —
+    * never a per-user event-list sort. `q_click_purchase_join` is the
+    * pairwise interval join; THIS is the ordered multi-step rollup. */
+  private def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit("view").as("event_type"), col("n_users"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("step"), lit("click").as("event_type"), col("n_users")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("step"), lit("purchase").as("event_type"), col("n_users")))
+      .orderBy("step")
+  }
+
   /** JSON property extraction from the `props` column — the
     * semi-structured-payload operator a pipeline engine needs (absent
     * from the reference; north-star surface). */
@@ -297,6 +352,27 @@ object EventQueries {
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +
       "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+    Q("q_zorder_layout", zorderLayout, Some(
+      "WITH e AS (SELECT user_id & 255 AS a, " +
+      "CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) & 255 AS b FROM events), " +
+      "z AS (SELECT a, b, " +
+      "list_sum(list_transform(range(0, 8), i -> ((a >> i) & 1) << (2*i + 1))) + " +
+      "list_sum(list_transform(range(0, 8), i -> ((b >> i) & 1) << (2*i))) AS z FROM e) " +
+      "SELECT CAST(z >> 8 AS INT) AS bucket, count(*) AS n_rows, " +
+      "min(a) AS min_user, max(a) AS max_user, " +
+      "min(b) AS min_hour, max(b) AS max_hour " +
+      "FROM z GROUP BY 1 ORDER BY 1")),
+    Q("q_funnel_steps", funnelSteps, Some(
+      "WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id) " +
+      "WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1), " +
+      "t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id) " +
+      "WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1) " +
+      "SELECT * FROM (" +
+      "SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1 " +
+      "UNION ALL SELECT 2, 'click', count(*) FROM t2 " +
+      "UNION ALL SELECT 3, 'purchase', count(*) FROM t3) u ORDER BY step")),
     Q("q_retention_cohorts", retentionCohorts, Some(
       "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
       "fd AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) " +

@@ -58,6 +58,28 @@ class RuleBatterySpec extends SparkSpec {
     }
   }
 
+  test("q_zorder_layout: every bucket bounds BOTH dimensions to 16") {
+    val rows = Catalog.byName("q_zorder_layout")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("bucket", "min_user", "max_user", "min_hour", "max_hour")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(rows.length > 1, "z-layout degenerated to a single bucket")
+    rows.foreach { case (bkt, lu, hu, lh, hh) =>
+      assert(hu - lu <= 15, s"bucket $bkt: user span ${hu - lu} > 15")
+      assert(hh - lh <= 15, s"bucket $bkt: hour span ${hh - lh} > 15")
+    }
+  }
+
+  test("q_funnel_steps: step counts are monotonically non-increasing") {
+    val rows = Catalog.byName("q_funnel_steps")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("step", "n_users").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      s"funnel widened downstream: ${rows.mkString(", ")}")
+    assert(rows(0)._2 > 0, "empty funnel at smoke scale")
+  }
+
   test("q_merge_apply: deletes absent, upserts win") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
