@@ -186,6 +186,40 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sink root for the JSONL roundtrip row — same per-scale-subdir
+    * scheme as [[sinkPath]] (see its scale-race rationale). */
+  val jsonlRoot = "/tmp/graft_jsonl_sink"
+  private def jsonlPath(sfDir: String): String =
+    s"$jsonlRoot/${new java.io.File(sfDir).getName}"
+  private val gateJsonlPath = s"$jsonlRoot/sf0.01"
+
+  /** JSONL egress/ingress roundtrip — the interchange format every
+    * crawl pipeline speaks: ship the documents table as
+    * newline-delimited JSON, read it back through an EXPLICIT schema
+    * (no inference scan), and hash the text through the roundtrip.
+    * The DuckDB oracle parses the SAME files, so a green row proves
+    * Spark's JSON escaping of arbitrary document text is lossless and
+    * foreign-engine-readable — the failure mode this guards (quote /
+    * control-char / unicode escaping drift) is invisible to a
+    * parquet-only test. Scale note: the write keeps the scan's
+    * natural partitioning (many part files; the oracle globs), and
+    * every row carries a `sink_scale` stamp so a gate run at another
+    * scale hash-fails loudly instead of reading stale files. */
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dest = jsonlPath(d)
+    val scale = new java.io.File(d).getName
+    val docs = Tables.documents(s, d)
+    docs.withColumn("sink_scale", lit(scale))
+      .write.mode("overwrite").json(dest)
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "sink_scale", org.apache.spark.sql.types.StringType))
+    s.read.schema(schema).json(dest)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("sink_scale"))
+      .orderBy("doc_id")
+  }
+
   /** MERGE / upsert application — the write-side twin of
     * [[snapshotDiff]]: apply a changeset (upserts that win over the
     * base, plus deletes) to a base snapshot, Delta-MERGE semantics
@@ -210,6 +244,12 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true),
     Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)),
+    Q("q_jsonl_roundtrip", jsonlRoundtrip, Some(
+      "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5, sink_scale " +
+      s"FROM read_json('$gateJsonlPath/*.json', format='newline_delimited', " +
+      "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', " +
+      "'source': 'VARCHAR', 'n_chars': 'BIGINT', 'sink_scale': 'VARCHAR'}) " +
+      "ORDER BY doc_id")),
     Q("q_merge_apply", mergeApply, Some(
       "WITH base AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0), " +
       "up AS (SELECT doc_id, md5(text || ' v2') AS h FROM documents WHERE doc_id % 13 = 0) " +

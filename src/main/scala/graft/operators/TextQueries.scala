@@ -118,6 +118,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index build (posting lists): token → document frequency
+    * + an order-canonical md5 fingerprint of the SORTED posting list,
+    * df-capped both ways (2 ≤ df ≤ 1000 — a no-op on the fixture's
+    * 31-word vocabulary, but on a real corpus the ceiling drops the
+    * stop-token lists that dominate index size with no retrieval
+    * signal, same rationale as `jaccardPairs`; singletons only bloat
+    * the index). Scale shape: distinct (word, doc_id) pairs shuffle once
+    * into the group-by; the fingerprint keeps the gate row narrow
+    * while still pinning full list content AND order. `q_bm25` /
+    * `q_hybrid_search` score on the fly; THIS is the persisted index
+    * a serving system reads. */
+  private def postingLists(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"), col("doc_id"))
+      .distinct()
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        expr("md5(array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> cast(x as string)), ','))").as("postings_md5"))
+      .filter(col("df").between(2, 1000))
+      .orderBy("word")
+
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("word"))
@@ -1287,6 +1309,12 @@ object TextQueries {
       "SELECT doc_id, md5(text) AS digest FROM documents f " +
       "WHERE doc_id % 7 <> 0 AND NOT EXISTS (SELECT 1 FROM documents r " +
       "WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(f.text)) ORDER BY doc_id")),
+    Q("q_posting_lists", postingLists, Some(
+      "WITH t AS (SELECT DISTINCT word, doc_id FROM " +
+      "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word, doc_id FROM documents) q) " +
+      "SELECT word, count(*) AS df, " +
+      "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5 " +
+      "FROM t GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000 ORDER BY word")),
     Q("q_gopher_rules", gopherRules, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "b AS (SELECT doc_id, len(w) AS n, " +

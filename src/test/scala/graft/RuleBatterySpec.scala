@@ -80,6 +80,27 @@ class RuleBatterySpec extends SparkSpec {
     assert(rows(0)._2 > 0, "empty funnel at smoke scale")
   }
 
+  test("JSONL roundtrip survives adversarial text (quotes/controls/unicode)") {
+    import org.apache.spark.sql.functions._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "quote \" backslash \\ slash /"),
+      (3L, "tab\tnewline\ncarriage\rreturn"),
+      (4L, "unicode é中😀 mixed"),
+      (5L, "control  chars"),
+      (6L, ""))
+    val df = nasty.toDF("doc_id", "text")
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_spec").toString
+    df.write.mode("overwrite").json(dest)
+    val back = spark.read.schema(df.schema).json(dest)
+    assert(back.count() === nasty.length)
+    val diff = df.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(back.select(col("doc_id"), md5(col("text")).as("h2")), "doc_id")
+      .filter(col("h") =!= col("h2")).count()
+    assert(diff === 0, "text changed through the JSONL roundtrip")
+  }
+
   test("q_merge_apply: deletes absent, upserts win") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
