@@ -306,15 +306,23 @@ object Dedup {
     // One broadcast left-join per hash function, all stacked in the
     // scan stage — the fresh side never shuffles; each join only adds
     // a presence flag. (A groupBy-count formulation would re-shuffle
-    // the entire increment just to count its own exploded rows.)
+    // the entire increment just to count its own exploded rows.) The
+    // build side is the SAME DataFrame wrapped in a per-join alias —
+    // not a per-join select — so the three BroadcastExchange subtrees
+    // stay canonically identical and ReuseExchange collapses them to
+    // ONE scan + distinct of the reference (at corpus scale, re-
+    // deriving the bit table per hash would triple the dominant cost).
+    val bits = broadcast(refBits.withColumn("bloom_hit", lit(1)))
     val probed = (0 until numHashes).foldLeft(
       fresh.select(col(idCol), col(digestCol))) { (acc, i) =>
+      val b = bits.as(s"graft_bloom_$i")
       acc
         .withColumn(s"bloom_pos_$i", position(i, col(digestCol)))
-        .join(
-          broadcast(refBits.select(col("bloom_pos").as(s"bloom_pos_$i"))
-            .withColumn(s"bloom_hit_$i", lit(1))),
-          Seq(s"bloom_pos_$i"), "left")
+        .join(b, col(s"bloom_pos_$i") === col(s"graft_bloom_$i.bloom_pos"),
+          "left")
+        .withColumn(s"bloom_hit_$i", col(s"graft_bloom_$i.bloom_hit"))
+        .drop(col(s"graft_bloom_$i.bloom_pos"))
+        .drop(col(s"graft_bloom_$i.bloom_hit"))
     }
     val allHit = (0 until numHashes)
       .map(i => col(s"bloom_hit_$i").isNotNull)
