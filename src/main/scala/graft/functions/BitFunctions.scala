@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Morton (z-order) interleave of the low `bits` bits of two long
+  * coordinates: left's bit i lands at position 2i+1, right's at 2i —
+  * the multi-dimensional clustering key behind OPTIMIZE ZORDER.
+  *
+  * The `aggregate(sequence(0, bits-1), ...)` higher-order-function
+  * formulation is correct but materializes an index array and invokes
+  * a lambda per bit; this expression generates one tight primitive
+  * loop (build-brief preference (b): custom codegen'd `Expression`
+  * over UDF) — it runs per ROW of a 100 TB layout pass, which is what
+  * justifies a native form. Interpreted fallback matches codegen
+  * bit-for-bit (`BitFunctionsSpec`).
+  */
+case class MortonInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i + 1)
+      z |= ((y >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = 0L;
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  $z |= (($a >> $i) & 1L) << (2 * $i + 1);
+         |  $z |= (($b >> $i) & 1L) << (2 * $i);
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitFunctions {
+  val mortonName = "graft_morton"
+
+  /** Idempotently register [[MortonInterleave]] with the session
+    * function registry (same scheme + WARN-avoidance rationale as
+    * [[VectorFunctions.register]]). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(mortonName)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        mortonName, exprs => MortonInterleave(exprs(0), exprs(1),
+          exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]),
+        "scala_udf")
+  }
+
+  /** Morton-interleave two long columns' low `bits` bits. Call
+    * [[register]] on the session first. */
+  def morton(a: Column, b: Column, bits: Int): Column =
+    call_function(mortonName, a, b, lit(bits))
+}

@@ -206,6 +206,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HammingDist].getName, StringDistance.fnName),
       (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(BitFunctions.mortonName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MortonInterleave].getName, BitFunctions.mortonName),
+      (exprs: Seq[Expression]) => MortonInterleave(exprs(0), exprs(1),
+        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int])))
     e.injectOptimizerRule(_ => SelfDotToNorm)
   }
 }

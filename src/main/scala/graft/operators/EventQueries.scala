@@ -221,21 +221,24 @@ object EventQueries {
     * at once where a single-column sort bounds only its own. Writing
     * would be `repartitionByRange($"z")`; the math here is the part
     * worth oracle-checking. */
-  private def zorderLayout(s: SparkSession, d: String): DataFrame =
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BitFunctions.register(s)
     Tables.events(s, d)
       .select(
         col("user_id").bitwiseAND(lit(255L)).as("a"),
         expr("unix_timestamp(date_trunc('hour', ts)) div 3600")
           .bitwiseAND(lit(255L)).as("b"))
-      .select(col("a"), col("b"), expr(
-        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) -> " +
-        "acc + shiftleft(shiftright(a, i) & 1, 2*i + 1) + " +
-        "shiftleft(shiftright(b, i) & 1, 2*i))").as("z"))
+      // the codegen'd MortonInterleave expression replaces the
+      // aggregate(sequence(...)) HOF form — same bits, no per-row
+      // index-array allocation (BitFunctionsSpec pins equivalence)
+      .select(col("a"), col("b"),
+        graft.functions.BitFunctions.morton(col("a"), col("b"), 8).as("z"))
       .groupBy(expr("shiftright(z, 8)").cast("int").as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min("a").as("min_user"), max("a").as("max_user"),
         min("b").as("min_hour"), max("b").as("max_hour"))
       .orderBy("bucket")
+  }
 
   /** Ordered 3-step funnel (view → click → purchase): users whose
     * first click follows their first view, and first purchase follows
