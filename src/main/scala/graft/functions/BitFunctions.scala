@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -23,9 +23,13 @@ case class MortonInterleave(left: Expression, right: Expression, bits: Int)
   require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
   override def dataType: DataType = LongType
 
+  // Number, not Long: SQL integer literals reach the interpreted path
+  // (constant folding) as java.lang.Integer — codegen promotes int
+  // seamlessly, and the two paths must agree (registration also casts
+  // children to LongType, making this a second line of defense)
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Long]
-    val y = b.asInstanceOf[Long]
+    val x = a.asInstanceOf[Number].longValue
+    val y = b.asInstanceOf[Number].longValue
     var z = 0L
     var i = 0
     while (i < bits) {
@@ -65,7 +69,8 @@ object BitFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(mortonName)))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        mortonName, exprs => MortonInterleave(exprs(0), exprs(1),
+        mortonName, exprs => MortonInterleave(
+          Cast(exprs(0), LongType), Cast(exprs(1), LongType),
           exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]),
         "scala_udf")
   }

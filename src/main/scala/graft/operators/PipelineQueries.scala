@@ -118,8 +118,15 @@ object PipelineQueries {
     * sf0.1 racing a Verify gate at sf0.01 previously shared one
     * directory). The oracle is pinned to the driver's gate scale. */
   val sinkRoot = "/tmp/graft_pipeline_sink"
-  def sinkPath(sfDir: String): String =
-    s"$sinkRoot/${new java.io.File(sfDir).getName}"
+
+  /** `root/<basename of the sf dir>` — the one place the per-scale
+    * subdir is derived, shared by every sink that uses the scheme. */
+  private def scaleName(sfDir: String): String =
+    new java.io.File(sfDir).getName
+  private def scalePath(root: String, sfDir: String): String =
+    s"$root/${scaleName(sfDir)}"
+
+  def sinkPath(sfDir: String): String = scalePath(sinkRoot, sfDir)
 
   /** The driver runs the correctness gate at sf0.01 (TESTDATA.md /
     * driver contract) — the static oracle SQL reads that scale's
@@ -140,7 +147,7 @@ object PipelineQueries {
     * `q_pipeline_e2e`'s independent recursive-CTE oracle. */
   private def pipelineSink(s: SparkSession, d: String): DataFrame = {
     val dest = sinkPath(d)
-    val scale = new java.io.File(d).getName
+    val scale = scaleName(d)
     Curation.write(
       Curation.run(Tables.documents(s, d))
         .withColumn("sink_scale", org.apache.spark.sql.functions.lit(scale)),
@@ -189,8 +196,7 @@ object PipelineQueries {
   /** Sink root for the JSONL roundtrip row — same per-scale-subdir
     * scheme as [[sinkPath]] (see its scale-race rationale). */
   val jsonlRoot = "/tmp/graft_jsonl_sink"
-  private def jsonlPath(sfDir: String): String =
-    s"$jsonlRoot/${new java.io.File(sfDir).getName}"
+  private def jsonlPath(sfDir: String): String = scalePath(jsonlRoot, sfDir)
   private val gateJsonlPath = s"$jsonlRoot/sf0.01"
 
   /** JSONL egress/ingress roundtrip — the interchange format every
@@ -207,7 +213,7 @@ object PipelineQueries {
     * scale hash-fails loudly instead of reading stale files. */
   private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dest = jsonlPath(d)
-    val scale = new java.io.File(d).getName
+    val scale = scaleName(d)
     val docs = Tables.documents(s, d)
     docs.withColumn("sink_scale", lit(scale))
       .write.mode("overwrite").json(dest)

@@ -68,15 +68,6 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** BPE tokenizer-training round 1 (Sennrich et al. 2016): the
-    * top-20 most frequent adjacent character pairs over the corpus's
-    * word-frequency dictionary — the pair a byte-pair-encoding learner
-    * would merge first. The corpus collapses to its DISTINCT-word
-    * dictionary before any pair work (the standard BPE compression:
-    * pair counts are weighted by word frequency, so 100 TB of text
-    * becomes a vocabulary-sized table), and the final top-20 plans as
-    * a distributed partial top-k (TakeOrderedAndProject), never a
-    * global sort. */
   /** Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1,
     * adapted to the fixture's newline-free text): per-document boolean
     * verdicts with every threshold evaluated in EXACT integer form
@@ -140,6 +131,15 @@ object TextQueries {
       .filter(col("df").between(2, 1000))
       .orderBy("word")
 
+  /** BPE tokenizer-training round 1 (Sennrich et al. 2016): the
+    * top-20 most frequent adjacent character pairs over the corpus's
+    * word-frequency dictionary — the pair a byte-pair-encoding learner
+    * would merge first. The corpus collapses to its DISTINCT-word
+    * dictionary before any pair work (the standard BPE compression:
+    * pair counts are weighted by word frequency, so 100 TB of text
+    * becomes a vocabulary-sized table), and the final top-20 plans as
+    * a distributed partial top-k (TakeOrderedAndProject), never a
+    * global sort. */
   private def bpeMerges(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(words(lower(col("text")))).as("word"))
@@ -1317,8 +1317,11 @@ object TextQueries {
       "FROM t GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000 ORDER BY word")),
     Q("q_gopher_rules", gopherRules, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      // coalesce: DuckDB list_sum of an empty list is NULL where
+      // Spark's aggregate(..., 0, ...) returns 0 — a zero-word doc
+      // must not NULL-poison the r_meanlen comparison
       "b AS (SELECT doc_id, len(w) AS n, " +
-      "list_sum(list_transform(w, x -> length(x))) AS sum_len, " +
+      "coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len, " +
       "len(list_intersect(list_distinct(w), " +
       "['the','a','and','of','to','in','is','that'])) AS n_stop, " +
       "greatest(len(w) - 1, 0) AS n_bg, " +

@@ -58,32 +58,4 @@ class BloomDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("catalog q_bpe_merges: ranked pair list is well-formed") {
-    val rows = Catalog.byName("q_bpe_merges")
-      .fn(spark, "/root/testdata/sf0.001")
-      .select("pair", "cnt").as[(String, Long)].collect()
-    assert(rows.length === 20)
-    assert(rows.map(_._1).distinct.length === 20)
-    assert(rows.forall { case (p, c) => p.length == 2 && c > 0 })
-    // descending by count with pair tiebreak
-    assert(rows.sliding(2).forall { case Array((pa, ca), (pb, cb)) =>
-      ca > cb || (ca == cb && pa < pb) })
-  }
-
-  test("catalog q_snapshot_diff: statuses follow the id rule") {
-    val rows = Catalog.byName("q_snapshot_diff")
-      .fn(spark, "/root/testdata/sf0.001")
-      .select("doc_id", "status").as[(Long, String)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (id, st) =>
-      val inOld = id % 11 != 0
-      val inNew = id % 13 != 0
-      val expected =
-        if (!inOld && inNew) "added"
-        else if (inOld && !inNew) "removed"
-        else if (id % 17 == 0) "changed"
-        else fail(s"doc $id should be unchanged but was emitted as $st")
-      assert(st === expected, s"doc $id")
-    }
-  }
 }
