@@ -256,4 +256,58 @@ object EventStreams {
           }
       }
   }
+
+  /** Typed event for the funnel state machine. */
+  final case class FEv(user_id: Long, tsUs: Long, event_type: String)
+
+  /** Per-user funnel progress: earliest view, earliest qualifying
+    * click strictly after it, earliest qualifying purchase strictly
+    * after that — `Long.MaxValue` = step not yet reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** One step transition: `user_id` reached `step` at `tsUs`. */
+  final case class FunnelHit(user_id: Long, step: Int, tsUs: Long)
+
+  private val Unset = Long.MaxValue
+
+  /** Streaming form of the batch q_funnel_steps (view → click →
+    * purchase): a per-user state machine via flatMapGroupsWithState
+    * that emits one [[FunnelHit]] the moment a user crosses each step.
+    * State is THREE longs per user — bounded, no event retention —
+    * versus the batch form's three join passes. Counting emitted hits
+    * per step reproduces the batch n_users exactly (`StreamingSpec`
+    * pins parity), under the same arrival-order contract as
+    * [[sessionize]]: within a batch arrivals are sorted by event time,
+    * across batches the file stream replays in order — for a source
+    * with cross-batch disorder, bound it with a watermark and widen
+    * the state to a per-step candidate min. */
+  def funnelStream(events: Dataset[FEv]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[FEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          val hits = Seq.newBuilder[FunnelHit]
+          evs.toSeq.sortBy(_.tsUs).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 == Unset =>
+                hits += FunnelHit(user, 1, e.tsUs)
+                st = st.copy(t1 = e.tsUs)
+              case "click"
+                  if st.t1 != Unset && st.t2 == Unset && e.tsUs > st.t1 =>
+                hits += FunnelHit(user, 2, e.tsUs)
+                st = st.copy(t2 = e.tsUs)
+              case "purchase"
+                  if st.t2 != Unset && st.t3 == Unset && e.tsUs > st.t2 =>
+                hits += FunnelHit(user, 3, e.tsUs)
+                st = st.copy(t3 = e.tsUs)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          hits.result().iterator
+      }
+  }
 }

@@ -218,4 +218,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length,
       "a returning user must never collide with their own earlier sid")
   }
+
+  test("stateful streaming funnel matches the batch q_funnel_steps counts") {
+    import spark.implicits._
+    val evs = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_type"))
+      .as[EventStreams.FEv]
+    val got = EventStreams.funnelStream(evs.repartition(4)).toDF()
+      .groupBy("step").count().orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = Catalog.byName("q_funnel_steps").fn(spark, dir)
+      .select("step", "n_users")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .filter(_._2 > 0) // the state machine emits nothing for an empty step
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got.nonEmpty)
+  }
+
+  test("funnel hits accumulate identically across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val all = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_type"), col("event_id"))
+      .orderBy("event_id") // arrival order, as the file stream replays it
+      .as[(Long, Long, String, Long)]
+      .collect().map(t => EventStreams.FEv(t._1, t._2, t._3))
+    val in = MemoryStream[EventStreams.FEv](spark)
+    val q = EventStreams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_chunks")
+      .outputMode("append").start()
+    try {
+      all.grouped(math.max(all.length / 5, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("funnel_chunks")
+      .groupBy("step").count().orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val want = Catalog.byName("q_funnel_steps").fn(spark, dir)
+      .select("step", "n_users")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .filter(_._2 > 0)
+    assert(got == want, s"chunked stream $got vs batch $want")
+  }
 }
