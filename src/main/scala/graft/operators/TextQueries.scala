@@ -68,6 +68,58 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source dataset card (Datasheets for Datasets, Gebru et al.
+    * 2021 — the composition summary shipped WITH a corpus): doc/char/
+    * token totals, language spread, min/max lengths and the
+    * exact-duplicate count, one row per source, all exact integers.
+    * `q_source_mix` reports shares and `q_dedup_report` dup losses;
+    * THIS row is the one-table datasheet combining volume, spread and
+    * contamination a consumer reads first. One digest groupBy + one
+    * digest-co-partitioned join back, then a per-source aggregate. */
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(words(col("text"))).as("n_tok"), md5(col("text")).as("h"))
+    val dupCounts = docs.groupBy("h").agg(count(lit(1)).as("ch"))
+    docs.join(dupCounts, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tok").as("total_tokens"),
+        sum(when(col("ch") > 1, 1).otherwise(0)).as("n_dup_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("source")
+  }
+
+  /** Heaps-law vocabulary growth — the tokenizer-sizing curve: at each
+    * corpus-prefix checkpoint (docs with id < cp), the cumulative
+    * token count and the distinct-word vocabulary size. The corpus
+    * never re-scans per checkpoint: each word collapses to its FIRST
+    * document (one groupBy) and each doc to its token count, then a
+    * broadcast of the bounded checkpoint list joins on the range
+    * condition — vocab(cp) = |{words: first_doc < cp}|. */
+  private def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cps = Seq(64L, 128L, 256L, 512L, 1024L, 4096L, 16384L).toDF("cp")
+    val firstDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(min("doc_id").as("first_doc"))
+    val vocab = firstDoc
+      .join(broadcast(cps), col("first_doc") < col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("vocab"))
+    val toks = docs
+      .select(col("doc_id"), size(words(col("text"))).as("n_tok"))
+      .join(broadcast(cps), col("doc_id") < col("cp"))
+      .groupBy("cp").agg(sum("n_tok").as("total_tokens"))
+    toks.join(vocab, Seq("cp"), "left")
+      .select(col("cp"), col("total_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .orderBy("cp")
+  }
+
   /** Gopher quality-rule battery (Rae et al. 2021, Appendix A1.1,
     * adapted to the fixture's newline-free text): per-document boolean
     * verdicts with every threshold evaluated in EXACT integer form
@@ -1309,6 +1361,26 @@ object TextQueries {
       "SELECT doc_id, md5(text) AS digest FROM documents f " +
       "WHERE doc_id % 7 <> 0 AND NOT EXISTS (SELECT 1 FROM documents r " +
       "WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(f.text)) ORDER BY doc_id")),
+    Q("q_dataset_card", datasetCard, Some(
+      "WITH w AS (SELECT doc_id, source, lang, n_chars, " +
+      "len(regexp_extract_all(text, '\\S+')) AS n_tok, md5(text) AS h FROM documents), " +
+      "c AS (SELECT h, count(*) AS ch FROM w GROUP BY 1) " +
+      "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+      "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+      "CAST(sum(CASE WHEN ch > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+      "min(n_chars) AS min_chars, max(n_chars) AS max_chars " +
+      "FROM w JOIN c USING (h) GROUP BY 1 ORDER BY 1")),
+    Q("q_vocab_growth", vocabGrowth, Some(
+      "WITH cps AS (SELECT CAST(unnest([64, 128, 256, 512, 1024, 4096, 16384]) AS BIGINT) AS cp), " +
+      "fw AS (SELECT word, min(doc_id) AS first_doc FROM " +
+      "(SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents) q GROUP BY 1), " +
+      "v AS (SELECT cp, count(*) AS vocab FROM fw JOIN cps ON first_doc < cp GROUP BY 1), " +
+      "t AS (SELECT cp, sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens " +
+      "FROM documents JOIN cps ON doc_id < cp GROUP BY 1) " +
+      "SELECT t.cp, CAST(t.total_tokens AS BIGINT) AS total_tokens, " +
+      "CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab " +
+      "FROM t LEFT JOIN v USING (cp) ORDER BY cp")),
     Q("q_posting_lists", postingLists, Some(
       "WITH t AS (SELECT DISTINCT word, doc_id FROM " +
       "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS word, doc_id FROM documents) q) " +

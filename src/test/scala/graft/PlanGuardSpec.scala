@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_dsir_weight", // 1-row target-vs-raw totals scalar
     "q_semantic_dedup", // k-row centroid table (KMeans.assign broadcast)
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
-    "q_ppl_buckets"  // 1-row tercile-cutoff scalar (+ vocab scalar)
+    "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
+    "q_vocab_growth" // 7-row checkpoint list broadcast, range condition
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -130,6 +130,31 @@ class RuleBatterySpec extends SparkSpec {
     assert(diff === 0, "text changed through the JSONL roundtrip")
   }
 
+  test("q_vocab_growth: tokens and vocabulary are non-decreasing in cp") {
+    val rows = Catalog.byName("q_vocab_growth")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("cp", "total_tokens", "vocab")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 7)
+    rows.sliding(2).foreach { case Array((_, ta, va), (cp, tb, vb)) =>
+      assert(tb >= ta && vb >= va, s"growth curve decreased at cp=$cp")
+    }
+    assert(rows.last._3 > rows.head._3 || rows.head._3 > 0,
+      "vocabulary never grew across checkpoints")
+  }
+
+  test("q_dataset_card: per-source invariants") {
+    val rows = Catalog.byName("q_dataset_card")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("source", "n_docs", "n_dup_docs", "min_chars", "max_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, dup, lo, hi) =>
+      assert(n > 0 && dup >= 0 && dup <= n, s"$src dup bounds")
+      assert(lo <= hi, s"$src length bounds inverted")
+    }
+  }
+
   test("q_merge_apply: deletes absent, upserts win") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
