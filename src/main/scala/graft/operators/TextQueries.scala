@@ -292,6 +292,30 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The admission loop ACROSS a compaction boundary — three
+    * increments with [[graft.pipeline.Admission.compact]] folding the
+    * first two into the bucketed base before the third arrives. The
+    * oracle is the SAME one-shot greedy computation as
+    * `q_admission_loop` (admission is compact-invariant — the
+    * property `AdmissionCompactSpec` pins structurally, hash-checked
+    * here end-to-end through the real base-table read path), with the
+    * inc labels at thirds. */
+  private def admissionCompact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max("doc_id")).head.getLong(0)
+    val (t1, t2) = (mx / 3, 2 * mx / 3)
+    val root = s"/tmp/graft_admission_compact/${new java.io.File(d).getName}"
+    graft.pipeline.Admission.reset(s, root)
+    graft.pipeline.Admission.admit(docs.filter(col("doc_id") <= t1), root, "d1")
+    graft.pipeline.Admission.admit(
+      docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), root, "d2")
+    graft.pipeline.Admission.compact(s, root)
+    graft.pipeline.Admission.admit(docs.filter(col("doc_id") > t2), root, "d3")
+    graft.pipeline.Admission.corpus(s, root)
+      .select(col("doc_id"), col("inc"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash Jaccard ESTIMATION over the LSH candidates — the middle
     * stage of the scale pipeline (band → estimate → exact-verify only
     * survivors): estimated J = fraction of agreeing signature
@@ -1455,6 +1479,19 @@ object TextQueries {
       "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
       "SELECT doc_id, CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents) " +
       "THEN 'd1' ELSE 'd2' END AS inc " +
+      "FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id")),
+    Q("q_admission_compact", admissionCompact, Some(
+      minhashCte + ", " +
+      "dg AS (SELECT min(doc_id) AS keep FROM documents GROUP BY md5(text)), " +
+      "ex AS (SELECT doc_id FROM documents WHERE doc_id IN (SELECT keep FROM dg)), " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh " +
+      "WHERE doc_id IN (SELECT keep FROM dg) GROUP BY doc_id, k // 2), " +
+      "losers AS (SELECT DISTINCT b.doc_id AS doc_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id) " +
+      "SELECT doc_id, CASE WHEN doc_id <= (SELECT max(doc_id) // 3 FROM documents) " +
+      "THEN 'd1' WHEN doc_id <= (SELECT 2 * max(doc_id) // 3 FROM documents) " +
+      "THEN 'd2' ELSE 'd3' END AS inc " +
       "FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id")),
     Q("q_minhash_estimate", minhashEstimate, Some(
       minhashCte + ", " +

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,13 +15,20 @@ import graft.dedup.Dedup
   * are admitted, and the state is extended — without ever re-reading
   * or re-shingling previously seen text.
   *
-  * Persisted state under `root` (all parquet, one `inc=<id>` subdir
-  * per increment so a re-run of the same increment OVERWRITES its own
-  * files — restart-idempotent by construction):
-  *   - `corpus/`  admitted documents (original schema + `inc`);
+  * Persisted state under `root` (all parquet):
+  *   - `corpus/`  admitted documents (original schema + `inc`), one
+  *     `inc=<id>` subdir per increment so a re-run of the same
+  *     increment OVERWRITES its own files — restart-idempotent by
+  *     construction;
   *   - `index/`   LSH band signatures of every SEEN exact-survivor —
   *     including near-dup REJECTED docs ([[Dedup.lshIndex]] rows);
-  *   - `digests/` content digests of every seen exact-survivor.
+  *   - `digests/` content digests of every seen exact-survivor;
+  *   - `index_base/g<N>`, `digests_base/g<N>` — COMPACTED base tables
+  *     (see [[compact]]): the folded union of older increments,
+  *     written as tables bucketed on their match keys;
+  *   - `manifest/gen-<N>` — compaction manifests; the highest
+  *     generation wins (each is written whole then renamed into
+  *     place, so a reader never observes a partial manifest).
   *
   * Admission rule, greedy by id (documents ascend across increments —
   * a crawl log's natural order; [[AdmissionSpec]] pins the parity):
@@ -42,6 +50,18 @@ import graft.dedup.Dedup
   * scale: reliable checkpoint instead of localCheckpoint, same
   * boundary). Raw text crosses no exchange — the corpus append is a
   * semi-join of the increment input against the admitted-id list.
+  *
+  * Why [[compact]] exists: without it a daily loop run for years
+  * accumulates one `inc=<id>` subdir per day in `index/` and
+  * `digests/` — a listing/small-files problem — and every admission
+  * re-shuffles the ever-growing seen state for its equi-joins.
+  * Compaction folds the accumulated increments into ONE base table
+  * per state kind, bucketed on the match key ((band, sig) for the
+  * index, digest for the digests), so the seen side of every later
+  * cross-match arrives pre-partitioned and plans WITHOUT an exchange
+  * — only the day's increment shuffles. The reference's analogue is
+  * its snapshot/merge recovery (server.erl:343-353): state that
+  * survives without replaying everything.
   */
 object Admission {
 
@@ -50,28 +70,238 @@ object Admission {
     StructField("sig", StringType)))
   private val digestSchema = StructType(Seq(StructField("digest", StringType)))
 
-  /** Seen-state reader. The CURRENT increment's own subdir is excluded:
-    * a crashed-and-rerun increment must not see its previous partial
-    * run as "already seen" (it would admit nothing and overwrite its
-    * output with an empty set — the opposite of idempotence). */
-  private def readSeen(s: SparkSession, path: String,
-      schema: StructType, selfInc: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-          .filterNot(_.getName == s"inc=$selfInc").map(_.toString).toSeq
-      else Seq.empty
-    if (dirs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs: _*)
+  private def fsOf(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------------
+  // Compaction manifest
+  // ---------------------------------------------------------------------
+
+  /** What a manifest generation records: which increment ids are
+    * folded into the generation's base tables, and the bucket count /
+    * id column the base tables were written with (needed to
+    * re-register them in a fresh session's catalog). Generation 0 =
+    * no compaction has ever run. */
+  private[graft] final case class CompactionState(
+      generation: Int, buckets: Int, idCol: String, folded: Set[String])
+
+  private val EmptyState = CompactionState(0, 0, "doc_id", Set.empty)
+
+  private def manifestDir(root: String) = s"$root/manifest"
+
+  private val GenFile = "^gen-(\\d+)$".r
+
+  /** Highest-generation manifest under `root`, or the empty state.
+    * Manifests are immutable once renamed into place, so readers and
+    * a concurrent [[compact]] never race on file contents — only on
+    * WHICH generation is current, and any complete generation yields
+    * a correct (if slightly stale) seen-state view. */
+  private[graft] def readManifest(s: SparkSession, root: String): CompactionState = {
+    val fs = fsOf(s, root)
+    val dir = new Path(manifestDir(root))
+    if (!fs.exists(dir)) return EmptyState
+    val gens = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case GenFile(n) => n.toInt
+    }
+    if (gens.isEmpty) return EmptyState
+    val gen = gens.max
+    val in = fs.open(new Path(dir, s"gen-$gen"))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    def one(k: String): String = kv.collectFirst {
+      case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=")
+    }.getOrElse(sys.error(s"manifest gen-$gen missing '$k='"))
+    CompactionState(gen, one("buckets").toInt, one("idcol"),
+      kv.filter(_.startsWith("folded=")).map(_.stripPrefix("folded=")).toSet)
   }
 
-  /** Admit one increment against (and into) the state under `root`.
-    * Returns the admitted rows as durably written. Re-running the same
-    * `incId` is idempotent; `incId`s must be distinct per increment and
-    * doc ids must ascend across increments for the one-shot parity. */
+  /** Write manifest generation `st.generation` whole-then-rename: the
+    * rename is the commit point — a crash before it leaves the
+    * previous generation current and the new base tables as harmless
+    * orphans the next compaction overwrites. */
+  private def writeManifest(s: SparkSession, root: String,
+      st: CompactionState): Unit = {
+    val fs = fsOf(s, root)
+    val dir = new Path(manifestDir(root))
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s"gen-${st.generation}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (Seq(s"buckets=${st.buckets}", s"idcol=${st.idCol}") ++
+        st.folded.toSeq.sorted.map(f => s"folded=$f")).mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = new Path(dir, s"gen-${st.generation}")
+    if (fs.exists(dest)) fs.delete(dest, false) // re-run of a crashed compact
+    if (!fs.rename(tmp, dest))
+      sys.error(s"manifest commit failed: $tmp -> $dest")
+  }
+
+  /** Catalog table name for one base-table generation — deterministic
+    * from (root, kind, gen) so any session can re-register it. */
+  private def tableName(root: String, kind: String, gen: Int): String =
+    s"graft_adm_${kind}_g${gen}_" +
+      root.toLowerCase.replaceAll("[^a-z0-9]+", "_").dropWhile(_ == '_')
+
+  private def basePath(root: String, kind: String, gen: Int): String =
+    s"$root/${kind}_base/g$gen"
+
+  /** Bucket/sort keys per state kind — the equi-join keys of the
+    * admission cross-matches, so a scan of the base table satisfies
+    * the join's required clustering with no exchange. */
+  private def keysOf(kind: String): Seq[String] =
+    if (kind == "index") Seq("band", "sig") else Seq("digest")
+
+  private def ddlOf(kind: String, idCol: String): String =
+    if (kind == "index") s"`$idCol` BIGINT, band INT, sig STRING, inc STRING"
+    else "digest STRING, inc STRING"
+
+  /** The base table of generation `gen`, re-registered in this
+    * session's catalog if absent (base tables are self-describing
+    * from the manifest — a fresh session re-creates the external
+    * bucketed-table entry over the existing files). */
+  private def baseTable(s: SparkSession, root: String, kind: String,
+      st: CompactionState): DataFrame = {
+    val name = tableName(root, kind, st.generation)
+    if (!s.catalog.tableExists(name)) {
+      val keys = keysOf(kind).mkString(", ")
+      s.sql(s"CREATE TABLE $name (${ddlOf(kind, st.idCol)}) USING PARQUET " +
+        s"CLUSTERED BY ($keys) SORTED BY ($keys) INTO ${st.buckets} BUCKETS " +
+        s"LOCATION '${basePath(root, kind, st.generation)}'")
+    }
+    s.table(name)
+  }
+
+  /** Increment ids currently present as `inc=<id>` subdirs of
+    * `$root/$kind`. */
+  private def listIncs(s: SparkSession, root: String, kind: String): Seq[String] = {
+    val p = new Path(s"$root/$kind")
+    val fs = fsOf(s, root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("inc=")).map(_.stripPrefix("inc=")).toSeq
+  }
+
+  /** Seen-state reader: compacted base (if any) ∪ the increments not
+    * yet folded. Exclusions, both crash-recovery stories:
+    *  - the CURRENT increment's own subdir AND its own base rows
+    *    (`inc` travels into the base exactly so this filter survives
+    *    compaction): a crashed-and-rerun increment must not see its
+    *    previous partial run as "already seen" — it would admit
+    *    nothing and overwrite its output with an empty set. The
+    *    streaming loop replays a batch under the same id, possibly
+    *    AFTER a compaction folded that batch — still idempotent.
+    *  - increments the manifest lists as folded, even if their
+    *    subdirs still exist on disk (a crash between manifest commit
+    *    and cleanup leaves debris; counting it twice is harmless for
+    *    semi/anti semantics but the exclusion keeps reads bounded and
+    *    lets [[compact]] delete the debris later).
+    * When the state is FULLY compacted the returned frame is exactly
+    * the bucketed base scan — later equi-joins on the match keys plan
+    * with no exchange on this side ([[AdmissionCompactSpec]]). */
+  private[graft] def readSeen(s: SparkSession, root: String, kind: String,
+      idCol: String, selfInc: String): DataFrame = {
+    val schema = if (kind == "index") indexSchema(idCol) else digestSchema
+    val st = readManifest(s, root)
+    val base =
+      if (st.generation == 0) None
+      else Some(baseTable(s, root, kind, st)
+        .filter(col("inc") =!= lit(selfInc))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val dirs = listIncs(s, root, kind)
+      .filterNot(st.folded).filterNot(_ == selfInc)
+      .map(id => s"$root/$kind/inc=$id")
+    val incs =
+      if (dirs.isEmpty) None
+      else Some(s.read.schema(schema).parquet(dirs: _*))
+    ((base, incs) match {
+      case (Some(b), Some(i)) => Some(b.unionByName(i))
+      case (b, i) => b.orElse(i)
+    }).getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
+  }
+
+  /** Fold every un-folded `index/inc=*` and `digests/inc=*` increment
+    * into ONE bucketed base table per state kind and commit a new
+    * manifest generation. Afterwards [[readSeen]] serves the base
+    * scan (pre-partitioned on the match keys — the admission joins
+    * plan exchange-free on this side) instead of listing and
+    * re-shuffling an unbounded directory set, and the folded subdirs
+    * plus the previous generation's tables are deleted.
+    *
+    * Crash safety (spec-pinned by `AdmissionCompactSpec`):
+    *  - before the manifest rename commits, nothing observable
+    *    changed — new base files are orphans the next run overwrites;
+    *  - after the commit, folded subdirs are already excluded by the
+    *    manifest, so the cleanup phase is pure garbage collection; a
+    *    crash inside it leaves debris the next [[compact]] removes;
+    *  - a replayed increment that was ALREADY folded stays idempotent
+    *    because its rows carry `inc` into the base and [[readSeen]]
+    *    filters them out for that increment.
+    * No-op (returns false) when nothing is un-folded — safe to call
+    * every N batches from the streaming loop. `cleanup = false` is
+    * the spec's crash-injection hook: commit the manifest, skip the
+    * garbage collection. */
+  def compact(s: SparkSession, root: String, idCol: String = "doc_id",
+      buckets: Int = 8, cleanup: Boolean = true): Boolean = {
+    val st = readManifest(s, root)
+    val unfolded = (listIncs(s, root, "index") ++ listIncs(s, root, "digests"))
+      .distinct.filterNot(st.folded)
+    if (unfolded.isEmpty) {
+      if (cleanup) collectGarbage(s, root, st)
+      return false
+    }
+    val gen = st.generation + 1
+    for (kind <- Seq("index", "digests")) {
+      val schema = if (kind == "index") indexSchema(idCol) else digestSchema
+      val withInc = StructType(schema.fields :+ StructField("inc", StringType))
+      val dirs = listIncs(s, root, kind).filterNot(st.folded)
+        .map(id => s"$root/$kind/inc=$id")
+      val incRows =
+        if (dirs.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)
+        else s.read.option("basePath", s"$root/$kind").schema(withInc)
+          .parquet(dirs: _*)
+          .withColumn("inc", col("inc").cast("string"))
+          .select(withInc.fieldNames.map(col).toIndexedSeq: _*)
+      val all =
+        if (st.generation == 0) incRows
+        else baseTable(s, root, kind, st).unionByName(incRows)
+      val keys = keysOf(kind)
+      all.write.mode("overwrite")
+        .option("path", basePath(root, kind, gen))
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(tableName(root, kind, gen))
+    }
+    // COMMIT: once this rename lands, the new generation is current.
+    writeManifest(s, root,
+      CompactionState(gen, buckets, idCol, st.folded ++ unfolded))
+    if (cleanup) collectGarbage(s, root, readManifest(s, root))
+    true
+  }
+
+  /** Garbage collection after a committed compaction: folded `inc=`
+    * subdirs (per the CURRENT manifest) and base generations below
+    * the current one. Pure cleanup — everything deleted here is
+    * already excluded from every read path. */
+  private def collectGarbage(s: SparkSession, root: String,
+      st: CompactionState): Unit = {
+    if (st.generation == 0) return
+    val fs = fsOf(s, root)
+    for (kind <- Seq("index", "digests")) {
+      for (id <- listIncs(s, root, kind) if st.folded(id))
+        fs.delete(new Path(s"$root/$kind/inc=$id"), true)
+      for (g <- 1 until st.generation) {
+        val name = tableName(root, kind, g)
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+        fs.delete(new Path(basePath(root, kind, g)), true)
+      }
+    }
+  }
+
   /** Lazy decision plans for one increment — returned un-materialized
     * so `AdmissionSpec` can pin the join shapes (every corpus-side
     * match an equi/semi join, never a cartesian), the same
@@ -119,12 +349,17 @@ object Admission {
     (freshKeys, incIndexOf, admittedIdsOf)
   }
 
+  /** Admit one increment against (and into) the state under `root`.
+    * Returns the admitted rows as durably written. Re-running the same
+    * `incId` is idempotent (even after a [[compact]] folded it);
+    * `incId`s must be distinct per increment and doc ids must ascend
+    * across increments for the one-shot parity. */
   def admit(newDocs: DataFrame, root: String, incId: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val s = newDocs.sparkSession
-    val seenIndex = readSeen(s, s"$root/index", indexSchema(idCol), incId)
-    val seenDigests = readSeen(s, s"$root/digests", digestSchema, incId)
+    val seenIndex = readSeen(s, root, "index", idCol, incId)
+    val seenDigests = readSeen(s, root, "digests", idCol, incId)
     val (freshKeysPlan, incIndexOf, admittedIdsOf) = admitPlan(
       newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
     // decision tables materialize BEFORE state writes
@@ -155,10 +390,18 @@ object Admission {
     * scan-stage expressions) before admission, completing the
     * ingest → filter → match-against-index → admit → append-index
     * chain as one restartable flow. Batch ids are zero-padded so
-    * lexicographic `inc=` ordering equals arrival order. */
+    * lexicographic `inc=` ordering equals arrival order.
+    *
+    * `compactEvery = n` runs [[compact]] after every n-th batch, the
+    * retention story that keeps a long-running stream's state-listing
+    * bounded. The compaction is itself crash-safe (manifest commit
+    * point) and a batch replayed across a compaction boundary stays
+    * exactly-once because its folded rows still carry `inc` — pinned
+    * by `AdmissionCompactSpec`. */
   def admitStream(docs: DataFrame, root: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
-      cfg: Option[Curation.Config] = Some(Curation.Config()))
+      cfg: Option[Curation.Config] = Some(Curation.Config()),
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -167,6 +410,8 @@ object Admission {
         val kept = cfg.fold(batch.toDF())(c =>
           Curation.qualityLangFilter(batch.toDF(), c))
         admit(kept, root, f"b$batchId%09d", idCol, textCol)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compact(batch.sparkSession, root, idCol)
         ()
       }
       .start()
@@ -178,15 +423,40 @@ object Admission {
     s.read.option("basePath", s"$root/corpus").parquet(s"$root/corpus/inc=*")
       .withColumn("inc", col("inc").cast("string"))
 
-  /** The stored seen-signature index (idCol, band, sig, inc). */
-  def index(s: SparkSession, root: String): DataFrame =
-    s.read.option("basePath", s"$root/index").parquet(s"$root/index/inc=*")
-      .withColumn("inc", col("inc").cast("string"))
+  /** The stored seen-signature index (idCol, band, sig, inc) —
+    * compacted base rows plus the not-yet-folded increments. */
+  def index(s: SparkSession, root: String): DataFrame = {
+    val st = readManifest(s, root)
+    val base =
+      if (st.generation == 0) None else Some(baseTable(s, root, "index", st))
+    val dirs = listIncs(s, root, "index").filterNot(st.folded)
+      .map(id => s"$root/index/inc=$id")
+    val incs =
+      if (dirs.isEmpty) None
+      else Some(s.read.option("basePath", s"$root/index").parquet(dirs: _*)
+        .withColumn("inc", col("inc").cast("string")))
+    (base, incs) match {
+      case (Some(b), Some(i)) => b.unionByName(i.select(b.columns.map(col).toIndexedSeq: _*))
+      case (Some(b), None) => b
+      case (None, Some(i)) => i
+      case (None, None) =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(
+          indexSchema("doc_id").fields :+ StructField("inc", StringType)))
+    }
+  }
 
-  /** Drop all state under `root` (gate rows re-run from scratch). */
+  /** Drop all state under `root` (gate rows re-run from scratch),
+    * including any base-table catalog entries of the current
+    * manifest's generation (their data dirs live under `root`). */
   def reset(s: SparkSession, root: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = readManifest(s, root)
+    if (st.generation > 0)
+      for (kind <- Seq("index", "digests"); g <- 1 to st.generation) {
+        val name = tableName(root, kind, g)
+        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+      }
+    val p = new Path(root)
+    val fs = fsOf(s, root)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 }
