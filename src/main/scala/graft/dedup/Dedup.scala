@@ -291,11 +291,23 @@ object Dedup {
     *
     * `fresh` must carry (idCol, digestCol); `ref` carries digestCol.
     * Returns the admitted fresh rows (idCol, digestCol).
+    *
+    * Sizing: the broadcast bit-position table holds
+    * min(mBits, |ref|·numHashes) rows, so `mBits` is capped at 2^30 —
+    * past that the broadcast outgrows any practical
+    * `spark.sql.autoBroadcastJoinThreshold` while the prefilter's hit
+    * rate degrades toward zero (every probe "misses" and the operator
+    * silently becomes a plain anti-join plus wasted broadcast). Pick
+    * m ≈ 10–20 bits per reference digest; at larger reference sets
+    * partition the reference and run per-partition admissions.
     */
   def bloomAdmit(fresh: DataFrame, ref: DataFrame, idCol: String,
       digestCol: String, mBits: Long = 1L << 20,
       numHashes: Int = 3): DataFrame = {
     require(numHashes >= 1 && mBits >= 2, "degenerate Bloom geometry")
+    require(mBits <= (1L << 30),
+      s"mBits=$mBits exceeds 2^30: the bit-position broadcast would blow " +
+        "past any practical autoBroadcastJoinThreshold (see scaladoc sizing note)")
     def position(i: Int, c: Column): Column =
       pmod(xxhash64(lit(i), c), lit(mBits))
     val refBits = ref

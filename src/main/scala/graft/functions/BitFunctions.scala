@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Morton (z-order) interleave of the low `bits` bits of two long
   * coordinates: left's bit i lands at position 2i+1, right's at 2i —
@@ -62,6 +62,33 @@ case class MortonInterleave(left: Expression, right: Expression, bits: Int)
 object BitFunctions {
   val mortonName = "graft_morton"
 
+  /** Build [[MortonInterleave]] from SQL-call arguments with REAL
+    * argument validation (round-9 ADVICE): a wrong arity, a
+    * non-constant `bits`, or an out-of-range value fails at analysis
+    * time with a usage message instead of a bare ClassCastException /
+    * IndexOutOfBounds. Any FOLDABLE integral expression is accepted —
+    * `8`, `CAST(8 AS BIGINT)`, `4 + 4` all work (the builder runs
+    * before constant folding, so it folds the argument itself rather
+    * than demanding a bare `Literal`). */
+  private[graft] def mortonBuilder(exprs: Seq[Expression]): Expression = {
+    def fail(detail: String): Nothing = throw new IllegalArgumentException(
+      s"$mortonName(x BIGINT, y BIGINT, bits INTEGER_LITERAL in [1, 32]): $detail")
+    if (exprs.length != 3)
+      fail(s"expected 3 arguments, got ${exprs.length}")
+    val e = exprs(2)
+    // foldable first: dataType on an unresolved attribute would throw
+    val bits =
+      if (e.foldable &&
+          Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType))
+        e.eval(null) match {
+          case n: Number => n.intValue()
+          case _ => fail("the bits argument evaluated to NULL")
+        }
+      else fail(s"the bits argument must be an integer constant, got $e")
+    if (bits < 1 || bits > 32) fail(s"bits must be in [1, 32], got $bits")
+    MortonInterleave(Cast(exprs(0), LongType), Cast(exprs(1), LongType), bits)
+  }
+
   /** Idempotently register [[MortonInterleave]] with the session
     * function registry (same scheme + WARN-avoidance rationale as
     * [[VectorFunctions.register]]). */
@@ -69,10 +96,7 @@ object BitFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(mortonName)))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        mortonName, exprs => MortonInterleave(
-          Cast(exprs(0), LongType), Cast(exprs(1), LongType),
-          exprs(2).asInstanceOf[Literal].value.asInstanceOf[Int]),
-        "scala_udf")
+        mortonName, mortonBuilder, "scala_udf")
   }
 
   /** Morton-interleave two long columns' low `bits` bits. Call

@@ -210,13 +210,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier(BitFunctions.mortonName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MortonInterleave].getName, BitFunctions.mortonName),
-      (exprs: Seq[Expression]) => MortonInterleave(
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          exprs(0), org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          exprs(1), org.apache.spark.sql.types.LongType),
-        exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int])))
+      BitFunctions.mortonBuilder(_)))
     e.injectOptimizerRule(_ => SelfDotToNorm)
   }
 }

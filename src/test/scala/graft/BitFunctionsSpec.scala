@@ -58,4 +58,30 @@ class BitFunctionsSpec extends SparkSpec {
       yield e.nullSafeEval(a, b).asInstanceOf[Long]
     assert(all.distinct.size === all.size, "z-values collided")
   }
+
+  test("SQL registration validates arity, literal-ness and range (ADVICE r9)") {
+    BitFunctions.register(spark)
+    val t = Seq((3L, 5L)).toDF("a", "b")
+    t.createOrReplaceTempView("graft_morton_args")
+    // any integral literal width works — INT and BIGINT agree
+    val wide = spark.sql(
+      "SELECT graft_morton(a, b, 8) AS zi, " +
+      "graft_morton(a, b, CAST(8 AS BIGINT)) AS zl FROM graft_morton_args")
+      .head
+    assert(wide.getLong(0) == refMorton(3, 5, 8) && wide.getLong(0) == wide.getLong(1))
+    // wrong arity / non-literal bits / out-of-range bits -> a USAGE
+    // message at analysis time, not ClassCastException/IndexOutOfBounds
+    for (bad <- Seq(
+        "SELECT graft_morton(a, b) FROM graft_morton_args",
+        "SELECT graft_morton(a, b, a) FROM graft_morton_args",
+        "SELECT graft_morton(a, b, 8.5) FROM graft_morton_args",
+        "SELECT graft_morton(a, b, 99) FROM graft_morton_args")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("INTEGER_LITERAL in [1, 32]"))),
+        s"$bad -> want the usage message, got $e")
+    }
+  }
 }

