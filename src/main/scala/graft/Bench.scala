@@ -291,6 +291,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Catalog.all.filter(_.headline)
+    // slope-tier queries (deliberate exact all-pairs baselines) are
+    // measured ONLY at the second scale point: the crossover evidence
+    // vs their bucketed twins stays in every artifact without an O(n²)
+    // plan in the sf0.1 headline budget (round-9 verdict item 5)
+    val slopeSet = Catalog.all.filter(q => q.headline || q.slope)
     val loadBound = sys.env.get("SPARK_GRAFT_LOAD_BOUND")
       .map(_.toDouble).getOrElse(DefaultLoadBound)
     // resolve ad-hoc names BEFORE any measurement: a typo must fail in
@@ -379,7 +384,7 @@ object Bench {
     }
     val sf2Part = sf2Dir match {
       case Some(d) =>
-        val r2 = measure(spark, d, headline, loadSampler = sampler)
+        val r2 = measure(spark, d, slopeSet, loadSampler = sampler)
         val qs2 = jmap(r2.filter(_.ok).map(r => r.name -> jnum(r.median)))
         s""","sf2":"$d","queries_sf2":$qs2"""
       case None => ""

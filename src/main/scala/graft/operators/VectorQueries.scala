@@ -128,7 +128,10 @@ object VectorQueries {
 
   /** Exact all-pairs near-dup on the planted corpus at threshold 0.9 —
     * the baseline the bucketed form must beat (and is hash-checked
-    * against). Kept headline so the crossover is measured every round. */
+    * against). Slope tier (round-9 verdict item 5): benched at the
+    * sf0.01 scale point only — the crossover evidence per round —
+    * instead of spending ~4.3 s of sf0.1 headline budget on a
+    * deliberately-O(n²) plan. */
   private def embedNeardupPlantedExact(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val v = plantedEmbeddings(s, d).withColumn("n", sqrt(dot(col("e"), col("e"))))
@@ -480,7 +483,7 @@ object VectorQueries {
       "WHERE a.vec_id < b.vec_id GROUP BY 1, 2) " +
       "SELECT va, vb, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
       "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.5 ORDER BY va, vb"),
-      headline = true),
+      slope = true),
     Q("q_embed_neardup_lsh", embedNeardupLsh, Some(
       "WITH sc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
       "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
@@ -492,7 +495,7 @@ object VectorQueries {
       "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.5 ORDER BY va, vb"),
       headline = true),
     Q("q_embed_neardup_planted_exact", embedNeardupPlantedExact,
-      Some(plantedPairsSql), headline = true),
+      Some(plantedPairsSql), slope = true),
     Q("q_embed_neardup_planted", embedNeardupPlanted,
       Some(plantedPairsSql), headline = true),
     Q("q_semantic_dedup", semanticDedup, Some(semanticDedupSql)),

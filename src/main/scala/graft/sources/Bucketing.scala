@@ -15,14 +15,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed external table (parquet at `path`). */
+  /** Write `df` as a bucketed external table (parquet at `path`).
+    * `keys` may be composite — the bucket AND sort spec is the full
+    * key list, so an equi-join on exactly these keys needs no
+    * exchange on this side. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      path: String): Unit =
+      path: String, moreKeys: String*): Unit =
     df.write
       .mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .format("parquet")
       .saveAsTable(table)
 

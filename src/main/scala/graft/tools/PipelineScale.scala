@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.pipeline.Admission
+
+/** Scale-evidence run for the dedup/admission pipeline (round-9
+  * verdict item 7): the graph path has IMDB_SCALE_r04.jsonl; this
+  * main gives the document pipeline the same measured-slope evidence
+  * beyond sf0.1.
+  *
+  * Corpus construction: `factor` replicas of the sf-dir `documents`
+  * table, each replica's doc_ids shifted into a disjoint range and
+  * every TOKEN salted with the replica id. Token-salting (not text
+  * prefixing) makes replicas pairwise disjoint in shingle space, so
+  * the true duplicate structure is exactly `factor` independent
+  * copies of the 1× structure — near-dup work should scale ~linearly
+  * in the corpus (the LSH/prefix-filter design claim), where
+  * unsalted replicas would instead plant factor²-sized cross-replica
+  * duplicate clusters and measure an artifact of the generator.
+  *
+  * Measured per factor (one JSON line each, appended to stdout):
+  *  - `neardup_sec`: [[Dedup.nearDupPairs]] at the gate parameters
+  *    (J ≥ 0.8, maxDf 200) — the PPJoin prefix-filter path;
+  *  - `bloom_sec`: [[Dedup.bloomAdmit]] of the non-seed slice against
+  *    the seed slice's digest set (the gate row's split);
+  *  - `adm1_sec`/`adm2_sec`: the two-increment [[Admission]] loop into
+  *    fresh state; `compact_sec`: folding both increments;
+  *    `adm3_post_compact_sec`: a third increment admitted against the
+  *    COMPACTED base — the state-read path a years-long daily loop
+  *    lives on;
+  *  - plan invariants: the near-dup and admission decision plans must
+  *    stay cartesian-free at every factor (checked, recorded).
+  */
+object PipelineScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-pipeline-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def j(v: Double): String = f"$v%.2f"
+
+    val base = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source")
+
+    for (factor <- factors) {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft_pscale_f$factor").toString
+
+      // ---- corpus generation (timed separately — not pipeline cost)
+      val (corpusPath, genSec) = timed {
+        val reps = (0 until factor).map { r =>
+          base.select(
+            (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+            (if (r == 0) col("text")
+             else concat_ws(" ", transform(split(col("text"), "\\s+"),
+               w => concat(w, lit(s"~$r"))))).as("text"),
+            col("source"))
+        }
+        val p = s"$work/docs"
+        reps.reduce(_ unionByName _).write.mode("overwrite").parquet(p)
+        p
+      }
+      val docs = spark.read.parquet(corpusPath)
+      val nDocs = docs.count()
+
+      // ---- near-dup pairs (PPJoin prefix filter, gate parameters)
+      val ndPlanStr = Dedup
+        .nearDupPairs(docs, "doc_id", "text", 0.8, maxDf = 200)
+        .queryExecution.executedPlan.toString
+      val ndCartesianFree =
+        !ndPlanStr.contains("CartesianProduct") &&
+        !ndPlanStr.contains("BroadcastNestedLoopJoin")
+      val (ndPairs, ndSec) = timed(
+        Dedup.nearDupPairs(docs, "doc_id", "text", 0.8, maxDf = 200).count())
+
+      // ---- Bloom-prefiltered admission (gate split: seed = id%5==0)
+      val digests = docs.select(col("doc_id"), md5(col("text")).as("digest"))
+      val seed = digests.filter(col("doc_id") % 5 === 0).select("digest")
+      val freshSlice = digests.filter(col("doc_id") % 5 =!= 0)
+      val (bloomAdmitted, bloomSec) = timed(
+        Dedup.bloomAdmit(freshSlice, seed, "doc_id", "digest").count())
+
+      // ---- two-increment admission + compaction + post-compact inc
+      val mx = docs.agg(max("doc_id")).head.getLong(0)
+      val root = s"$work/adm"
+      val (n1, adm1Sec) = timed(
+        Admission.admit(docs.filter(col("doc_id") <= mx / 3), root, "d1").count())
+      val (n2, adm2Sec) = timed(
+        Admission.admit(docs.filter(col("doc_id") > mx / 3 &&
+          col("doc_id") <= 2 * mx / 3), root, "d2").count())
+      val (_, compactSec) = timed(Admission.compact(spark, root))
+      val (n3, adm3Sec) = timed(
+        Admission.admit(docs.filter(col("doc_id") > 2 * mx / 3), root, "d3").count())
+
+      println(
+        s"""{"metric":"pipeline_scale","factor":$factor,"sf":"$sfDir","n_docs":$nDocs,""" +
+        s""""gen_sec":${j(genSec)},"neardup_sec":${j(ndSec)},"neardup_pairs":$ndPairs,""" +
+        s""""neardup_cartesian_free":$ndCartesianFree,""" +
+        s""""bloom_sec":${j(bloomSec)},"bloom_admitted":$bloomAdmitted,""" +
+        s""""adm1_sec":${j(adm1Sec)},"adm2_sec":${j(adm2Sec)},""" +
+        s""""compact_sec":${j(compactSec)},"adm3_post_compact_sec":${j(adm3Sec)},""" +
+        s""""admitted":${n1 + n2 + n3}}""")
+
+      // cleanup the generated corpus + state
+      Admission.reset(spark, root)
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    }
+    spark.stop()
+  }
+}

@@ -43,6 +43,11 @@ class SemanticDedupSpec extends SparkSpec {
   }
 
   test("nothing stays cached after run()") {
+    // same precondition discipline as CacheHygieneSpec: another suite
+    // may legitimately hold session-lifetime caches in the shared JVM
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "precondition: CacheManager not empty after clearCache")
     val out = SemanticDedup.run(planted(), "vec_id", "e", centroids(), 0.99)
     assert(out.count() > 0)
     assert(spark.sharedState.cacheManager.isEmpty,
