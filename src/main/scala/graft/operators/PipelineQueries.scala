@@ -226,6 +226,48 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sink root for the CSV roundtrip row — same per-scale-subdir
+    * scheme as [[sinkPath]]. */
+  val csvRoot = "/tmp/graft_csv_sink"
+  private def csvPath(sfDir: String): String = scalePath(csvRoot, sfDir)
+  private val gateCsvPath = s"$csvRoot/sf0.01"
+
+  /** CSV egress/ingress roundtrip — the third interchange format
+    * (after parquet and JSONL): ship the documents table as
+    * RFC 4180 CSV, read it back through an explicit schema, hash the
+    * text through the roundtrip, and have DuckDB parse the SAME
+    * files. The fixture text contains no quote/comma/newline (probed),
+    * so the write deliberately APPENDS a `, "csv" edge` suffix to
+    * every document — otherwise the row would never exercise the
+    * quoting/escaping path it exists to guard. Spark is pinned to
+    * RFC 4180 doubling (`escape` = `"`; its default backslash escape
+    * is a dialect DuckDB's reader does not speak). Embedded newlines
+    * are excluded by construction and out of scope: reading them
+    * needs `multiLine=true`, which makes CSV files unsplittable — at
+    * 100 TB newline-bearing text belongs in parquet/JSONL
+    * (`q_jsonl_roundtrip`), not CSV. Every row carries the
+    * `sink_scale` stamp (same scale-race guard as the other sinks). */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dest = csvPath(d)
+    val scale = scaleName(d)
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"),
+        concat(col("text"), lit(", \"csv\" edge")).as("text"),
+        col("lang"), col("source"), col("n_chars"),
+        lit(scale).as("sink_scale"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(dest)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, sink_scale STRING")
+      .option("header", "true").option("escape", "\"")
+      .csv(dest)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("sink_scale"))
+      .orderBy("doc_id")
+  }
+
   /** MERGE / upsert application — the write-side twin of
     * [[snapshotDiff]]: apply a changeset (upserts that win over the
     * base, plus deletes) to a base snapshot, Delta-MERGE semantics
@@ -253,6 +295,12 @@ object PipelineQueries {
     Q("q_jsonl_roundtrip", jsonlRoundtrip, Some(
       "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5, sink_scale " +
       s"FROM read_json('$gateJsonlPath/*.json', format='newline_delimited', " +
+      "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', " +
+      "'source': 'VARCHAR', 'n_chars': 'BIGINT', 'sink_scale': 'VARCHAR'}) " +
+      "ORDER BY doc_id")),
+    Q("q_csv_roundtrip", csvRoundtrip, Some(
+      "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5, sink_scale " +
+      s"FROM read_csv('$gateCsvPath/*.csv', header=true, " +
       "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', " +
       "'source': 'VARCHAR', 'n_chars': 'BIGINT', 'sink_scale': 'VARCHAR'}) " +
       "ORDER BY doc_id")),

@@ -443,6 +443,45 @@ object VectorQueries {
     "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
     "ORDER BY d / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 4"
 
+  /** Product quantization encode (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search") — the compression
+    * behind billion-scale ANN indexes: the 64-dim space splits into 8
+    * subspaces of 8 dims; each subvector encodes to its nearest
+    * sub-codebook entry, so a vector stores as 8 small codes (64×
+    * smaller than float32 at code-book size 256). Codebook here: the
+    * per-label sub-centroids (the same deterministic coarse quantizer
+    * the IVF/k-means rows use — training a real codebook is
+    * [[graft.query.KMeans.run]] per subspace). Output: one row per
+    * (vector, subspace) with the chosen code and the residual
+    * distance — the values an ADC (asymmetric distance) search reads.
+    *
+    * Scale shape: the codebook (k×dim doubles) broadcasts; per-row
+    * work is scan-stage `slice`/`zip_with` arithmetic; the argmin is
+    * a `min(struct(d2, label))` hash aggregate over (vec_id, sub) —
+    * map-side partial, k-row groups, never a per-key window sort. */
+  private def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb
+      .select(col("label").as("c_label"), posexplode(asDouble(col("embedding"))))
+      .groupBy("c_label", "pos").agg(avg("col").as("m"))
+      .groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+      .select(col("c_label"), transform(col("cs"), x => x.getField("m")).as("cvec"))
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("c_label"), col("e"), col("cvec"),
+        explode(sequence(lit(0), lit(7))).as("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(slice(e, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("best.c_label").cast("int").as("code"),
+        round(sqrt(col("best.d2")), 4).as("sub_dist"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -549,6 +588,17 @@ object VectorQueries {
     Q("q_kmeans_run", kmeansRun, Some(kmeansRunSql)),
     Q("q_knn_graph_bucketed", knnGraphBucketedQ, Some(knnPlantedSql)),
     Q("q_ann_search", annSearch, Some(annSearchSql)),
+    Q("q_pq_encode", pqEncode, Some(
+      "WITH cb AS (SELECT label, CAST((i - 1) // 8 AS INT) AS sub, i, " +
+      "avg(embedding[i]::DOUBLE) AS m " +
+      "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2, 3), " +
+      "d AS (SELECT e.vec_id, cb.label, cb.sub, " +
+      "sum((e.embedding[cb.i]::DOUBLE - cb.m) * (e.embedding[cb.i]::DOUBLE - cb.m)) AS d2 " +
+      "FROM embeddings e, cb GROUP BY 1, 2, 3) " +
+      "SELECT vec_id, sub, CAST(label AS INT) AS code, " +
+      "round(sqrt(d2), 4) AS sub_dist FROM d " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, label) = 1 " +
+      "ORDER BY vec_id, sub")),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +
