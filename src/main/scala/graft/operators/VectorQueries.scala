@@ -459,27 +459,66 @@ object VectorQueries {
     * work is scan-stage `slice`/`zip_with` arithmetic; the argmin is
     * a `min(struct(d2, label))` hash aggregate over (vec_id, sub) —
     * map-side partial, k-row groups, never a per-key window sort. */
+  /** The per-label sub-codebook: (c_label, cvec) — full-dim centroid
+    * arrays sliced per subspace at use sites. */
+  private def pqCodebook(emb: DataFrame): DataFrame = emb
+    .select(col("label").as("c_label"), posexplode(asDouble(col("embedding"))))
+    .groupBy("c_label", "pos").agg(avg("col").as("m"))
+    .groupBy("c_label")
+    .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+    .select(col("c_label"), transform(col("cs"), x => x.getField("m")).as("cvec"))
+
+  /** Per-(vector, subspace) code assignment: (vec_id, sub, code, d2)
+    * — argmin residual via `min(struct(d2, label))`, never a window. */
+  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    .crossJoin(broadcast(cb))
+    .select(col("vec_id"), col("c_label"), col("e"), col("cvec"),
+      explode(sequence(lit(0), lit(7))).as("sub"))
+    .withColumn("d2", expr(
+      "aggregate(zip_with(slice(e, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
+      "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+    .groupBy("vec_id", "sub")
+    .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+    .select(col("vec_id"), col("sub"),
+      col("best.c_label").as("code"), col("best.d2").as("d2"))
+
   private def pqEncode(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cb = emb
-      .select(col("label").as("c_label"), posexplode(asDouble(col("embedding"))))
-      .groupBy("c_label", "pos").agg(avg("col").as("m"))
-      .groupBy("c_label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
-      .select(col("c_label"), transform(col("cs"), x => x.getField("m")).as("cvec"))
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("c_label"), col("e"), col("cvec"),
-        explode(sequence(lit(0), lit(7))).as("sub"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(slice(e, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+    pqCodes(emb, pqCodebook(emb))
       .select(col("vec_id"), col("sub").cast("int").as("sub"),
-        col("best.c_label").cast("int").as("code"),
-        round(sqrt(col("best.d2")), 4).as("sub_dist"))
+        col("code").cast("int").as("code"),
+        round(sqrt(col("d2")), 4).as("sub_dist"))
       .orderBy("vec_id", "sub")
+  }
+
+  /** ADC (asymmetric distance) top-k over the PQ codes — the search
+    * half of [[pqEncode]]: the query stays un-quantized, every corpus
+    * vector is represented ONLY by its 8 codes, and the distance is
+    * the sum of query-subvector-to-codebook-entry residuals. At index
+    * scale this is the point of PQ: the scan touches 8 small codes
+    * per vector (not 64 floats), the per-(query, code) distance table
+    * is k×8 values computed once and broadcast with the codebook, and
+    * the ranking is a TakeOrderedAndProject. Approximate by nature —
+    * but DETERMINISTIC given the codebook, so the oracle recomputes
+    * the same ADC math and the row is hash-exact (the approximation
+    * error vs exact cosine is the documented trade, not drift). */
+  private def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = pqCodebook(emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    pqCodes(emb, cb)
+      .join(broadcast(cb.withColumnRenamed("c_label", "code")), "code")
+      .crossJoin(broadcast(q))
+      .withColumn("qd2", expr(
+        "aggregate(zip_with(slice(qe, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .groupBy("vec_id").agg(sum("qd2").as("adc"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(sqrt(col("adc")), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(5)
   }
 
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
@@ -599,6 +638,22 @@ object VectorQueries {
       "round(sqrt(d2), 4) AS sub_dist FROM d " +
       "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, label) = 1 " +
       "ORDER BY vec_id, sub")),
+    Q("q_pq_adc_topk", pqAdcTopk, Some(
+      "WITH cb AS (SELECT label, CAST((i - 1) // 8 AS INT) AS sub, i, " +
+      "avg(embedding[i]::DOUBLE) AS m " +
+      "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2, 3), " +
+      "d AS (SELECT e.vec_id, cb.label, cb.sub, " +
+      "sum((e.embedding[cb.i]::DOUBLE - cb.m) * (e.embedding[cb.i]::DOUBLE - cb.m)) AS d2 " +
+      "FROM embeddings e, cb GROUP BY 1, 2, 3), " +
+      "codes AS (SELECT vec_id, sub, label AS code FROM d " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, label) = 1), " +
+      "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "adc AS (SELECT c.vec_id, " +
+      "sum((q.qe[cb.i]::DOUBLE - cb.m) * (q.qe[cb.i]::DOUBLE - cb.m)) AS d2 " +
+      "FROM codes c JOIN cb ON cb.label = c.code AND cb.sub = c.sub, q " +
+      "GROUP BY 1) " +
+      "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
+      "WHERE vec_id <> 0 ORDER BY adc_dist, vec_id LIMIT 5")),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

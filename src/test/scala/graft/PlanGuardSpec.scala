@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_dsir_weight", // 1-row target-vs-raw totals scalar
     "q_semantic_dedup", // k-row centroid table (KMeans.assign broadcast)
     "q_pq_encode",   // k-row sub-codebook table (bounded broadcast)
+    "q_pq_adc_topk", // k-row codebook + 1-row query vector broadcasts
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
     "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
     "q_vocab_growth" // 7-row checkpoint list broadcast, range condition
