@@ -358,11 +358,6 @@ object Bench {
         s""","extra":$body,"extra_noisy":${jarr(noisy2)}"""
       }
 
-    val allResults = results ++ extraResults
-    val errors = allResults.flatMap(r => r.err.map(e =>
-      r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
-    val errPart = if (errors.isEmpty) "" else s""","errors":${jmap(errors)}"""
-
     // Second scale point for the scaling slope (best-effort: skip when
     // absent so the bench contract never breaks on a custom sfDir).
     // The same-directory guard applies to the EXPLICIT env var too: a
@@ -382,13 +377,27 @@ object Bench {
         System.err.println(s"bench: SPARK_GRAFT_SF_DIR2=$d is not a " +
           "directory — skipping the second scale point (typo?)")
     }
+    val sf2Results = sf2Dir
+      .map(d => measure(spark, d, slopeSet, loadSampler = sampler))
+      .getOrElse(Seq.empty)
     val sf2Part = sf2Dir match {
       case Some(d) =>
-        val r2 = measure(spark, d, slopeSet, loadSampler = sampler)
-        val qs2 = jmap(r2.filter(_.ok).map(r => r.name -> jnum(r.median)))
+        val qs2 = jmap(sf2Results.filter(_.ok).map(r => r.name -> jnum(r.median)))
         s""","sf2":"$d","queries_sf2":$qs2"""
       case None => ""
     }
+
+    // Errors from EVERY pass — headline, extra AND the sf2 slope pass —
+    // reach the errors map and the nonzero exit below. The slope tier
+    // made sf2 the ONLY pass for the exact-baseline queries, so an sf2
+    // failure silently vanishing (the pre-round-10 behavior) would
+    // drop the crossover evidence with no diagnostic at all. A query
+    // broken at BOTH scales reports once (first message wins).
+    val allResults = results ++ extraResults ++ sf2Results
+    val errors = allResults.flatMap(r => r.err.map(e =>
+        r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
+      .groupBy(_._1).map { case (_, v) => v.head }.toSeq.sortBy(_._1)
+    val errPart = if (errors.isEmpty) "" else s""","errors":${jmap(errors)}"""
     val load2 = loadAvg
     val loadavgPart =
       s""""loadavg":{"start":${jnum(load0)},"mid":${jnum(load1)},"end":${jnum(load2)}},"sf":"$sfDir""""

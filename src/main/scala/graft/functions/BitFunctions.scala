@@ -81,12 +81,15 @@ object BitFunctions {
       if (e.foldable &&
           Seq(ByteType, ShortType, IntegerType, LongType).contains(e.dataType))
         e.eval(null) match {
-          case n: Number => n.intValue()
+          // range-check the LONG value: intValue() would truncate an
+          // out-of-range BIGINT (2^32+8 -> 8) into silent acceptance
+          case n: Number => n.longValue()
           case _ => fail("the bits argument evaluated to NULL")
         }
       else fail(s"the bits argument must be an integer constant, got $e")
-    if (bits < 1 || bits > 32) fail(s"bits must be in [1, 32], got $bits")
-    MortonInterleave(Cast(exprs(0), LongType), Cast(exprs(1), LongType), bits)
+    if (bits < 1L || bits > 32L) fail(s"bits must be in [1, 32], got $bits")
+    MortonInterleave(Cast(exprs(0), LongType), Cast(exprs(1), LongType),
+      bits.toInt)
   }
 
   /** Idempotently register [[MortonInterleave]] with the session

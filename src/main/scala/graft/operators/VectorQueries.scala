@@ -505,7 +505,11 @@ object VectorQueries {
     * error vs exact cosine is the documented trade, not drift). */
   private def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cb = pqCodebook(emb)
+    // materialize the k-row codebook ONCE: it feeds two broadcasts
+    // (code assignment + ADC lookup), and without the cut each would
+    // re-run the full corpus posexplode + aggregation lineage — the
+    // q_semantic_dedup double-compute this round removed elsewhere
+    val cb = pqCodebook(emb).localCheckpoint()
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
     pqCodes(emb, cb)

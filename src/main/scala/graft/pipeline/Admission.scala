@@ -246,8 +246,17 @@ object Admission {
   def compact(s: SparkSession, root: String, idCol: String = "doc_id",
       buckets: Int = 8, cleanup: Boolean = true): Boolean = {
     val st = readManifest(s, root)
-    val unfolded = (listIncs(s, root, "index") ++ listIncs(s, root, "digests"))
-      .distinct.filterNot(st.folded)
+    // Fold only increments present in BOTH state kinds. [[admit]]
+    // writes corpus → index → digests, so an increment present in one
+    // kind only is a crashed partial admit awaiting replay — marking
+    // it folded from the union would exclude its REPLAYED missing-kind
+    // rows forever (and garbage-collect them), silently losing dedup
+    // state. A partial increment stays unfolded until its replay
+    // completes both dirs; a healthy admit always leaves both (an
+    // empty increment still writes empty parquet dirs).
+    val idxIncs = listIncs(s, root, "index").toSet
+    val unfolded = listIncs(s, root, "digests")
+      .filter(idxIncs).filterNot(st.folded)
     if (unfolded.isEmpty) {
       if (cleanup) collectGarbage(s, root, st)
       return false
@@ -256,7 +265,7 @@ object Admission {
     for (kind <- Seq("index", "digests")) {
       val schema = if (kind == "index") indexSchema(idCol) else digestSchema
       val withInc = StructType(schema.fields :+ StructField("inc", StringType))
-      val dirs = listIncs(s, root, kind).filterNot(st.folded)
+      val dirs = listIncs(s, root, kind).filter(unfolded.contains)
         .map(id => s"$root/$kind/inc=$id")
       val incRows =
         if (dirs.isEmpty)

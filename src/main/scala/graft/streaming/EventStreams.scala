@@ -262,8 +262,15 @@ object EventStreams {
 
   /** Per-user funnel progress: earliest view, earliest qualifying
     * click strictly after it, earliest qualifying purchase strictly
-    * after that — `Long.MaxValue` = step not yet reached. */
-  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+    * after that — `Long.MaxValue` = step not yet reached. `maxTs` is
+    * the largest RELEVANT event time folded in earlier batches: the
+    * in-order-replay contract says no later batch may deliver an
+    * older relevant event, and checking against maxTs (not just the
+    * locked steps) also catches disorder that would silently DROP a
+    * transition — e.g. purchase@200 discarded in batch 1 because no
+    * click existed yet, then click@150 arriving in batch 2. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long,
+      maxTs: Long = Long.MinValue)
 
   /** One step transition: `user_id` reached `step` at `tsUs`. */
   final case class FunnelHit(user_id: Long, step: Int, tsUs: Long)
@@ -282,10 +289,13 @@ object EventStreams {
     * O(n) pass, no sort), but ACROSS batches events must replay in
     * event-time order, because each batch locks in its transitions.
     * Cross-batch disorder is DETECTED, not silently mis-counted
-    * (round-9 ADVICE): an arriving event that contradicts a
-    * previously locked step (e.g. a view older than the stored t1)
-    * throws when `failOnDisorder` (default) — switch to
-    * [[funnelStreamWatermarked]] for sources with bounded disorder.
+    * (round-9 ADVICE): any relevant event arriving OLDER than the
+    * newest relevant event a previous batch folded (the per-user
+    * `maxTs` in state — a stronger check than comparing against the
+    * locked steps, which would miss disorder that silently drops a
+    * transition, e.g. an early purchase discarded while its click was
+    * still missing) throws when `failOnDisorder` (default) — switch
+    * to [[funnelStreamWatermarked]] for sources with bounded disorder.
     * Per-batch memory: the fold buffers only the timestamps of
     * still-relevant event types for the user in THIS micro-batch
     * (cleared every batch; a hot user costs one Long per relevant
@@ -299,34 +309,33 @@ object EventStreams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[FEv], state: GroupState[FunnelState]) =>
           val st0 = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
-          // one pass: bucket candidate timestamps per still-open step
+          // one pass: bucket candidate timestamps per still-open step.
+          // Disorder check is against maxTs — the newest RELEVANT event
+          // of the earlier batches — not just the locked steps: an
+          // older-than-history event can invalidate a transition even
+          // when its own step is still open (a discarded early
+          // purchase), so any relevant event older than maxTs breaks
+          // the contract, locked or not.
           val views = scala.collection.mutable.ArrayBuffer.empty[Long]
           val clicks = scala.collection.mutable.ArrayBuffer.empty[Long]
           val purchases = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var batchMax = st0.maxTs
           evs.foreach { e =>
-            e.event_type match {
-              case "view" =>
-                if (st0.t1 == Unset) views += e.tsUs
-                else if (failOnDisorder && e.tsUs < st0.t1)
-                  throw new IllegalStateException(
-                    s"funnelStream: cross-batch disorder for user $user — " +
-                      s"view at ${e.tsUs} precedes the locked step-1 time " +
-                      s"${st0.t1}; use funnelStreamWatermarked for this source")
-              case "click" =>
-                if (st0.t2 == Unset) clicks += e.tsUs
-                else if (failOnDisorder && e.tsUs > st0.t1 && e.tsUs < st0.t2)
-                  throw new IllegalStateException(
-                    s"funnelStream: cross-batch disorder for user $user — " +
-                      s"click at ${e.tsUs} precedes the locked step-2 time " +
-                      s"${st0.t2}; use funnelStreamWatermarked for this source")
-              case "purchase" =>
-                if (st0.t3 == Unset) purchases += e.tsUs
-                else if (failOnDisorder && e.tsUs > st0.t2 && e.tsUs < st0.t3)
-                  throw new IllegalStateException(
-                    s"funnelStream: cross-batch disorder for user $user — " +
-                      s"purchase at ${e.tsUs} precedes the locked step-3 time " +
-                      s"${st0.t3}; use funnelStreamWatermarked for this source")
-              case _ => ()
+            val relevant = e.event_type == "view" || e.event_type == "click" ||
+              e.event_type == "purchase"
+            if (relevant) {
+              if (failOnDisorder && e.tsUs < st0.maxTs)
+                throw new IllegalStateException(
+                  s"funnelStream: cross-batch disorder for user $user — " +
+                    s"${e.event_type} at ${e.tsUs} precedes an event already " +
+                    s"folded at ${st0.maxTs}; use funnelStreamWatermarked " +
+                    "for this source")
+              if (e.tsUs > batchMax) batchMax = e.tsUs
+              e.event_type match {
+                case "view" => if (st0.t1 == Unset) views += e.tsUs
+                case "click" => if (st0.t2 == Unset) clicks += e.tsUs
+                case _ => if (st0.t3 == Unset) purchases += e.tsUs
+              }
             }
           }
           // min-based transitions — equivalent to replaying the batch
@@ -352,7 +361,7 @@ object EventStreams {
               st = st.copy(t3 = m); hits += FunnelHit(user, 3, m)
             }
           }
-          state.update(st)
+          state.update(st.copy(maxTs = batchMax))
           hits.result().iterator
       }
   }

@@ -139,6 +139,36 @@ class AdmissionCompactSpec extends SparkSpec {
     assert(ids(Admission.corpus(spark, root)) == Seq(1L, 3L))
   }
 
+  test("a partial increment (crashed mid-admit) is never folded") {
+    import spark.implicits._
+    val root = freshRoot()
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d1")
+    // simulate admit(d2) crashing between the index write and the
+    // digests write: index/inc=d2 exists, digests/inc=d2 does not
+    Seq((2L, 0, "deadbeef")).toDF("doc_id", "band", "sig")
+      .write.parquet(s"$root/index/inc=d2")
+    assert(Admission.compact(spark, root), "d1 must still fold")
+    // d2 must NOT be marked folded (its digests never arrived) and its
+    // partial dir must survive for the replay to overwrite
+    assert(!Admission.readManifest(spark, root).folded("d2"),
+      "a one-kind-only increment is a crashed partial admit, not foldable")
+    assert(new java.io.File(s"$root/index/inc=d2").exists)
+    // the replay completes both dirs; the next compact folds it
+    val got = ids(Admission.admit(Seq((2L, "hh ii jj kk ll mm nn", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2"))
+    assert(got == Seq(2L))
+    assert(Admission.compact(spark, root))
+    assert(Admission.readManifest(spark, root).folded("d2"))
+    // and the folded digest state still rejects an exact duplicate —
+    // the silent-dedup-state-loss failure the fold guard prevents
+    val got3 = ids(Admission.admit(Seq(
+      (3L, "hh ii jj kk ll mm nn", "s"),
+      (4L, "totally different words here now", "s"))
+      .toDF("doc_id", "text", "source"), root, "d3"))
+    assert(got3 == Seq(4L), s"dup of the replayed increment must be rejected: $got3")
+  }
+
   test("a fresh session catalog re-registers the base from the manifest") {
     import spark.implicits._
     val root = freshRoot()

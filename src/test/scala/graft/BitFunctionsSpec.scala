@@ -75,7 +75,9 @@ class BitFunctionsSpec extends SparkSpec {
         "SELECT graft_morton(a, b) FROM graft_morton_args",
         "SELECT graft_morton(a, b, a) FROM graft_morton_args",
         "SELECT graft_morton(a, b, 8.5) FROM graft_morton_args",
-        "SELECT graft_morton(a, b, 99) FROM graft_morton_args")) {
+        "SELECT graft_morton(a, b, 99) FROM graft_morton_args",
+        // 2^32 + 8: intValue() truncation would silently accept as 8
+        "SELECT graft_morton(a, b, 4294967304) FROM graft_morton_args")) {
       val e = intercept[Exception] { spark.sql(bad).collect() }
       def chain(t: Throwable): Seq[Throwable] =
         Option(t).toSeq.flatMap(x => x +: chain(x.getCause))

@@ -91,4 +91,49 @@ class WatermarkGateSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("cross-batch disorder"))),
       s"want the disorder diagnostic in the failure chain, got: $err")
   }
+
+  test("strict funnel detects disorder against UNLOCKED steps too " +
+      "(the silently-dropped-transition case)") {
+    import spark.implicits._
+    val in = MemoryStream[FEv](spark)
+    val q = EventStreams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("strict_funnel2")
+      .outputMode("append").start()
+    val err =
+      try {
+        // batch 1: the purchase is discarded (no click yet, step 2
+        // open) — nothing is LOCKED beyond step 1
+        in.addData(FEv(1L, 100 * us, "view"), FEv(1L, 200 * us, "purchase"))
+        q.processAllAvailable()
+        // batch 2: a click BEFORE the already-seen purchase — a
+        // locked-step-only check would silently lock t2=150 and lose
+        // step 3 forever (the purchase is gone); the maxTs contract
+        // must fail loudly instead
+        in.addData(FEv(1L, 150 * us, "click"))
+        intercept[Exception] { q.processAllAvailable() }
+      } finally q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("cross-batch disorder"))),
+      s"want the disorder diagnostic in the failure chain, got: $err")
+    // the watermarked form handles the same replay correctly
+    val in2 = MemoryStream[FEv](spark)
+    val q2 = EventStreams.funnelStreamWatermarked(in2.toDS(), "200 seconds")
+      .writeStream.format("memory").queryName("wm_funnel2")
+      .outputMode("append").start()
+    try {
+      in2.addData(FEv(1L, 100 * us, "view"), FEv(1L, 200 * us, "purchase"))
+      q2.processAllAvailable()
+      in2.addData(FEv(1L, 150 * us, "click"))
+      q2.processAllAvailable()
+      in2.addData(FEv(9L, 500 * us, "view"))
+      q2.processAllAvailable()
+      in2.addData(FEv(9L, 510 * us, "view"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(hits("wm_funnel2").filter(_._1 == 1L) ==
+      Set((1L, 1, 100 * us), (1L, 2, 150 * us), (1L, 3, 200 * us)),
+      s"watermarked replay must recover all three steps: ${hits("wm_funnel2")}")
+  }
 }
