@@ -442,6 +442,46 @@ object TextQueries {
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  /** PMI collocation mining over adjacent word bigrams — the
+    * phrase-detection statistic (word2vec's phrase pass, NPMI
+    * collocation extraction): PMI(w1, w2) = ln(p(w1 w2) / (p(w1)
+    * p(w2))) with p(bigram) over total bigram occurrences and p(word)
+    * over total word occurrences. Count floor 5 (the standard
+    * low-frequency guard — PMI explodes on hapax pairs). Output is
+    * ordered by the pair STRING and carries the exact integer counts;
+    * the only float is the 4-decimal PMI derived from those integers
+    * through an identical left-associated double expression in both
+    * engines, so the row cannot flip on ranking ties. Scale shape:
+    * two hash aggregates (bigrams, unigrams) + equi-joins on the
+    * word; the totals are a broadcast 1-row scalar; counts cast to
+    * double BEFORE multiplying so the expression cannot overflow
+    * long arithmetic at corpus scale. */
+  private def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = base.select(
+      sum(size(col("w"))).as("u_tot"),
+      sum(greatest(size(col("w")) - 1, lit(0))).as("b_tot"))
+    base.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 5)
+      .withColumn("w1", element_at(split(col("pair"), " "), 1))
+      .withColumn("w2", element_at(split(col("pair"), " "), 2))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("pair"), col("c12"), col("c1"), col("c2"),
+        round(log(
+          (col("c12").cast("double") * col("u_tot") * col("u_tot")) /
+          (col("b_tot").cast("double") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy("pair")
+  }
+
   private def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
@@ -1551,6 +1591,20 @@ object TextQueries {
       "j -> substr(x.simhash, CAST(j AS INT), 1) <> substr(y.simhash, CAST(j AS INT), 1))) AS INT) AS hamming " +
       "FROM cand JOIN sim x ON x.doc_id = doc_a JOIN sim y ON y.doc_id = doc_b) q " +
       "WHERE hamming <= 3 ORDER BY doc_a, doc_b")),
+    Q("q_pmi_bigrams", pmiBigrams, Some(
+      "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
+      "uniw AS (SELECT unnest(w) AS t FROM w), " +
+      "uni AS (SELECT t, count(*) AS c FROM uniw GROUP BY 1), " +
+      "tot AS (SELECT (SELECT count(*) FROM uniw) AS u_tot, " +
+      "(SELECT sum(greatest(len(w) - 1, 0)) FROM w) AS b_tot), " +
+      "bg AS (SELECT unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i] || ' ' || w[i+1])) AS pair FROM w WHERE len(w) >= 2), " +
+      "bc AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY 1 HAVING count(*) >= 5) " +
+      "SELECT pair, c12, u1.c AS c1, u2.c AS c2, " +
+      "round(ln((c12::DOUBLE * u_tot * u_tot) / (b_tot::DOUBLE * u1.c * u2.c)), 4) AS pmi " +
+      "FROM bc JOIN uni u1 ON u1.t = split_part(pair, ' ', 1) " +
+      "JOIN uni u2 ON u2.t = split_part(pair, ' ', 2), tot " +
+      "ORDER BY pair")),
     Q("q_token_counts", tokenCounts, Some(
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_ws_tokens, " +
       "CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_re_tokens " +
