@@ -268,6 +268,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sink root for the schema-evolution row — per-scale subdirs as
+    * [[sinkPath]]. */
+  val evoRoot = "/tmp/graft_evo_sink"
+  private def evoPath(sfDir: String): String = scalePath(evoRoot, sfDir)
+  private val gateEvoPath = s"$evoRoot/sf0.01"
+
+  /** Schema evolution across store generations — the crawl-store
+    * reality: generation 1 of the corpus was written WITHOUT a column
+    * that generation 2 adds (here a `quality` score and a `pipeline`
+    * tag). The read must union both generations by NAME, fill the
+    * missing column with NULL for old rows, and keep projection
+    * pushdown working across the mixed footers. Spark side:
+    * `mergeSchema` parquet read over both generation dirs; oracle:
+    * DuckDB `read_parquet(..., union_by_name=true)` over the SAME
+    * files — a green row proves the evolved layout is readable and
+    * NULL-semantics-identical from a foreign engine. Generations
+    * split by id parity; `quality` is a deterministic integer-derived
+    * double so the hash is stable. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dest = evoPath(d)
+    val scale = scaleName(d)
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        lit(scale).as("sink_scale"))
+      .write.mode("overwrite").parquet(s"$dest/gen=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        lit(scale).as("sink_scale"),
+        round(col("n_chars") / lit(100.0), 4).as("quality"),
+        lit("v2").as("pipeline"))
+      .write.mode("overwrite").parquet(s"$dest/gen=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dest/gen=1", s"$dest/gen=2")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("sink_scale"), col("quality"), col("pipeline"))
+      .orderBy("doc_id")
+  }
+
   /** MERGE / upsert application — the write-side twin of
     * [[snapshotDiff]]: apply a changeset (upserts that win over the
     * base, plus deletes) to a base snapshot, Delta-MERGE semantics
@@ -297,6 +336,11 @@ object PipelineQueries {
       s"FROM read_json('$gateJsonlPath/*.json', format='newline_delimited', " +
       "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', " +
       "'source': 'VARCHAR', 'n_chars': 'BIGINT', 'sink_scale': 'VARCHAR'}) " +
+      "ORDER BY doc_id")),
+    Q("q_schema_evolution", schemaEvolution, Some(
+      "SELECT doc_id, source, n_chars, sink_scale, quality, pipeline " +
+      s"FROM read_parquet(['$gateEvoPath/gen=1/*.parquet', " +
+      s"'$gateEvoPath/gen=2/*.parquet'], union_by_name=true) " +
       "ORDER BY doc_id")),
     Q("q_csv_roundtrip", csvRoundtrip, Some(
       "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5, sink_scale " +
