@@ -441,7 +441,6 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
   /** PMI collocation mining over adjacent word bigrams — the
     * phrase-detection statistic (word2vec's phrase pass, NPMI
     * collocation extraction): PMI(w1, w2) = ln(p(w1 w2) / (p(w1)
@@ -461,14 +460,17 @@ object TextQueries {
       .select(col("doc_id"), words(col("text")).as("w"))
     val uni = base.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val totals = base.select(
-      sum(size(col("w"))).as("u_tot"),
-      sum(greatest(size(col("w")) - 1, lit(0))).as("b_tot"))
-    base.filter(size(col("w")) >= 2)
+    val bgCounts = base.filter(size(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c12"))
+    // totals derive from the two aggregates already built — u_tot =
+    // Σ unigram counts, b_tot = Σ unfiltered bigram counts — instead
+    // of a third full corpus scan + re-tokenization
+    val totals = uni.agg(sum("c").as("u_tot"))
+      .crossJoin(bgCounts.agg(sum("c12").as("b_tot")))
+    bgCounts
       .filter(col("c12") >= 5)
       .withColumn("w1", element_at(split(col("pair"), " "), 1))
       .withColumn("w2", element_at(split(col("pair"), " "), 2))
@@ -482,6 +484,7 @@ object TextQueries {
       .orderBy("pair")
   }
 
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
   private def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(

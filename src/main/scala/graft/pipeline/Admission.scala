@@ -184,6 +184,15 @@ object Admission {
       .filter(_.startsWith("inc=")).map(_.stripPrefix("inc=")).toSeq
   }
 
+  /** [[listIncs]] restricted to dirs carrying the `_SUCCESS` job
+    * commit marker — the only increments [[compact]] may fold. */
+  private def committedIncs(s: SparkSession, root: String,
+      kind: String): Seq[String] = {
+    val fs = fsOf(s, root)
+    listIncs(s, root, kind)
+      .filter(id => fs.exists(new Path(s"$root/$kind/inc=$id/_SUCCESS")))
+  }
+
   /** Seen-state reader: compacted base (if any) ∪ the increments not
     * yet folded. Exclusions, both crash-recovery stories:
     *  - the CURRENT increment's own subdir AND its own base rows
@@ -246,16 +255,20 @@ object Admission {
   def compact(s: SparkSession, root: String, idCol: String = "doc_id",
       buckets: Int = 8, cleanup: Boolean = true): Boolean = {
     val st = readManifest(s, root)
-    // Fold only increments present in BOTH state kinds. [[admit]]
-    // writes corpus → index → digests, so an increment present in one
-    // kind only is a crashed partial admit awaiting replay — marking
-    // it folded from the union would exclude its REPLAYED missing-kind
-    // rows forever (and garbage-collect them), silently losing dedup
-    // state. A partial increment stays unfolded until its replay
-    // completes both dirs; a healthy admit always leaves both (an
-    // empty increment still writes empty parquet dirs).
-    val idxIncs = listIncs(s, root, "index").toSet
-    val unfolded = listIncs(s, root, "digests")
+    // Fold only increments COMMITTED in BOTH state kinds. [[admit]]
+    // writes corpus → index → digests, so an increment missing or
+    // uncommitted in either kind is a crashed partial admit awaiting
+    // replay — marking it folded would exclude its REPLAYED rows
+    // forever (and garbage-collect them), silently losing dedup
+    // state. "Committed" means the dir carries the _SUCCESS job
+    // marker, not mere existence: the output committer creates the
+    // directory at job SETUP, so a crash mid-write leaves an
+    // existing-but-empty dir that bare listing cannot tell apart from
+    // a legitimately empty increment. A healthy admit always commits
+    // both dirs (an empty increment still writes empty parquet +
+    // _SUCCESS); partial increments stay unfolded until replayed.
+    val idxIncs = committedIncs(s, root, "index").toSet
+    val unfolded = committedIncs(s, root, "digests")
       .filter(idxIncs).filterNot(st.folded)
     if (unfolded.isEmpty) {
       if (cleanup) collectGarbage(s, root, st)

@@ -289,13 +289,18 @@ object EventStreams {
     * O(n) pass, no sort), but ACROSS batches events must replay in
     * event-time order, because each batch locks in its transitions.
     * Cross-batch disorder is DETECTED, not silently mis-counted
-    * (round-9 ADVICE): any relevant event arriving OLDER than the
-    * newest relevant event a previous batch folded (the per-user
-    * `maxTs` in state — a stronger check than comparing against the
-    * locked steps, which would miss disorder that silently drops a
-    * transition, e.g. an early purchase discarded while its click was
-    * still missing) throws when `failOnDisorder` (default) — switch
-    * to [[funnelStreamWatermarked]] for sources with bounded disorder.
+    * (round-9 ADVICE): with `failOnDisorder` (default) an
+    * out-of-order arrival throws iff it COULD change the funnel — an
+    * event that would have won a locked step's min, or any
+    * older-than-history event whose step is still open (a companion
+    * it needed may already be discarded). Provably-harmless disorder
+    * (e.g. a click after the locked t2, which no ordering could
+    * promote) passes through, so a long-running stream does not abort
+    * on noise that cannot affect output. Switch to
+    * [[funnelStreamWatermarked]] for sources with real bounded
+    * disorder. Note: `maxTs` in [[FunnelState]] is new in round 10 —
+    * restarting from a pre-round-10 checkpoint needs a fresh
+    * checkpoint (state schema adds a column).
     * Per-batch memory: the fold buffers only the timestamps of
     * still-relevant event types for the user in THIS micro-batch
     * (cleared every batch; a hot user costs one Long per relevant
@@ -310,31 +315,54 @@ object EventStreams {
         (user: Long, evs: Iterator[FEv], state: GroupState[FunnelState]) =>
           val st0 = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
           // one pass: bucket candidate timestamps per still-open step.
-          // Disorder check is against maxTs — the newest RELEVANT event
-          // of the earlier batches — not just the locked steps: an
-          // older-than-history event can invalidate a transition even
-          // when its own step is still open (a discarded early
-          // purchase), so any relevant event older than maxTs breaks
-          // the contract, locked or not.
+          // Disorder check: an out-of-order arrival throws ONLY when it
+          // could change the outcome — soundness without aborting a
+          // stream on provably-harmless disorder. Per step (min-rule
+          // analysis; each condition is exactly "this event could move
+          // a locked time or resurrect a discarded transition"):
+          //  - step LOCKED: harmful iff the event would have WON the
+          //    min (view < t1; click in (t1, t2); purchase in
+          //    (t2, t3)). An event at/after the locked time leaves
+          //    every min unchanged — ignored, as an in-order replay
+          //    would have ignored it.
+          //  - step OPEN: harmful iff the event is older than ANY
+          //    relevant event a previous batch folded (maxTs) — an
+          //    older companion (e.g. a purchase discarded while its
+          //    click was missing) may already be gone, so the dropped
+          //    transition cannot be reconstructed.
           val views = scala.collection.mutable.ArrayBuffer.empty[Long]
           val clicks = scala.collection.mutable.ArrayBuffer.empty[Long]
           val purchases = scala.collection.mutable.ArrayBuffer.empty[Long]
           var batchMax = st0.maxTs
+          def disorder(e: FEv): Nothing = throw new IllegalStateException(
+            s"funnelStream: cross-batch disorder for user $user — " +
+              s"${e.event_type} at ${e.tsUs} arrives out of order against " +
+              s"state (t1=${st0.t1}, t2=${st0.t2}, t3=${st0.t3}, " +
+              s"maxTs=${st0.maxTs}) and could change the funnel; use " +
+              "funnelStreamWatermarked for this source")
           evs.foreach { e =>
             val relevant = e.event_type == "view" || e.event_type == "click" ||
               e.event_type == "purchase"
             if (relevant) {
-              if (failOnDisorder && e.tsUs < st0.maxTs)
-                throw new IllegalStateException(
-                  s"funnelStream: cross-batch disorder for user $user — " +
-                    s"${e.event_type} at ${e.tsUs} precedes an event already " +
-                    s"folded at ${st0.maxTs}; use funnelStreamWatermarked " +
-                    "for this source")
               if (e.tsUs > batchMax) batchMax = e.tsUs
               e.event_type match {
-                case "view" => if (st0.t1 == Unset) views += e.tsUs
-                case "click" => if (st0.t2 == Unset) clicks += e.tsUs
-                case _ => if (st0.t3 == Unset) purchases += e.tsUs
+                case "view" =>
+                  if (st0.t1 == Unset) {
+                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
+                    views += e.tsUs
+                  } else if (failOnDisorder && e.tsUs < st0.t1) disorder(e)
+                case "click" =>
+                  if (st0.t2 == Unset) {
+                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
+                    clicks += e.tsUs
+                  } else if (failOnDisorder &&
+                      e.tsUs > st0.t1 && e.tsUs < st0.t2) disorder(e)
+                case _ =>
+                  if (st0.t3 == Unset) {
+                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
+                    purchases += e.tsUs
+                  } else if (failOnDisorder &&
+                      e.tsUs > st0.t2 && e.tsUs < st0.t3) disorder(e)
               }
             }
           }

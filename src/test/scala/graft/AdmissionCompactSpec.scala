@@ -145,9 +145,13 @@ class AdmissionCompactSpec extends SparkSpec {
     Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
       .toDF("doc_id", "text", "source"), root, "d1")
     // simulate admit(d2) crashing between the index write and the
-    // digests write: index/inc=d2 exists, digests/inc=d2 does not
+    // digests write: index/inc=d2 is committed, digests/inc=d2 exists
+    // only as the committer's setup-time dir — NO _SUCCESS marker
+    // (the output committer creates the directory before any data
+    // lands, so bare existence cannot mean "committed")
     Seq((2L, 0, "deadbeef")).toDF("doc_id", "band", "sig")
       .write.parquet(s"$root/index/inc=d2")
+    assert(new java.io.File(s"$root/digests/inc=d2").mkdirs())
     assert(Admission.compact(spark, root), "d1 must still fold")
     // d2 must NOT be marked folded (its digests never arrived) and its
     // partial dir must survive for the replay to overwrite

@@ -136,4 +136,27 @@ class WatermarkGateSpec extends SparkSpec {
       Set((1L, 1, 100 * us), (1L, 2, 150 * us), (1L, 3, 200 * us)),
       s"watermarked replay must recover all three steps: ${hits("wm_funnel2")}")
   }
+
+  test("strict funnel tolerates provably-harmless disorder (no step could change)") {
+    import spark.implicits._
+    val in = MemoryStream[FEv](spark)
+    val q = EventStreams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("strict_funnel3")
+      .outputMode("append").start()
+    try {
+      // lock all three steps in order
+      in.addData(FEv(1L, 100 * us, "view"), FEv(1L, 200 * us, "click"),
+        FEv(1L, 300 * us, "purchase"))
+      q.processAllAvailable()
+      // out-of-order arrivals that CANNOT change any min under any
+      // replay order: a view after t1, a click after t2, a purchase
+      // after t3 — a long-running stream must not abort on these
+      in.addData(FEv(1L, 150 * us, "view"), FEv(1L, 250 * us, "click"),
+        FEv(1L, 350 * us, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(hits("strict_funnel3") ==
+      Set((1L, 1, 100 * us), (1L, 2, 200 * us), (1L, 3, 300 * us)),
+      s"harmless disorder must neither throw nor re-emit: ${hits("strict_funnel3")}")
+  }
 }
