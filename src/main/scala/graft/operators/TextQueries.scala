@@ -234,6 +234,24 @@ object TextQueries {
     graft.functions.TextFunctions.minhashRows(shingles(s, d), "doc_id", k = 8)
       .orderBy("doc_id", "k")
 
+  /** Shared verified-pair graph + transitive closure — the oracle
+    * backbone of `q_dedup_clusters` and `q_dedup_cluster_sizes` (ends
+    * with the recursive closure `r`). */
+  private val clustersCte =
+    shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
+    "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id), " +
+    "kept AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 200), " +
+    "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
+    "FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+    "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
+    "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
+    "JOIN sizes sb ON doc_b = sb.doc_id " +
+    "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8), " +
+    "e AS (SELECT doc_a AS v, doc_b AS u FROM pr UNION SELECT doc_b, doc_a FROM pr " +
+    "UNION SELECT doc_a, doc_a FROM pr UNION SELECT doc_b, doc_b FROM pr), " +
+    "r AS (SELECT v, u FROM e UNION SELECT r.v, e.u FROM r JOIN e ON r.u = e.v)"
+
   private val minhashCte = shinglesCte + ", " +
     "mh AS (SELECT doc_id, CAST(k AS INT) AS k, " +
     "min(md5(CAST(k AS VARCHAR) || '|' || shingle)) AS mh " +
@@ -990,6 +1008,32 @@ object TextQueries {
         "id_a", "id_b")
       .orderBy("vertex")
 
+  /** Duplicate-cluster size histogram — the observability twin of
+    * [[dedupClustersQ]]: how much of the corpus sits in near-dup
+    * clusters of which sizes (size 1 = documents in no verified pair)
+    * — the statistic that tells a curation run whether duplication is
+    * a long tail of pairs or a few giant template clusters (which
+    * need the df-ceiling / substring path instead). Cluster rows are
+    * one tiny aggregate over the components table; the singleton
+    * count is corpus-total minus clustered, a broadcast scalar join. */
+  private def dedupClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val comps = graft.query.ConnectedComponents
+      .run(graft.functions.TextFunctions
+        .jaccardPairs(shingles(s, d).select(col("doc_id"),
+          conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
+            .as("shingle")),
+          "doc_id", 0.8, maxDf = 200),
+        "id_a", "id_b")
+    val hist = comps.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(comps.agg(count(lit(1)).as("n_in")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_in")).as("n_clusters"))
+    singles.unionByName(hist).orderBy("cluster_size")
+  }
+
   /** Train→test contamination check — the eval-decontamination
     * operator: a test-split document is contaminated when it shares a
     * winnowing fingerprint (≥ 7-token verbatim run, see [[winnow]])
@@ -1663,21 +1707,16 @@ object TextQueries {
       "n AS (SELECT count(*) AS n_docs FROM documents) " +
       "SELECT doc_id, word, tf, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf " +
       "FROM tf JOIN df USING (word), n ORDER BY doc_id, word")),
-    Q("q_dedup_clusters", dedupClustersQ, Some(
-      shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ", " +
-      "shh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS shingle FROM sh), " +
-      "sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id), " +
-      "kept AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) <= 200), " +
-      "ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common " +
-      "FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
-      "JOIN kept ON a.shingle = kept.shingle GROUP BY 1, 2), " +
-      "pr AS (SELECT doc_a, doc_b FROM ov JOIN sizes sa ON doc_a = sa.doc_id " +
-      "JOIN sizes sb ON doc_b = sb.doc_id " +
-      "WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8), " +
-      "e AS (SELECT doc_a AS v, doc_b AS u FROM pr UNION SELECT doc_b, doc_a FROM pr " +
-      "UNION SELECT doc_a, doc_a FROM pr UNION SELECT doc_b, doc_b FROM pr), " +
-      "r AS (SELECT v, u FROM e UNION SELECT r.v, e.u FROM r JOIN e ON r.u = e.v) " +
-      "SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
+    Q("q_dedup_clusters", dedupClustersQ, Some(clustersCte +
+      " SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
+    Q("q_dedup_cluster_sizes", dedupClusterSizes, Some(clustersCte + ", " +
+      "comp AS (SELECT v AS vertex, min(u) AS component FROM r GROUP BY v), " +
+      "cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1), " +
+      "h AS (SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1), " +
+      "singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size, " +
+      "(SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n_clusters) " +
+      "SELECT cluster_size, n_clusters FROM " +
+      "(SELECT * FROM singles UNION ALL SELECT * FROM h) t ORDER BY cluster_size")),
     Q("q_contamination", contamination, Some(
       "WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), " +
       "u AS (SELECT doc_id, list_transform(w, x -> CAST(" +
