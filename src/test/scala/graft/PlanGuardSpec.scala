@@ -31,7 +31,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_pq_encode",   // k-row sub-codebook table (bounded broadcast)
     "q_pq_adc_topk", // k-row codebook + 1-row query vector broadcasts
     "q_pmi_bigrams", // 1-row (u_tot, b_tot) totals scalar
-    "q_dedup_cluster_sizes" // 1-row corpus-total × clustered-total scalars
+    "q_dedup_cluster_sizes", // 1-row corpus-total × clustered-total scalars
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
     "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
     "q_vocab_growth" // 7-row checkpoint list broadcast, range condition
