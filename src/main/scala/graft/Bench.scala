@@ -384,7 +384,15 @@ object Bench {
       case Some(d) =>
         val qs2 = jmap(sf2Results.filter(_.ok).map(r => r.name -> jnum(r.median)))
         s""","sf2":"$d","queries_sf2":$qs2"""
-      case None => ""
+      case None =>
+        // slope-tier queries run ONLY in the sf2 pass — with no second
+        // scale point they are measured at NO scale this run, which
+        // must be loud (an artifact without them is not comparable to
+        // one with them), not a silent key omission
+        System.err.println("bench: no second scale point " +
+          "(SPARK_GRAFT_SF_DIR2 unset/invalid and no derived sf0.01 " +
+          "sibling) — slope-tier queries measured at NO scale this run")
+        s""","slope_skipped":true"""
     }
 
     // Errors from EVERY pass — headline, extra AND the sf2 slope pass —

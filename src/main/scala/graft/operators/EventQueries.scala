@@ -267,6 +267,71 @@ object EventQueries {
       .orderBy("step")
   }
 
+  /** The watermark-bounded funnel's batch twin
+    * ([[graft.streaming.EventStreams.funnelStreamWatermarked]]'s
+    * documented equivalence: emitted hits = the batch funnel over the
+    * ON-TIME subset), under the oracle gate. The arrival schedule is
+    * simulated deterministically — event e arrives at
+    * `ts + (event_id mod 4) · 5 min` (a bounded network delay), and
+    * the watermark trails the running max ARRIVED event time by 60 s —
+    * so "late" (dropped) is `ts < max(ts of events arrived before e) −
+    * 60 s`, exactly the rule a one-event-per-micro-batch stream
+    * enforces (`WatermarkGateSpec` pins the stream/batch parity on a
+    * driven subset). Output: late-dropped event count (step 0) + the
+    * 3 funnel step counts over the surviving events.
+    *
+    * Scale note: the arrival simulation's running max is a GLOBAL
+    * ordered window — inherently sequential because it models a single
+    * stream's clock; the funnel over the on-time subset is the
+    * distributed part (per-user hash aggregates, same shape as
+    * [[funnelSteps]]). A real deployment gets the late-classification
+    * from the engine's watermark, not from this window. */
+  private def funnelWatermarked(s: SparkSession, d: String): DataFrame = {
+    val delayUs = 60000000L
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arrival_us",
+        col("ts_us") + (col("event_id") % 4) * 300000000L)
+    val arrivalW = Window.orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = ev.withColumn("wm", max("ts_us").over(arrivalW) - delayUs)
+    val onTime = flagged.filter(col("wm").isNull || col("ts_us") >= col("wm"))
+    val t1 = onTime.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = onTime.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = onTime.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    flagged.filter(col("wm").isNotNull && col("ts_us") < col("wm"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit(0).as("step"), col("n"))
+      .unionByName(t1.agg(count(lit(1)).as("n")).select(lit(1).as("step"), col("n")))
+      .unionByName(t2.agg(count(lit(1)).as("n")).select(lit(2).as("step"), col("n")))
+      .unionByName(t3.agg(count(lit(1)).as("n")).select(lit(3).as("step"), col("n")))
+      .orderBy("step")
+  }
+
+  private val funnelWatermarkedSql =
+    "WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, " +
+    "epoch_us(ts) + (event_id % 4) * 300000000 AS arrival_us FROM events), " +
+    "w AS (SELECT *, max(ts_us) OVER (ORDER BY arrival_us, event_id " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 60000000 AS wm FROM e), " +
+    "ot AS (SELECT * FROM w WHERE wm IS NULL OR ts_us >= wm), " +
+    "t1 AS (SELECT user_id, min(ts_us) AS t1 FROM ot " +
+    "WHERE event_type = 'view' GROUP BY 1), " +
+    "t2 AS (SELECT o.user_id, min(o.ts_us) AS t2 FROM ot o JOIN t1 USING (user_id) " +
+    "WHERE o.event_type = 'click' AND o.ts_us > t1.t1 GROUP BY 1), " +
+    "t3 AS (SELECT o.user_id, min(o.ts_us) AS t3 FROM ot o JOIN t2 USING (user_id) " +
+    "WHERE o.event_type = 'purchase' AND o.ts_us > t2.t2 GROUP BY 1) " +
+    "SELECT 0 AS step, (SELECT count(*) FROM w WHERE wm IS NOT NULL AND ts_us < wm) AS n " +
+    "UNION ALL SELECT 1, (SELECT count(*) FROM t1) " +
+    "UNION ALL SELECT 2, (SELECT count(*) FROM t2) " +
+    "UNION ALL SELECT 3, (SELECT count(*) FROM t3) " +
+    "ORDER BY step"
+
   /** JSON property extraction from the `props` column — the
     * semi-structured-payload operator a pipeline engine needs (absent
     * from the reference; north-star surface). */
@@ -376,6 +441,7 @@ object EventQueries {
       "SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1 " +
       "UNION ALL SELECT 2, 'click', count(*) FROM t2 " +
       "UNION ALL SELECT 3, 'purchase', count(*) FROM t3) u ORDER BY step")),
+    Q("q_funnel_watermarked", funnelWatermarked, Some(funnelWatermarkedSql)),
     Q("q_retention_cohorts", retentionCohorts, Some(
       "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
       "fd AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) " +

@@ -361,6 +361,41 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The admission loop with the SEMANTIC near-dup leg
+    * ([[graft.pipeline.Admission.admitWithEmbeddings]]): two
+    * increments, each additionally matched against the persisted SRP
+    * bucket index + vector state — a document is rejected when a
+    * bucket-colliding candidate verifies at cosine ≥ 0.45 against any
+    * seen (or smaller-id same-increment) exact-survivor. The oracle
+    * recomputes the one-shot greedy rule with ALL THREE legs (digest,
+    * MinHash bands, exact all-pairs cosine among exact-survivors) in
+    * DuckDB. Threshold/tables chosen for the gate corpus: 0.45 admits
+    * 14 qualifying pairs at sf0.01 (7 at smoke — 0.5 would leave the
+    * leg firing once), and at 4 bits × 48 tables a θ≈63° pair misses
+    * every table with p ≈ 9·10⁻⁵ (deterministic under the fixed seed
+    * — the green row IS the coverage check, the same structure as
+    * `q_embed_neardup_lsh`'s exactness at 0.5 × 24 tables), so a green
+    * row proves incremental ≡ one-shot INCLUDING the semantic leg. */
+  private def admissionSemantic(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val root = s"/tmp/graft_admission_semantic/${new java.io.File(d).getName}"
+    graft.pipeline.Admission.reset(s, root)
+    graft.pipeline.Admission.admitWithEmbeddings(
+      docs.filter(col("doc_id") <= split),
+      emb.filter(col("doc_id") <= split), root, "d1",
+      cosThreshold = 0.45, nTables = 48)
+    graft.pipeline.Admission.admitWithEmbeddings(
+      docs.filter(col("doc_id") > split),
+      emb.filter(col("doc_id") > split), root, "d2",
+      cosThreshold = 0.45, nTables = 48)
+    graft.pipeline.Admission.corpus(s, root)
+      .select(col("doc_id"), col("inc"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash Jaccard ESTIMATION over the LSH candidates — the middle
     * stage of the scale pipeline (band → estimate → exact-verify only
     * survivors): estimated J = fraction of agreeing signature
@@ -496,9 +531,12 @@ object TextQueries {
       .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("pair"), col("c12"), col("c1"), col("c2"),
-        round(log(
+        // `+ 0.0` normalizes IEEE signed zero: Spark's round (BigDecimal,
+        // no -0.0) and DuckDB's round (IEEE, keeps -0.0) diverge on a
+        // rounded value of exactly zero; -0.0 + 0.0 = +0.0 in both engines.
+        (round(log(
           (col("c12").cast("double") * col("u_tot") * col("u_tot")) /
-          (col("b_tot").cast("double") * col("c1") * col("c2"))), 4).as("pmi"))
+          (col("b_tot").cast("double") * col("c1") * col("c2"))), 4) + lit(0.0)).as("pmi"))
       .orderBy("pair")
   }
 
@@ -1615,6 +1653,28 @@ object TextQueries {
       "THEN 'd1' WHEN doc_id <= (SELECT 2 * max(doc_id) // 3 FROM documents) " +
       "THEN 'd2' ELSE 'd3' END AS inc " +
       "FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers) ORDER BY doc_id")),
+    Q("q_admission_semantic", admissionSemantic, Some(
+      minhashCte + ", " +
+      "dg AS (SELECT min(doc_id) AS keep FROM documents GROUP BY md5(text)), " +
+      "ex AS (SELECT doc_id FROM documents WHERE doc_id IN (SELECT keep FROM dg)), " +
+      "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY k)) AS sig FROM mh " +
+      "WHERE doc_id IN (SELECT keep FROM dg) GROUP BY doc_id, k // 2), " +
+      "losers AS (SELECT DISTINCT b.doc_id AS doc_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      "semsc AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "sum(a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS d, " +
+      "sum(a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE) AS na, " +
+      "sum(b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE) AS nb " +
+      "FROM embeddings a, embeddings b, range(1, 65) t(i) " +
+      "WHERE a.vec_id < b.vec_id AND a.vec_id IN (SELECT keep FROM dg) " +
+      "AND b.vec_id IN (SELECT keep FROM dg) GROUP BY 1, 2), " +
+      "seml AS (SELECT DISTINCT vb AS doc_id FROM semsc " +
+      "WHERE d / (sqrt(na) * sqrt(nb)) >= 0.45) " +
+      "SELECT doc_id, CASE WHEN doc_id <= (SELECT max(doc_id) // 2 FROM documents) " +
+      "THEN 'd1' ELSE 'd2' END AS inc " +
+      "FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM seml) ORDER BY doc_id")),
     Q("q_minhash_estimate", minhashEstimate, Some(
       minhashCte + ", " +
       "bands AS (SELECT doc_id, CAST(k // 2 AS INT) AS band, " +
@@ -1648,7 +1708,7 @@ object TextQueries {
       "i -> w[i] || ' ' || w[i+1])) AS pair FROM w WHERE len(w) >= 2), " +
       "bc AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY 1 HAVING count(*) >= 5) " +
       "SELECT pair, c12, u1.c AS c1, u2.c AS c2, " +
-      "round(ln((c12::DOUBLE * u_tot * u_tot) / (b_tot::DOUBLE * u1.c * u2.c)), 4) AS pmi " +
+      "round(ln((c12::DOUBLE * u_tot * u_tot) / (b_tot::DOUBLE * u1.c * u2.c)), 4) + 0.0 AS pmi " +
       "FROM bc JOIN uni u1 ON u1.t = split_part(pair, ' ', 1) " +
       "JOIN uni u2 ON u2.t = split_part(pair, ' ', 2), tot " +
       "ORDER BY pair")),

@@ -525,6 +525,113 @@ object VectorQueries {
       .limit(5)
   }
 
+  /** TRAINED per-subspace PQ codebooks — Lloyd iterations under L2
+    * (the PQ norm, Jégou et al. 2011 §II: one independent k-means per
+    * subspace), replacing the per-label-mean stand-in [[pqCodebook]]
+    * uses: k codewords per 8-dim subspace, seeded deterministically
+    * (code = vec_id mod k) so the gate row and its unrolled DuckDB
+    * oracle run the identical computation. Returns
+    * (codebook (sub, c_code, cvec — 8-dim), codes (vec_id, sub, code,
+    * d2)) with the codes assigned against the LAST round's centroids.
+    *
+    * Scale shape per round: the subvector table is materialized once
+    * (localCheckpoint — at cluster scale a reliable checkpoint, same
+    * boundary as [[graft.query.KMeans.run]]); centroids are a
+    * partial-aggregating posexplode groupBy emitting 8·k·8 doubles;
+    * assignment is an equi-join on `sub` against the BROADCAST
+    * codebook with the argmin a `min(struct(d2, code))` hash aggregate
+    * — map-side partial, k-row groups, never a per-key window sort. */
+  private[graft] def pqTrain(emb: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val pts = emb
+      .select(col("vec_id"), asDouble(col(vecCol)).as("e"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("e"))
+      .select(col("vec_id"), col("sub"),
+        expr("slice(e, sub * 8 + 1, 8)").as("sv"))
+      .localCheckpoint()
+    def centOf(asg: DataFrame): DataFrame = pts
+      .join(asg.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("sv")))
+      .groupBy("sub", "code", "pos").agg(avg("col").as("m"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
+      .select(col("sub"), col("code").as("c_code"),
+        transform(col("cs"), x => x.getField("m")).as("cvec"))
+    def assignTo(cent: DataFrame): DataFrame = pts
+      .join(broadcast(cent), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), " +
+        "0D, (acc, v) -> acc + v)"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("c_code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.c_code").as("code"), col("best.d2").as("d2"))
+    val seed = pts.select(col("vec_id"), col("sub"),
+      (col("vec_id") % k).cast("int").as("code"))
+    var cent = centOf(seed).localCheckpoint()
+    var asg = assignTo(cent)
+    for (_ <- 2 to iters) {
+      cent = centOf(asg).localCheckpoint()
+      asg = assignTo(cent)
+    }
+    (cent, asg)
+  }
+
+  /** ADC top-k against a TRAINED codebook ([[pqTrain]]'s output): the
+    * per-(sub, code) query-to-codeword distance table is 8·k values
+    * computed on the broadcast codebook; the corpus side touches ONLY
+    * the 8 codes per vector (never the floats — the point of PQ at
+    * index scale), sums them in a hash aggregate and ranks with
+    * TakeOrderedAndProject. Used by `PqSpec` to measure ADC recall@k
+    * against the exact ranking (docs/ann_recall.md). */
+  private[graft] def adcTopkWith(codes: DataFrame, cent: DataFrame,
+      q: Array[Double], topK: Int): DataFrame = {
+    val qd = cent.withColumn("qe", typedLit(q))
+      .withColumn("qd2", expr(
+        "aggregate(zip_with(slice(qe, sub * 8 + 1, 8), cvec, " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .select(col("sub"), col("c_code").as("code"), col("qd2"))
+    codes.join(broadcast(qd), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum("qd2").as("adc"))
+      .select(col("vec_id"), sqrt(col("adc")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** [[pqTrain]] under the gate: k = 4, 2 Lloyd rounds from the
+    * deterministic seed, hash-checked code-by-code against the same
+    * computation unrolled as a DuckDB CTE — so the TRAINED quantizer
+    * path (not just the per-label stand-in of [[pqEncode]]) is
+    * oracle-verified. */
+  private def pqTrainQ(s: SparkSession, d: String): DataFrame = {
+    val (_, codes) = pqTrain(Tables.embeddings(s, d), k = 4, iters = 2)
+    codes.select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("code"),
+        round(sqrt(col("d2")), 4).as("sub_dist"))
+      .orderBy("vec_id", "sub")
+  }
+
+  private val pqTrainSql =
+    "WITH pts AS (SELECT vec_id, sub, j, embedding[sub * 8 + j]::DOUBLE AS x " +
+    "FROM embeddings, range(0, 8) t(sub), range(1, 9) u(j)), " +
+    "c1 AS (SELECT sub, vec_id % 4 AS code, j, avg(x) AS m " +
+    "FROM pts GROUP BY 1, 2, 3), " +
+    "d1 AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM pts p JOIN c1 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
+    "a1 AS (SELECT vec_id, sub, code FROM d1 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
+    "c2 AS (SELECT p.sub, a.code, p.j, avg(p.x) AS m " +
+    "FROM pts p JOIN a1 a ON a.vec_id = p.vec_id AND a.sub = p.sub " +
+    "GROUP BY 1, 2, 3), " +
+    "d2t AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM pts p JOIN c2 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3) " +
+    "SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code, " +
+    "round(sqrt(d2), 4) AS sub_dist FROM d2t " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1 " +
+    "ORDER BY vec_id, sub"
+
   /** Per-label centroid L2 norm (the IVF coarse-quantizer statistic). */
   private def centroidNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -658,6 +765,7 @@ object VectorQueries {
       "GROUP BY 1) " +
       "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
       "WHERE vec_id <> 0 ORDER BY adc_dist, vec_id LIMIT 5")),
+    Q("q_pq_train", pqTrainQ, Some(pqTrainSql)),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

@@ -23,9 +23,10 @@ import graft.dedup.Dedup
   *   - `index/`   LSH band signatures of every SEEN exact-survivor —
   *     including near-dup REJECTED docs ([[Dedup.lshIndex]] rows);
   *   - `digests/` content digests of every seen exact-survivor;
-  *   - `index_base/g<N>`, `digests_base/g<N>` — COMPACTED base tables
-  *     (see [[compact]]): the folded union of older increments,
-  *     written as tables bucketed on their match keys;
+  *   - `{index,digests,corpus}_base/s<id>` — compacted SEGMENTS (see
+  *     [[compact]]): folded increments, written for index/digests as
+  *     tables bucketed on their match keys, for corpus as plain
+  *     parquet (payload — never joined on a key);
   *   - `manifest/gen-<N>` — compaction manifests; the highest
   *     generation wins (each is written whole then renamed into
   *     place, so a reader never observes a partial manifest).
@@ -52,16 +53,32 @@ import graft.dedup.Dedup
   * semi-join of the increment input against the admitted-id list.
   *
   * Why [[compact]] exists: without it a daily loop run for years
-  * accumulates one `inc=<id>` subdir per day in `index/` and
-  * `digests/` — a listing/small-files problem — and every admission
-  * re-shuffles the ever-growing seen state for its equi-joins.
-  * Compaction folds the accumulated increments into ONE base table
-  * per state kind, bucketed on the match key ((band, sig) for the
-  * index, digest for the digests), so the seen side of every later
-  * cross-match arrives pre-partitioned and plans WITHOUT an exchange
-  * — only the day's increment shuffles. The reference's analogue is
-  * its snapshot/merge recovery (server.erl:343-353): state that
-  * survives without replaying everything.
+  * accumulates one `inc=<id>` subdir per day in `index/`, `digests/`
+  * AND `corpus/` — a listing/small-files problem — and every
+  * admission re-shuffles the ever-growing seen state for its
+  * equi-joins. Compaction folds increments into SEGMENTS:
+  *
+  *   - a MINOR fold (every [[compact]] call with un-folded work)
+  *     writes only the new increments into one fresh segment per
+  *     state kind — cost is O(|increments folded|), independent of
+  *     total state;
+  *   - a MAJOR fold (size-tiered: when the live segments outside the
+  *     largest reach `mergeFactor` × the largest) merges ALL live
+  *     segments into one — cost is O(total state), but the trigger is
+  *     geometric, so total write I/O over the loop's life is bounded
+  *     at ~(1 + 1/mergeFactor)× the data ever ingested (amortized
+  *     O(1) rewrites per byte), instead of the O(total) PER DAY a
+  *     rewrite-everything-every-fold design pays.
+  *
+  * Index/digest segments are bucketed on the match key ((band, sig) /
+  * digest), so when the state is fully merged (one live segment — the
+  * steady state between major folds) the seen side of every
+  * cross-match arrives pre-partitioned and plans WITHOUT an exchange;
+  * with several live segments the union costs one exchange until the
+  * next major fold restores the single-segment shape
+  * ([[AdmissionCompactSpec]] pins the merged case). The reference's
+  * analogue is its snapshot/merge recovery (server.erl:343-353):
+  * state that survives without replaying everything.
   */
 object Admission {
 
@@ -69,23 +86,54 @@ object Admission {
     StructField(idCol, LongType), StructField("band", IntegerType),
     StructField("sig", StringType)))
   private val digestSchema = StructType(Seq(StructField("digest", StringType)))
+  // the semantic leg ([[admitWithEmbeddings]]): SRP band signatures of
+  // every seen exact-survivor's embedding + the vectors themselves
+  // (needed for the exact cosine verify of future increments)
+  private def semidxSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType), StructField("table", IntegerType),
+    StructField("bucket", IntegerType)))
+  private def vecsSchema(idCol: String) = StructType(Seq(
+    StructField(idCol, LongType),
+    StructField("e", ArrayType(DoubleType)), StructField("n", DoubleType)))
+
+  private def schemaOf(kind: String, idCol: String): StructType = kind match {
+    case "index" => indexSchema(idCol)
+    case "digests" => digestSchema
+    case "semidx" => semidxSchema(idCol)
+    case "vecs" => vecsSchema(idCol)
+    case other => sys.error(s"no schema for state kind $other")
+  }
 
   private def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Keyed state kinds (bucketed segments). `index`/`digests` exist
+    * for every root; `semidx`/`vecs` only where
+    * [[admitWithEmbeddings]] runs — every reader/folder below checks
+    * on-disk presence per kind. `corpus` payload segments share the
+    * lifecycle but are plain parquet. */
+  private val KeyedKinds = Seq("index", "digests", "semidx", "vecs")
+  private val AllKinds = KeyedKinds :+ "corpus"
 
   // ---------------------------------------------------------------------
   // Compaction manifest
   // ---------------------------------------------------------------------
 
-  /** What a manifest generation records: which increment ids are
-    * folded into the generation's base tables, and the bucket count /
-    * id column the base tables were written with (needed to
-    * re-register them in a fresh session's catalog). Generation 0 =
-    * no compaction has ever run. */
-  private[graft] final case class CompactionState(
-      generation: Int, buckets: Int, idCol: String, folded: Set[String])
+  /** One live compacted segment: which increment ids it folded. */
+  private[graft] final case class Segment(id: Int, incs: Set[String])
 
-  private val EmptyState = CompactionState(0, 0, "doc_id", Set.empty)
+  /** What a manifest generation records: the live segments (and which
+    * increment ids each folded), the next never-used segment id, and
+    * the bucket count / id column the keyed segments were written with
+    * (needed to re-register them in a fresh session's catalog).
+    * Generation 0 = no compaction has ever run. */
+  private[graft] final case class CompactionState(
+      generation: Int, buckets: Int, idCol: String, nextSeg: Int,
+      segments: Seq[Segment]) {
+    def folded: Set[String] = segments.iterator.flatMap(_.incs).toSet
+  }
+
+  private val EmptyState = CompactionState(0, 0, "doc_id", 1, Nil)
 
   private def manifestDir(root: String) = s"$root/manifest"
 
@@ -113,14 +161,26 @@ object Admission {
     def one(k: String): String = kv.collectFirst {
       case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=")
     }.getOrElse(sys.error(s"manifest gen-$gen missing '$k='"))
+    val segIds = kv.filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt)
+    // seginc=<segId>:<incId> — split on the FIRST colon only; the
+    // increment id is caller-supplied and may itself contain colons
+    val segIncs = kv.filter(_.startsWith("seginc=")).map { l =>
+      val body = l.stripPrefix("seginc=")
+      val i = body.indexOf(':')
+      require(i > 0, s"manifest gen-$gen: bad seginc line '$l'")
+      body.take(i).toInt -> body.drop(i + 1)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     CompactionState(gen, one("buckets").toInt, one("idcol"),
-      kv.filter(_.startsWith("folded=")).map(_.stripPrefix("folded=")).toSet)
+      one("nextseg").toInt,
+      segIds.map(id => Segment(id, segIncs.getOrElse(id, Set.empty))))
   }
 
   /** Write manifest generation `st.generation` whole-then-rename: the
     * rename is the commit point — a crash before it leaves the
-    * previous generation current and the new base tables as harmless
-    * orphans the next compaction overwrites. */
+    * previous generation current and the new segment files as harmless
+    * orphans the next compaction overwrites (segment ids only advance
+    * on commit, so a replayed compact reuses — and `overwrite`s — the
+    * same ids). */
   private def writeManifest(s: SparkSession, root: String,
       st: CompactionState): Unit = {
     val fs = fsOf(s, root)
@@ -129,8 +189,11 @@ object Admission {
     val tmp = new Path(dir, s"gen-${st.generation}.tmp")
     val out = fs.create(tmp, true)
     try {
-      val body = (Seq(s"buckets=${st.buckets}", s"idcol=${st.idCol}") ++
-        st.folded.toSeq.sorted.map(f => s"folded=$f")).mkString("", "\n", "\n")
+      val body = (Seq(s"buckets=${st.buckets}", s"idcol=${st.idCol}",
+        s"nextseg=${st.nextSeg}") ++
+        st.segments.flatMap(seg => s"seg=${seg.id}" +:
+          seg.incs.toSeq.sorted.map(i => s"seginc=${seg.id}:$i")))
+        .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(dir, s"gen-${st.generation}")
@@ -139,40 +202,65 @@ object Admission {
       sys.error(s"manifest commit failed: $tmp -> $dest")
   }
 
-  /** Catalog table name for one base-table generation — deterministic
-    * from (root, kind, gen) so any session can re-register it. */
-  private def tableName(root: String, kind: String, gen: Int): String =
-    s"graft_adm_${kind}_g${gen}_" +
+  /** Catalog table name for one keyed segment — deterministic from
+    * (root, kind, segId) so any session can re-register it. The root
+    * is both sanitized (readability) and hashed (injectivity: two
+    * roots like `/tmp/a-b` and `/tmp/a_b` sanitize identically, and a
+    * name collision would silently serve one root's seen-state to the
+    * other). */
+  private def tableName(root: String, kind: String, seg: Int): String = {
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root))
+    s"graft_adm_${kind}_s${seg}_h${h}_" +
       root.toLowerCase.replaceAll("[^a-z0-9]+", "_").dropWhile(_ == '_')
+  }
 
-  private def basePath(root: String, kind: String, gen: Int): String =
-    s"$root/${kind}_base/g$gen"
+  private def basePath(root: String, kind: String, seg: Int): String =
+    s"$root/${kind}_base/s$seg"
 
-  /** Bucket/sort keys per state kind — the equi-join keys of the
-    * admission cross-matches, so a scan of the base table satisfies
-    * the join's required clustering with no exchange. */
-  private def keysOf(kind: String): Seq[String] =
-    if (kind == "index") Seq("band", "sig") else Seq("digest")
+  /** Bucket/sort keys per keyed state kind — the equi-join keys of the
+    * admission cross-matches, so a scan of a segment satisfies the
+    * join's required clustering with no exchange ((band, sig) and
+    * (table, bucket) feed the collision joins; `vecs` clusters on the
+    * id the candidate-pair verify joins back on). */
+  private def keysOf(kind: String, idCol: String): Seq[String] = kind match {
+    case "index" => Seq("band", "sig")
+    case "digests" => Seq("digest")
+    case "semidx" => Seq("table", "bucket")
+    case "vecs" => Seq(idCol)
+    case other => sys.error(s"no keys for state kind $other")
+  }
 
-  private def ddlOf(kind: String, idCol: String): String =
-    if (kind == "index") s"`$idCol` BIGINT, band INT, sig STRING, inc STRING"
-    else "digest STRING, inc STRING"
+  private def ddlOf(kind: String, idCol: String): String = kind match {
+    case "index" => s"`$idCol` BIGINT, band INT, sig STRING, inc STRING"
+    case "digests" => "digest STRING, inc STRING"
+    case "semidx" => s"`$idCol` BIGINT, `table` INT, bucket INT, inc STRING"
+    case "vecs" => s"`$idCol` BIGINT, e ARRAY<DOUBLE>, n DOUBLE, inc STRING"
+    case other => sys.error(s"no DDL for state kind $other")
+  }
 
-  /** The base table of generation `gen`, re-registered in this
-    * session's catalog if absent (base tables are self-describing
-    * from the manifest — a fresh session re-creates the external
-    * bucketed-table entry over the existing files). */
-  private def baseTable(s: SparkSession, root: String, kind: String,
-      st: CompactionState): DataFrame = {
-    val name = tableName(root, kind, st.generation)
+  /** One keyed segment as a table, re-registered in this session's
+    * catalog if absent (segments are self-describing from the manifest
+    * — a fresh session re-creates the external bucketed-table entry
+    * over the existing files). */
+  private def segTable(s: SparkSession, root: String, kind: String,
+      st: CompactionState, segId: Int): DataFrame = {
+    val name = tableName(root, kind, segId)
     if (!s.catalog.tableExists(name)) {
-      val keys = keysOf(kind).mkString(", ")
+      val keys = keysOf(kind, st.idCol).map(k => s"`$k`").mkString(", ")
       s.sql(s"CREATE TABLE $name (${ddlOf(kind, st.idCol)}) USING PARQUET " +
         s"CLUSTERED BY ($keys) SORTED BY ($keys) INTO ${st.buckets} BUCKETS " +
-        s"LOCATION '${basePath(root, kind, st.generation)}'")
+        s"LOCATION '${basePath(root, kind, segId)}'")
     }
     s.table(name)
   }
+
+  /** Whether segment `segId` carries any data of `kind` — optional
+    * kinds (`semidx`/`vecs`, and `corpus` on all-duplicate increments)
+    * are simply absent from segments folded before they existed. */
+  private def segHasKind(s: SparkSession, root: String, kind: String,
+      segId: Int): Boolean =
+    fsOf(s, root).exists(new Path(basePath(root, kind, segId)))
 
   /** Increment ids currently present as `inc=<id>` subdirs of
     * `$root/$kind`. */
@@ -193,13 +281,13 @@ object Admission {
       .filter(id => fs.exists(new Path(s"$root/$kind/inc=$id/_SUCCESS")))
   }
 
-  /** Seen-state reader: compacted base (if any) ∪ the increments not
-    * yet folded. Exclusions, both crash-recovery stories:
-    *  - the CURRENT increment's own subdir AND its own base rows
-    *    (`inc` travels into the base exactly so this filter survives
-    *    compaction): a crashed-and-rerun increment must not see its
-    *    previous partial run as "already seen" — it would admit
-    *    nothing and overwrite its output with an empty set. The
+  /** Seen-state reader: compacted segments (if any) ∪ the increments
+    * not yet folded. Exclusions, both crash-recovery stories:
+    *  - the CURRENT increment's own subdir AND its own segment rows
+    *    (`inc` travels into the segments exactly so this filter
+    *    survives compaction): a crashed-and-rerun increment must not
+    *    see its previous partial run as "already seen" — it would
+    *    admit nothing and overwrite its output with an empty set. The
     *    streaming loop replays a batch under the same id, possibly
     *    AFTER a compaction folded that batch — still idempotent.
     *  - increments the manifest lists as folded, even if their
@@ -207,66 +295,87 @@ object Admission {
     *    and cleanup leaves debris; counting it twice is harmless for
     *    semi/anti semantics but the exclusion keeps reads bounded and
     *    lets [[compact]] delete the debris later).
-    * When the state is FULLY compacted the returned frame is exactly
-    * the bucketed base scan — later equi-joins on the match keys plan
-    * with no exchange on this side ([[AdmissionCompactSpec]]). */
+    * When the state is FULLY merged (one live segment) the returned
+    * frame is exactly the bucketed segment scan — later equi-joins on
+    * the match keys plan with no exchange on this side
+    * ([[AdmissionCompactSpec]]). */
   private[graft] def readSeen(s: SparkSession, root: String, kind: String,
       idCol: String, selfInc: String): DataFrame = {
-    val schema = if (kind == "index") indexSchema(idCol) else digestSchema
+    val schema = schemaOf(kind, idCol)
     val st = readManifest(s, root)
-    val base =
-      if (st.generation == 0) None
-      else Some(baseTable(s, root, kind, st)
-        .filter(col("inc") =!= lit(selfInc))
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val segs = st.segments
+      .filter(seg => segHasKind(s, root, kind, seg.id))
+      .map(seg =>
+        segTable(s, root, kind, st, seg.id)
+          .filter(col("inc") =!= lit(selfInc))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
     val dirs = listIncs(s, root, kind)
       .filterNot(st.folded).filterNot(_ == selfInc)
       .map(id => s"$root/$kind/inc=$id")
     val incs =
-      if (dirs.isEmpty) None
-      else Some(s.read.schema(schema).parquet(dirs: _*))
-    ((base, incs) match {
-      case (Some(b), Some(i)) => Some(b.unionByName(i))
-      case (b, i) => b.orElse(i)
-    }).getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
+      if (dirs.isEmpty) Nil
+      else Seq(s.read.schema(schema).parquet(dirs: _*))
+    (segs ++ incs).reduceOption(_ unionByName _)
+      .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row], schema))
   }
 
-  /** Fold every un-folded `index/inc=*` and `digests/inc=*` increment
-    * into ONE bucketed base table per state kind and commit a new
-    * manifest generation. Afterwards [[readSeen]] serves the base
-    * scan (pre-partitioned on the match keys — the admission joins
-    * plan exchange-free on this side) instead of listing and
-    * re-shuffling an unbounded directory set, and the folded subdirs
-    * plus the previous generation's tables are deleted.
+  /** Total on-disk bytes of one segment across all three state kinds —
+    * the size the tiering policy reasons about. */
+  private def segBytes(s: SparkSession, root: String, segId: Int): Long = {
+    val fs = fsOf(s, root)
+    AllKinds.map { kind =>
+      val p = new Path(basePath(root, kind, segId))
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
+  /** Fold every un-folded, committed `inc=*` increment of all three
+    * state kinds into ONE new segment per kind (a MINOR fold — cost
+    * proportional to the increments, never to total state), then, if
+    * the size-tiering policy fires, merge all live segments into one
+    * (a MAJOR fold), and commit a new manifest generation. Afterwards
+    * [[readSeen]]/[[corpus]]/[[index]] serve the segment scans instead
+    * of listing an unbounded `inc=*` directory set, and the folded
+    * subdirs plus dead segments are deleted.
+    *
+    * `mergeFactor` bounds write amplification: a major fold runs only
+    * when Σ|segments other than the largest| ≥ mergeFactor × |largest|,
+    * so each byte is rewritten O(log) times total (geometric growth
+    * between majors) instead of once per compact. `mergeFactor <= 0`
+    * forces a major fold every time (the round-10 behavior — maximal
+    * read-side locality, O(total) write I/O per fold).
     *
     * Crash safety (spec-pinned by `AdmissionCompactSpec`):
     *  - before the manifest rename commits, nothing observable
-    *    changed — new base files are orphans the next run overwrites;
+    *    changed — new segment files are orphans; segment ids advance
+    *    only on commit, so a replayed compact overwrites them;
     *  - after the commit, folded subdirs are already excluded by the
     *    manifest, so the cleanup phase is pure garbage collection; a
     *    crash inside it leaves debris the next [[compact]] removes;
     *  - a replayed increment that was ALREADY folded stays idempotent
-    *    because its rows carry `inc` into the base and [[readSeen]]
-    *    filters them out for that increment.
+    *    because its rows carry `inc` into the segments and
+    *    [[readSeen]] filters them out for that increment.
     * No-op (returns false) when nothing is un-folded — safe to call
     * every N batches from the streaming loop. `cleanup = false` is
     * the spec's crash-injection hook: commit the manifest, skip the
     * garbage collection. */
   def compact(s: SparkSession, root: String, idCol: String = "doc_id",
-      buckets: Int = 8, cleanup: Boolean = true): Boolean = {
+      buckets: Int = 8, cleanup: Boolean = true,
+      mergeFactor: Double = 0.5): Boolean = {
     val st = readManifest(s, root)
-    // Fold only increments COMMITTED in BOTH state kinds. [[admit]]
-    // writes corpus → index → digests, so an increment missing or
-    // uncommitted in either kind is a crashed partial admit awaiting
-    // replay — marking it folded would exclude its REPLAYED rows
-    // forever (and garbage-collect them), silently losing dedup
-    // state. "Committed" means the dir carries the _SUCCESS job
-    // marker, not mere existence: the output committer creates the
-    // directory at job SETUP, so a crash mid-write leaves an
-    // existing-but-empty dir that bare listing cannot tell apart from
-    // a legitimately empty increment. A healthy admit always commits
-    // both dirs (an empty increment still writes empty parquet +
-    // _SUCCESS); partial increments stay unfolded until replayed.
+    // Fold only increments COMMITTED in BOTH keyed state kinds.
+    // [[admit]] writes corpus → index → digests, so an increment
+    // missing or uncommitted in either kind is a crashed partial admit
+    // awaiting replay — marking it folded would exclude its REPLAYED
+    // rows forever (and garbage-collect them), silently losing dedup
+    // state. (Digests committed ⇒ corpus committed, by write order.)
+    // "Committed" means the dir carries the _SUCCESS job marker, not
+    // mere existence: the output committer creates the directory at
+    // job SETUP, so a crash mid-write leaves an existing-but-empty dir
+    // that bare listing cannot tell apart from a legitimately empty
+    // increment. A healthy admit always commits all three dirs (an
+    // empty increment still writes empty parquet + _SUCCESS); partial
+    // increments stay unfolded until replayed.
     val idxIncs = committedIncs(s, root, "index").toSet
     val unfolded = committedIncs(s, root, "digests")
       .filter(idxIncs).filterNot(st.folded)
@@ -274,52 +383,111 @@ object Admission {
       if (cleanup) collectGarbage(s, root, st)
       return false
     }
-    val gen = st.generation + 1
-    for (kind <- Seq("index", "digests")) {
-      val schema = if (kind == "index") indexSchema(idCol) else digestSchema
+    val minorId = st.nextSeg
+    // ---- MINOR fold: only the new increments are read and written.
+    // index/digests segments are always written (a healthy admit
+    // commits both, even empty); the optional kinds (semidx/vecs) are
+    // folded only for increments that actually wrote them.
+    for (kind <- KeyedKinds) {
+      val schema = schemaOf(kind, idCol)
       val withInc = StructType(schema.fields :+ StructField("inc", StringType))
       val dirs = listIncs(s, root, kind).filter(unfolded.contains)
         .map(id => s"$root/$kind/inc=$id")
       val incRows =
-        if (dirs.isEmpty)
-          s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)
-        else s.read.option("basePath", s"$root/$kind").schema(withInc)
+        if (dirs.isEmpty) None
+        else Some(s.read.option("basePath", s"$root/$kind").schema(withInc)
           .parquet(dirs: _*)
           .withColumn("inc", col("inc").cast("string"))
-          .select(withInc.fieldNames.map(col).toIndexedSeq: _*)
-      val all =
-        if (st.generation == 0) incRows
-        else baseTable(s, root, kind, st).unionByName(incRows)
-      val keys = keysOf(kind)
-      all.write.mode("overwrite")
-        .option("path", basePath(root, kind, gen))
-        .bucketBy(buckets, keys.head, keys.tail: _*)
-        .sortBy(keys.head, keys.tail: _*)
-        .format("parquet")
-        .saveAsTable(tableName(root, kind, gen))
+          .select(withInc.fieldNames.map(col).toIndexedSeq: _*))
+      val mustWrite = dirs.nonEmpty || kind == "index" || kind == "digests"
+      if (mustWrite)
+        writeKeyedSegment(s, root, kind, minorId, buckets, idCol,
+          incRows.getOrElse(
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)))
+    }
+    // corpus payload: schema is the caller's, so read each increment
+    // dir on its own and tag `inc` as a literal (partition-value
+    // inference would strip a numeric id's leading zeros)
+    val corpusIncFrames = listIncs(s, root, "corpus").filter(unfolded.contains)
+      .sorted
+      .map(id => s.read.parquet(s"$root/corpus/inc=$id")
+        .withColumn("inc", lit(id)))
+    corpusIncFrames.reduceOption(_ unionByName _).foreach(
+      _.write.mode("overwrite").parquet(basePath(root, "corpus", minorId)))
+    var segments = st.segments :+ Segment(minorId, unfolded.toSet)
+    var nextSeg = minorId + 1
+    // ---- MAJOR fold (size-tiered): merge all live segments into one
+    if (segments.size > 1) {
+      val sizes = segments.map(seg => segBytes(s, root, seg.id))
+      val largest = sizes.max
+      if (sizes.sum - largest >= mergeFactor * largest) {
+        val mergedId = nextSeg
+        nextSeg += 1
+        val stReg =
+          if (st.generation == 0) st.copy(buckets = buckets, idCol = idCol)
+          else st
+        for (kind <- KeyedKinds) {
+          val have = segments.filter(seg => segHasKind(s, root, kind, seg.id))
+          if (have.nonEmpty)
+            writeKeyedSegment(s, root, kind, mergedId, buckets, idCol,
+              have.map(seg => segTable(s, root, kind, stReg, seg.id))
+                .reduce(_ unionByName _))
+        }
+        val fs = fsOf(s, root)
+        segments.map(seg => basePath(root, "corpus", seg.id))
+          .filter(p => fs.exists(new Path(p)))
+          .map(s.read.parquet(_)) match {
+            case Nil => ()
+            case frames => frames.reduce(_ unionByName _)
+              .write.mode("overwrite")
+              .parquet(basePath(root, "corpus", mergedId))
+          }
+        segments = Seq(Segment(mergedId, segments.flatMap(_.incs).toSet))
+      }
     }
     // COMMIT: once this rename lands, the new generation is current.
-    writeManifest(s, root,
-      CompactionState(gen, buckets, idCol, st.folded ++ unfolded))
+    writeManifest(s, root, CompactionState(
+      st.generation + 1, buckets, idCol, nextSeg, segments))
     if (cleanup) collectGarbage(s, root, readManifest(s, root))
     true
   }
 
+  private def writeKeyedSegment(s: SparkSession, root: String, kind: String,
+      segId: Int, buckets: Int, idCol: String, rows: DataFrame): Unit = {
+    val keys = keysOf(kind, idCol)
+    rows.write.mode("overwrite")
+      .option("path", basePath(root, kind, segId))
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName(root, kind, segId))
+  }
+
   /** Garbage collection after a committed compaction: folded `inc=`
-    * subdirs (per the CURRENT manifest) and base generations below
-    * the current one. Pure cleanup — everything deleted here is
-    * already excluded from every read path. */
+    * subdirs (per the CURRENT manifest) and segment dirs no longer in
+    * the live set — for all three state kinds. Pure cleanup —
+    * everything deleted here is already excluded from every read
+    * path. */
   private def collectGarbage(s: SparkSession, root: String,
       st: CompactionState): Unit = {
     if (st.generation == 0) return
     val fs = fsOf(s, root)
-    for (kind <- Seq("index", "digests")) {
+    val live = st.segments.map(_.id).toSet
+    val SegDir = "^s(\\d+)$".r
+    for (kind <- AllKinds) {
       for (id <- listIncs(s, root, kind) if st.folded(id))
         fs.delete(new Path(s"$root/$kind/inc=$id"), true)
-      for (g <- 1 until st.generation) {
-        val name = tableName(root, kind, g)
-        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
-        fs.delete(new Path(basePath(root, kind, g)), true)
+      val baseDir = new Path(s"$root/${kind}_base")
+      if (fs.exists(baseDir)) {
+        val dead = fs.listStatus(baseDir).map(_.getPath.getName).collect {
+          case SegDir(n) if !live(n.toInt) => n.toInt
+        }
+        for (g <- dead) {
+          val name = tableName(root, kind, g)
+          if (kind != "corpus" && s.catalog.tableExists(name))
+            s.sql(s"DROP TABLE $name")
+          fs.delete(new Path(basePath(root, kind, g)), true)
+        }
       }
     }
   }
@@ -399,6 +567,108 @@ object Admission {
     s.read.parquet(s"$root/corpus/inc=$incId")
   }
 
+  /** [[admit]] with a SEMANTIC near-dup leg (round-10 verdict stretch
+    * item): alongside the digest and MinHash-LSH matches, each fresh
+    * document's embedding is SRP-bucketed
+    * ([[graft.query.AnnLsh.bucketedMulti]], same deterministic tables
+    * as [[graft.dedup.Dedup.embedNearDupBucketed]]) and a document is
+    * additionally rejected when a bucket-colliding candidate VERIFIES
+    * at cosine ≥ `cosThreshold` against any seen document (or a
+    * smaller-id document of its own increment) — the SemDeDup
+    * admission shape. Persisted semantic state mirrors the MinHash
+    * design: `semidx/` holds (id, table, bucket) rows of EVERY fresh
+    * exact-survivor (admitted or not — what makes the loop
+    * compositional), `vecs/` the vectors + norms the exact verify of
+    * FUTURE increments joins back on; both fold into bucketed
+    * segments ((table, bucket) / (id)) through the same [[compact]]
+    * lifecycle, so the steady-state candidate join is exchange-free on
+    * the seen side. Documents without an embedding row skip the
+    * semantic leg (text legs still apply). `admit(A); admit(B)` ≡
+    * `admit(A ∪ B)` parity and compact-invariance are pinned by
+    * `AdmissionSemanticSpec` and hash-checked end-to-end by
+    * `q_admission_semantic` (at the gate's 4-bit × 24-table SRP
+    * config the candidate stage provably covers every pair ≥ 0.5 —
+    * the same coverage `q_embed_neardup_lsh` is hash-exact under). */
+  def admitWithEmbeddings(newDocs: DataFrame, emb: DataFrame, root: String,
+      incId: String, idCol: String = "doc_id", textCol: String = "text",
+      vecCol: String = "embedding", cosThreshold: Double = 0.5,
+      dim: Int = 64, nBits: Int = 4, nTables: Int = 24,
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val s = newDocs.sparkSession
+    val vf = graft.functions.VectorFunctions
+    vf.register(s)
+    val seenIndex = readSeen(s, root, "index", idCol, incId)
+    val seenDigests = readSeen(s, root, "digests", idCol, incId)
+    val seenSem = readSeen(s, root, "semidx", idCol, incId)
+    val seenVecs = readSeen(s, root, "vecs", idCol, incId)
+    val (freshKeysPlan, incIndexOf, admittedIdsOf) = admitPlan(
+      newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
+    // decision tables materialize BEFORE state writes (same boundary
+    // rule as [[admit]])
+    val freshKeys = freshKeysPlan.localCheckpoint()
+    val incIndex = incIndexOf(freshKeys).localCheckpoint()
+    val freshDigests = freshKeys.select("digest")
+    val textAdmitted = admittedIdsOf(incIndex, freshKeys)
+
+    // semantic decision tables: vectors of the fresh docs (norm
+    // precomputed once — linear work) and their SRP bucket rows
+    val incVecs = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+      .join(freshKeys.select(idCol), Seq(idCol), "left_semi")
+      .withColumn("n", sqrt(vf.vecDot(col("e"), col("e"))))
+      .localCheckpoint()
+    val incSem = graft.query.AnnLsh
+      .bucketedMulti(incVecs.select(col(idCol), col("e")), "e",
+        dim, nBits, nTables)
+      .select(col(idCol), col("table"), col("bucket"))
+      .localCheckpoint()
+    // cross near-dup: candidates are equi-join bucket collisions (the
+    // seen side a bucketed segment scan post-compact), verified with
+    // the exact codegen'd cosine — never an all-pairs product
+    val crossCand = incSem
+      .join(seenSem.select(col(idCol).as("seen_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .select(col(idCol), col("seen_id")).distinct()
+    val crossSemLosers = crossCand
+      .join(seenVecs.select(col(idCol).as("seen_id"), col("e").as("se"),
+        col("n").as("sn")), Seq("seen_id"))
+      .join(incVecs.select(col(idCol), col("e").as("ie"), col("n").as("inorm")),
+        Seq(idCol))
+      .filter(vf.vecDot(col("ie"), col("se")) /
+        (col("inorm") * col("sn")) >= cosThreshold)
+      .select(idCol)
+    // within-increment, greedy by id (same rule as the MinHash leg: a
+    // verified collision with ANY smaller id rejects the larger)
+    val withinCand = incSem.select(col(idCol).as("sb"), col("table"), col("bucket"))
+      .join(incSem.select(col(idCol).as("sa"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb").distinct()
+    val withinSemLosers = withinCand
+      .join(incVecs.select(col(idCol).as("sa"), col("e").as("ea"),
+        col("n").as("na")), Seq("sa"))
+      .join(incVecs.select(col(idCol).as("sb"), col("e").as("eb"),
+        col("n").as("nb")), Seq("sb"))
+      .filter(vf.vecDot(col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= cosThreshold)
+      .select(col("sb").as(idCol))
+    val admittedIds = textAdmitted
+      .join(crossSemLosers.union(withinSemLosers), Seq(idCol), "left_anti")
+      .localCheckpoint()
+
+    // state writes — `digests` stays LAST: it is [[compact]]'s
+    // increment-commit marker, so digests-committed ⇒ every other
+    // kind (corpus, semidx, vecs, index) is committed too
+    newDocs.join(admittedIds, Seq(idCol), "left_semi")
+      .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
+    incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
+    incVecs.select(col(idCol), col("e"), col("n"))
+      .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
+    incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
+    freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
+    s.read.parquet(s"$root/corpus/inc=$incId")
+  }
+
   /** Streaming admission — the continuous form of the daily loop
     * ([[graft.streaming.CurationStream]]'s ingest feeding this state):
     * every micro-batch is one increment whose id is the MICRO-BATCH
@@ -438,47 +708,69 @@ object Admission {
       }
       .start()
 
-  /** All admitted documents (original columns + `inc`, cast to string —
-    * partition-value inference would otherwise strip a numeric id's
-    * leading zeros). */
-  def corpus(s: SparkSession, root: String): DataFrame =
-    s.read.option("basePath", s"$root/corpus").parquet(s"$root/corpus/inc=*")
-      .withColumn("inc", col("inc").cast("string"))
+  /** All admitted documents (original columns + `inc`): compacted
+    * corpus segments plus the not-yet-folded `inc=*` increments — the
+    * read stays O(live segments + unfolded increments), never
+    * O(all increments ever), matching the index/digest retention
+    * story. `inc` arrives as a real string column from segments and is
+    * tagged as a literal on increment dirs (partition-value inference
+    * would otherwise strip a numeric id's leading zeros). */
+  def corpus(s: SparkSession, root: String): DataFrame = {
+    val st = readManifest(s, root)
+    val fs = fsOf(s, root)
+    val segs = st.segments.map(seg => basePath(root, "corpus", seg.id))
+      .filter(p => fs.exists(new Path(p)))
+      .map(s.read.parquet(_))
+    val incs = listIncs(s, root, "corpus").filterNot(st.folded).sorted
+      .map(id => s.read.parquet(s"$root/corpus/inc=$id")
+        .withColumn("inc", lit(id)))
+    (segs ++ incs).reduceOption(_ unionByName _)
+      .getOrElse(sys.error(s"no admitted corpus under $root"))
+  }
 
   /** The stored seen-signature index (idCol, band, sig, inc) —
-    * compacted base rows plus the not-yet-folded increments. */
+    * compacted segments plus the not-yet-folded increments. */
   def index(s: SparkSession, root: String): DataFrame = {
     val st = readManifest(s, root)
-    val base =
-      if (st.generation == 0) None else Some(baseTable(s, root, "index", st))
+    val segs = st.segments.map(seg =>
+      segTable(s, root, "index", st, seg.id))
     val dirs = listIncs(s, root, "index").filterNot(st.folded)
       .map(id => s"$root/index/inc=$id")
     val incs =
-      if (dirs.isEmpty) None
-      else Some(s.read.option("basePath", s"$root/index").parquet(dirs: _*)
+      if (dirs.isEmpty) Nil
+      else Seq(s.read.option("basePath", s"$root/index").parquet(dirs: _*)
         .withColumn("inc", col("inc").cast("string")))
-    (base, incs) match {
-      case (Some(b), Some(i)) => b.unionByName(i.select(b.columns.map(col).toIndexedSeq: _*))
-      case (Some(b), None) => b
-      case (None, Some(i)) => i
-      case (None, None) =>
+    val frames = segs ++ incs
+    frames match {
+      case Nil =>
         s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(
           indexSchema("doc_id").fields :+ StructField("inc", StringType)))
+      case head +: tail =>
+        tail.foldLeft(head)((a, b) =>
+          a.unionByName(b.select(a.columns.map(col).toIndexedSeq: _*)))
     }
   }
 
   /** Drop all state under `root` (gate rows re-run from scratch),
-    * including any base-table catalog entries of the current
-    * manifest's generation (their data dirs live under `root`). */
+    * including any segment catalog entries — live per the manifest or
+    * orphaned by a crashed compact (their data dirs live under
+    * `root`). */
   def reset(s: SparkSession, root: String): Unit = {
-    val st = readManifest(s, root)
-    if (st.generation > 0)
-      for (kind <- Seq("index", "digests"); g <- 1 to st.generation) {
+    val fs = fsOf(s, root)
+    val SegDir = "^s(\\d+)$".r
+    for (kind <- KeyedKinds) {
+      val baseDir = new Path(s"$root/${kind}_base")
+      val ids =
+        if (!fs.exists(baseDir)) Seq.empty[Int]
+        else fs.listStatus(baseDir).map(_.getPath.getName).collect {
+          case SegDir(n) => n.toInt
+        }.toSeq
+      for (g <- ids) {
         val name = tableName(root, kind, g)
         if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
       }
+    }
     val p = new Path(root)
-    val fs = fsOf(s, root)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 }

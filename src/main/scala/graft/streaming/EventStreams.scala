@@ -325,11 +325,20 @@ object EventStreams {
           //    (t2, t3)). An event at/after the locked time leaves
           //    every min unchanged — ignored, as an in-order replay
           //    would have ignored it.
-          //  - step OPEN: harmful iff the event is older than ANY
-          //    relevant event a previous batch folded (maxTs) — an
-          //    older companion (e.g. a purchase discarded while its
-          //    click was missing) may already be gone, so the dropped
-          //    transition cannot be reconstructed.
+          //  - step OPEN: harmful iff the event is older than any
+          //    event a previous batch BUFFERED for a then-open step
+          //    (maxTs) — an older companion (e.g. a purchase discarded
+          //    while its click was missing) may already be gone, so
+          //    the dropped transition cannot be reconstructed. Events
+          //    IGNORED at a locked step never tighten the check: they
+          //    are no-ops under every replay order (they lost a min
+          //    that can no longer change), so e.g. a click older than
+          //    an ignored later view must NOT abort the stream
+          //    (round-10 ADVICE). The check is conservatively sound,
+          //    not exact — a buffered-but-disqualified event (e.g. a
+          //    purchase below a t2 locked in its own batch) still
+          //    raises maxTs even though replaying it earlier changes
+          //    nothing; false aborts err on the side of correctness.
           val views = scala.collection.mutable.ArrayBuffer.empty[Long]
           val clicks = scala.collection.mutable.ArrayBuffer.empty[Long]
           val purchases = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -341,29 +350,24 @@ object EventStreams {
               s"maxTs=${st0.maxTs}) and could change the funnel; use " +
               "funnelStreamWatermarked for this source")
           evs.foreach { e =>
-            val relevant = e.event_type == "view" || e.event_type == "click" ||
-              e.event_type == "purchase"
-            if (relevant) {
+            def buffer(buf: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+              if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
               if (e.tsUs > batchMax) batchMax = e.tsUs
-              e.event_type match {
-                case "view" =>
-                  if (st0.t1 == Unset) {
-                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
-                    views += e.tsUs
-                  } else if (failOnDisorder && e.tsUs < st0.t1) disorder(e)
-                case "click" =>
-                  if (st0.t2 == Unset) {
-                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
-                    clicks += e.tsUs
-                  } else if (failOnDisorder &&
-                      e.tsUs > st0.t1 && e.tsUs < st0.t2) disorder(e)
-                case _ =>
-                  if (st0.t3 == Unset) {
-                    if (failOnDisorder && e.tsUs < st0.maxTs) disorder(e)
-                    purchases += e.tsUs
-                  } else if (failOnDisorder &&
-                      e.tsUs > st0.t2 && e.tsUs < st0.t3) disorder(e)
-              }
+              buf += e.tsUs
+            }
+            e.event_type match {
+              case "view" =>
+                if (st0.t1 == Unset) buffer(views)
+                else if (failOnDisorder && e.tsUs < st0.t1) disorder(e)
+              case "click" =>
+                if (st0.t2 == Unset) buffer(clicks)
+                else if (failOnDisorder &&
+                    e.tsUs > st0.t1 && e.tsUs < st0.t2) disorder(e)
+              case "purchase" =>
+                if (st0.t3 == Unset) buffer(purchases)
+                else if (failOnDisorder &&
+                    e.tsUs > st0.t2 && e.tsUs < st0.t3) disorder(e)
+              case _ => ()
             }
           }
           // min-based transitions — equivalent to replaying the batch

@@ -191,6 +191,79 @@ class AdmissionCompactSpec extends SparkSpec {
     assert(got == Seq(3L), s"re-registered base must still dedup: $got")
   }
 
+  test("compaction folds the corpus payload too: listing stays bounded") {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max("doc_id")).head.getLong(0)
+    val root = freshRoot()
+    Admission.admit(docs.filter(col("doc_id") <= mx / 2), root, "d1")
+    Admission.admit(docs.filter(col("doc_id") > mx / 2), root, "d2")
+    val before = ids(Admission.corpus(spark, root))
+    assert(Admission.compact(spark, root))
+    // the per-increment corpus subdirs are gone, replaced by a segment
+    val left = Option(new java.io.File(s"$root/corpus").listFiles()).toSeq
+      .flatten.map(_.getName).filter(_.startsWith("inc="))
+    assert(left.isEmpty, s"folded corpus increments must be collected: $left")
+    assert(new java.io.File(s"$root/corpus_base").exists)
+    // and the corpus read is unchanged, `inc` lineage included
+    assert(ids(Admission.corpus(spark, root)) == before)
+    assert(Admission.corpus(spark, root).select("inc").distinct().count() == 2)
+  }
+
+  test("a minor fold never rewrites existing segments (write amplification)") {
+    import spark.implicits._
+    val root = freshRoot()
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d1")
+    assert(Admission.compact(spark, root))
+    val seg1 = new java.io.File(s"$root/index_base/s1")
+    assert(seg1.exists)
+    val stamps = seg1.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Admission.admit(Seq((2L, "hh ii jj kk ll mm nn", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2")
+    // mergeFactor high enough that the size-tiering policy cannot fire:
+    // the fold must cost O(|d2|) — segment s1's files untouched on disk
+    assert(Admission.compact(spark, root, mergeFactor = 1e9))
+    assert(seg1.exists, "minor fold must not drop the existing segment")
+    assert(seg1.listFiles().map(f => f.getName -> f.lastModified).toMap == stamps,
+      "minor fold must not rewrite the existing segment's files")
+    val st = Admission.readManifest(spark, root)
+    assert(st.segments.map(_.id).sorted == Seq(1, 2))
+    assert(st.folded == Set("d1", "d2"))
+    // multi-segment seen state still dedups correctly
+    val got = ids(Admission.admit(Seq(
+      (3L, "hh ii jj kk ll mm nn", "s"),
+      (4L, "completely new words over here", "s"))
+      .toDF("doc_id", "text", "source"), root, "d3"))
+    assert(got == Seq(4L), s"dup must be rejected across two segments: $got")
+    // and the next default-policy compact majors back to one segment,
+    // restoring the exchange-free single-clustering shape
+    assert(Admission.compact(spark, root))
+    assert(Admission.readManifest(spark, root).segments.size == 1)
+    assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L, 4L))
+  }
+
+  test("two roots whose sanitized names collide keep independent state") {
+    import spark.implicits._
+    val parent = Files.createTempDirectory("graft_adm_names").toString
+    // sanitization maps both to ..._a_b — only the root hash separates them
+    val rootA = s"$parent/a-b"
+    val rootB = s"$parent/a_b"
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), rootA, "d1")
+    Admission.admit(Seq((2L, "hh ii jj kk ll mm nn", "s"))
+      .toDF("doc_id", "text", "source"), rootB, "d1")
+    Admission.compact(spark, rootA)
+    Admission.compact(spark, rootB)
+    // root B must not see root A's digests as its own seen state: doc 3
+    // duplicates root A's content and must still be admitted under B
+    val got = ids(Admission.admit(Seq((3L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), rootB, "d2"))
+    assert(got == Seq(3L),
+      s"root B served root A's seen state (table-name collision): $got")
+    assert(ids(Admission.corpus(spark, rootA)) == Seq(1L))
+    assert(ids(Admission.corpus(spark, rootB)) == Seq(2L, 3L))
+  }
+
   test("streaming admission with periodic compaction stays exactly-once") {
     val docs = Tables.documents(spark, dir)
     val mx = docs.agg(max("doc_id")).head.getLong(0)

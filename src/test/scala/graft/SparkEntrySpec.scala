@@ -32,4 +32,31 @@ class SparkEntrySpec extends SparkSpec {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
     }
   }
+
+  test("no hashed float column emits IEEE negative zero") {
+    // The driver hashes oracle-gated outputs value-by-value; Spark's
+    // BigDecimal-based round has no signed zero while DuckDB's IEEE
+    // round keeps it, so a -0.0 escaping any float column is a latent
+    // hash mismatch (the exact failure q_pmi_bigrams hit in round 10).
+    // Detect -0.0 as (x == 0.0 && cast-to-string keeps the sign):
+    // ANSI mode forbids the classic 1/x = -Inf probe.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val df = fn(spark, dir)
+      val floatCols = df.schema.fields.collect {
+        case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      }
+      if (floatCols.isEmpty) Nil
+      else {
+        val negZero = floatCols
+          .map(c => col(c) === 0.0 && col(c).cast("string").startsWith("-"))
+          .reduce(_ || _)
+        val hits = df.filter(negZero).count()
+        if (hits > 0) Seq(s"$name ($hits rows)") else Nil
+      }
+    }
+    assert(offenders.isEmpty, s"negative zero in hashed float columns: $offenders")
+  }
 }

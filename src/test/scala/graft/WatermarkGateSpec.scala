@@ -137,6 +137,68 @@ class WatermarkGateSpec extends SparkSpec {
       s"watermarked replay must recover all three steps: ${hits("wm_funnel2")}")
   }
 
+  test("watermarked funnel ≡ batch funnel over the on-time subset " +
+      "(the q_funnel_watermarked rule, driven event-by-event)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The gate row q_funnel_watermarked classifies late events with the
+    // continuous rule: arrival = ts + (event_id % 4)·5 min, late iff
+    // ts < max(ts arrived before it) − 60 s. A one-event-per-micro-batch
+    // stream enforces EXACTLY that rule (the engine watermark after
+    // batch k is max event time of batches ≤ k minus the delay), so
+    // driving the same events one per batch through
+    // funnelStreamWatermarked must emit the batch funnel of the
+    // survivors — the row's documented equivalence, pinned here.
+    val arrived = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) + (col("event_id") % 4) * 300000000L)
+          .as("arrival_us"))
+      .orderBy("arrival_us", "event_id")
+      .limit(40)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // expected: continuous-watermark classification + event-time fold
+    var runningMax = Long.MinValue
+    val onTime = arrived.filter { case (_, _, ts) =>
+      val ok = runningMax == Long.MinValue || ts >= runningMax - 60000000L
+      if (ts > runningMax) runningMax = ts
+      ok
+    }
+    assert(arrived.length - onTime.length >= 1,
+      "fixture must actually contain late events")
+    val expected = onTime.sortBy(_._3).groupBy(_._1).toSeq.flatMap {
+      case (user, evs) =>
+        val t1 = evs.collectFirst { case (_, "view", ts) => ts }
+        val t2 = t1.flatMap(a => evs.collectFirst {
+          case (_, "click", ts) if ts > a => ts })
+        val t3 = t2.flatMap(b => evs.collectFirst {
+          case (_, "purchase", ts) if ts > b => ts })
+        t1.map(ts => (user, 1, ts)) ++ t2.map(ts => (user, 2, ts)) ++
+          t3.map(ts => (user, 3, ts))
+    }.toSet
+    val in = MemoryStream[FEv](spark)
+    val q = EventStreams.funnelStreamWatermarked(in.toDS(), "60 seconds")
+      .writeStream.format("memory").queryName("wm_parity")
+      .outputMode("append").start()
+    try {
+      arrived.foreach { case (user, et, ts) =>
+        in.addData(FEv(user, ts, et))
+        q.processAllAvailable()
+      }
+      // flush: push the watermark far past every buffered event
+      val flushTs = arrived.map(_._3).max + 86400L * 1000000L
+      in.addData(FEv(999999L, flushTs, "view"))
+      q.processAllAvailable()
+      in.addData(FEv(999999L, flushTs + 86400L * 1000000L, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = hits("wm_parity").filter(_._1 != 999999L)
+    assert(got == expected,
+      s"stream-vs-batch divergence:\n  only-stream=${got -- expected}" +
+        s"\n  only-batch=${expected -- got}")
+  }
+
   test("strict funnel tolerates provably-harmless disorder (no step could change)") {
     import spark.implicits._
     val in = MemoryStream[FEv](spark)
