@@ -247,17 +247,29 @@ object EventQueries {
     * (AQE reuses the exchange), so the funnel is 3 narrow stages —
     * never a per-user event-list sort. `q_click_purchase_join` is the
     * pairwise interval join; THIS is the ordered multi-step rollup. */
+  /** The funnel rule, shared by `q_funnel_steps` and
+    * `q_funnel_watermarked` (so the two gate rows cannot drift): per
+    * user, t1 = earliest view, t2 = earliest click strictly after t1,
+    * t3 = earliest purchase strictly after t2 — three type-pushed-down
+    * scans chained by user_id-co-partitioned joins, never a per-user
+    * event-list sort. Returns the three per-user step tables. */
+  private def funnelTimes(ev: DataFrame, tsCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(tsCol).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col(tsCol) > col("t1"))
+      .groupBy("user_id").agg(min(tsCol).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col(tsCol) > col("t2"))
+      .groupBy("user_id").agg(min(tsCol).as("t3"))
+    (t1, t2, t3)
+  }
+
   private def funnelSteps(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"))
-    val t1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val t2 = ev.filter(col("event_type") === "click")
-      .join(t1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase")
-      .join(t2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min("ts").as("t3"))
+    val (t1, t2, t3) = funnelTimes(ev, "ts")
     t1.agg(count(lit(1)).as("n_users"))
       .select(lit(1).as("step"), lit("view").as("event_type"), col("n_users"))
       .unionByName(t2.agg(count(lit(1)).as("n_users"))
@@ -297,14 +309,7 @@ object EventQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val flagged = ev.withColumn("wm", max("ts_us").over(arrivalW) - delayUs)
     val onTime = flagged.filter(col("wm").isNull || col("ts_us") >= col("wm"))
-    val t1 = onTime.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("t1"))
-    val t2 = onTime.filter(col("event_type") === "click")
-      .join(t1, "user_id").filter(col("ts_us") > col("t1"))
-      .groupBy("user_id").agg(min("ts_us").as("t2"))
-    val t3 = onTime.filter(col("event_type") === "purchase")
-      .join(t2, "user_id").filter(col("ts_us") > col("t2"))
-      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val (t1, t2, t3) = funnelTimes(onTime, "ts_us")
     flagged.filter(col("wm").isNotNull && col("ts_us") < col("wm"))
       .agg(count(lit(1)).as("n"))
       .select(lit(0).as("step"), col("n"))

@@ -119,8 +119,13 @@ object Admission {
   // Compaction manifest
   // ---------------------------------------------------------------------
 
-  /** One live compacted segment: which increment ids it folded. */
-  private[graft] final case class Segment(id: Int, incs: Set[String])
+  /** One live compacted segment: which increment ids it folded.
+    * `legacy` marks a segment inherited from a pre-leveled (round-10)
+    * manifest, whose data dirs live at `{kind}_base/g<id>` instead of
+    * `s<id>` — it participates in reads and merges like any other
+    * segment and disappears at the first major fold. */
+  private[graft] final case class Segment(id: Int, incs: Set[String],
+      legacy: Boolean = false)
 
   /** What a manifest generation records: the live segments (and which
     * increment ids each folded), the next never-used segment id, and
@@ -161,6 +166,22 @@ object Admission {
     def one(k: String): String = kv.collectFirst {
       case l if l.startsWith(s"$k=") => l.stripPrefix(s"$k=")
     }.getOrElse(sys.error(s"manifest gen-$gen missing '$k='"))
+    // Pre-leveled (round-10) manifests have no `nextseg=`/`seg=`
+    // lines — they describe ONE base generation at `{kind}_base/g<N>`
+    // with a flat `folded=` list. Read them as a single LEGACY
+    // segment so an upgraded binary keeps serving (and eventually
+    // merges away) state written by the old code, instead of
+    // bricking a years-long root.
+    if (!kv.exists(_.startsWith("nextseg="))) {
+      val folded = kv.filter(_.startsWith("folded="))
+        .map(_.stripPrefix("folded=")).toSet
+      return CompactionState(gen, one("buckets").toInt, one("idcol"),
+        gen + 1, Seq(Segment(gen, folded, legacy = true)))
+    }
+    val legacyIds = kv.filter(_.startsWith("segstyle="))
+      .map(_.stripPrefix("segstyle=")).collect {
+        case v if v.endsWith(":g") => v.stripSuffix(":g").toInt
+      }.toSet
     val segIds = kv.filter(_.startsWith("seg=")).map(_.stripPrefix("seg=").toInt)
     // seginc=<segId>:<incId> — split on the FIRST colon only; the
     // increment id is caller-supplied and may itself contain colons
@@ -172,7 +193,8 @@ object Admission {
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     CompactionState(gen, one("buckets").toInt, one("idcol"),
       one("nextseg").toInt,
-      segIds.map(id => Segment(id, segIncs.getOrElse(id, Set.empty))))
+      segIds.map(id => Segment(id, segIncs.getOrElse(id, Set.empty),
+        legacy = legacyIds(id))))
   }
 
   /** Write manifest generation `st.generation` whole-then-rename: the
@@ -191,8 +213,11 @@ object Admission {
     try {
       val body = (Seq(s"buckets=${st.buckets}", s"idcol=${st.idCol}",
         s"nextseg=${st.nextSeg}") ++
-        st.segments.flatMap(seg => s"seg=${seg.id}" +:
-          seg.incs.toSeq.sorted.map(i => s"seginc=${seg.id}:$i")))
+        st.segments.flatMap { seg =>
+          (s"seg=${seg.id}" +:
+            (if (seg.legacy) Seq(s"segstyle=${seg.id}:g") else Nil)) ++
+            seg.incs.toSeq.sorted.map(i => s"seginc=${seg.id}:$i")
+        })
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
@@ -215,8 +240,14 @@ object Admission {
       root.toLowerCase.replaceAll("[^a-z0-9]+", "_").dropWhile(_ == '_')
   }
 
+  /** Write-side path of a NEW segment (always `s<id>`). */
   private def basePath(root: String, kind: String, seg: Int): String =
     s"$root/${kind}_base/s$seg"
+
+  /** Read-side path of a LIVE segment — legacy (round-10) segments
+    * live at `g<id>`. */
+  private def segDataPath(root: String, kind: String, seg: Segment): String =
+    s"$root/${kind}_base/${if (seg.legacy) "g" else "s"}${seg.id}"
 
   /** Bucket/sort keys per keyed state kind — the equi-join keys of the
     * admission cross-matches, so a scan of a segment satisfies the
@@ -244,23 +275,34 @@ object Admission {
     * — a fresh session re-creates the external bucketed-table entry
     * over the existing files). */
   private def segTable(s: SparkSession, root: String, kind: String,
-      st: CompactionState, segId: Int): DataFrame = {
-    val name = tableName(root, kind, segId)
+      st: CompactionState, seg: Segment): DataFrame = {
+    val name = tableName(root, kind, seg.id)
     if (!s.catalog.tableExists(name)) {
       val keys = keysOf(kind, st.idCol).map(k => s"`$k`").mkString(", ")
       s.sql(s"CREATE TABLE $name (${ddlOf(kind, st.idCol)}) USING PARQUET " +
         s"CLUSTERED BY ($keys) SORTED BY ($keys) INTO ${st.buckets} BUCKETS " +
-        s"LOCATION '${basePath(root, kind, segId)}'")
+        s"LOCATION '${segDataPath(root, kind, seg)}'")
     }
     s.table(name)
   }
 
-  /** Whether segment `segId` carries any data of `kind` — optional
-    * kinds (`semidx`/`vecs`, and `corpus` on all-duplicate increments)
+  /** Whether a segment carries any data of `kind` — optional kinds
+    * (`semidx`/`vecs`, and `corpus` on all-duplicate increments)
     * are simply absent from segments folded before they existed. */
   private def segHasKind(s: SparkSession, root: String, kind: String,
-      segId: Int): Boolean =
-    fsOf(s, root).exists(new Path(basePath(root, kind, segId)))
+      seg: Segment): Boolean =
+    fsOf(s, root).exists(new Path(segDataPath(root, kind, seg)))
+
+  /** Increment ids whose `kind` data is HELD BY a live segment — the
+    * per-kind exclusion set for the `inc=*` readers. Usually equal to
+    * `st.folded`, but a LEGACY (round-10) segment never folded the
+    * corpus payload, so a folded increment's corpus can still live
+    * only in its `inc=` dir: readers must keep serving it and
+    * [[compact]]/GC must treat it as still-unfolded for that kind. */
+  private def coveredIncs(s: SparkSession, root: String, kind: String,
+      st: CompactionState): Set[String] =
+    st.segments.filter(seg => segHasKind(s, root, kind, seg))
+      .flatMap(_.incs).toSet
 
   /** Increment ids currently present as `inc=<id>` subdirs of
     * `$root/$kind`. */
@@ -304,13 +346,14 @@ object Admission {
     val schema = schemaOf(kind, idCol)
     val st = readManifest(s, root)
     val segs = st.segments
-      .filter(seg => segHasKind(s, root, kind, seg.id))
+      .filter(seg => segHasKind(s, root, kind, seg))
       .map(seg =>
-        segTable(s, root, kind, st, seg.id)
+        segTable(s, root, kind, st, seg)
           .filter(col("inc") =!= lit(selfInc))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val covered = coveredIncs(s, root, kind, st)
     val dirs = listIncs(s, root, kind)
-      .filterNot(st.folded).filterNot(_ == selfInc)
+      .filterNot(covered).filterNot(_ == selfInc)
       .map(id => s"$root/$kind/inc=$id")
     val incs =
       if (dirs.isEmpty) Nil
@@ -321,10 +364,10 @@ object Admission {
 
   /** Total on-disk bytes of one segment across all three state kinds —
     * the size the tiering policy reasons about. */
-  private def segBytes(s: SparkSession, root: String, segId: Int): Long = {
+  private def segBytes(s: SparkSession, root: String, seg: Segment): Long = {
     val fs = fsOf(s, root)
     AllKinds.map { kind =>
-      val p = new Path(basePath(root, kind, segId))
+      val p = new Path(segDataPath(root, kind, seg))
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
   }
@@ -383,71 +426,89 @@ object Admission {
       if (cleanup) collectGarbage(s, root, st)
       return false
     }
-    val minorId = st.nextSeg
-    // ---- MINOR fold: only the new increments are read and written.
-    // index/digests segments are always written (a healthy admit
-    // commits both, even empty); the optional kinds (semidx/vecs) are
-    // folded only for increments that actually wrote them.
+    // Bucketing metadata is the MANIFEST's once state exists: segments
+    // now survive across compact calls, and re-labeling an 8-bucket
+    // segment as 16-bucket in a later manifest would make the
+    // catalog's declared clustering lie about the files — the
+    // exchange-free seen-side joins would then silently miss rows and
+    // re-admit duplicates. The parameters bind a FRESH root only.
+    require(st.generation == 0 || st.idCol == idCol,
+      s"idCol '$idCol' does not match this root's state ('${st.idCol}')")
+    val effBuckets = if (st.generation == 0) buckets else st.buckets
+    // Decide minor vs major BEFORE writing anything: if folding these
+    // increments would trip the size tier anyway, fold them STRAIGHT
+    // into the merged segment — writing a minor segment only for the
+    // same call to rewrite and delete it would double the write I/O
+    // of every merge round.
+    val fs = fsOf(s, root)
+    // Per-kind fold inputs: the new increments, plus folded-but-
+    // UNCOVERED dirs — a legacy (round-10) segment holds an inc's
+    // index/digests but never its corpus, so the corpus dir folds
+    // now. (Safe to list such an id in the new segment's inc set:
+    // coverage is derived per kind from dirs that actually exist,
+    // and the id's keyed data is already covered by the legacy
+    // segment.)
+    def foldIds(kind: String): Seq[String] = {
+      val covered = coveredIncs(s, root, kind, st)
+      listIncs(s, root, kind).filter(id =>
+        unfolded.contains(id) || (st.folded(id) && !covered(id)))
+    }
+    val foldIdsByKind = AllKinds.map(k => k -> foldIds(k)).toMap
+    val incBytes = AllKinds.map { kind =>
+      foldIdsByKind(kind)
+        .map(id => fs.getContentSummary(new Path(s"$root/$kind/inc=$id"))
+          .getLength).sum
+    }.sum
+    val major = st.segments.nonEmpty && {
+      val all = st.segments.map(seg => segBytes(s, root, seg)) :+ incBytes
+      val largest = all.max
+      all.sum - largest >= mergeFactor * largest
+    }
+    val newId = st.nextSeg
+    // ---- one new segment per kind: the increments, plus (major only)
+    // every live segment of that kind. index/digests are always
+    // written (a healthy admit commits both, even empty); the optional
+    // kinds (semidx/vecs) only where inputs exist.
     for (kind <- KeyedKinds) {
       val schema = schemaOf(kind, idCol)
       val withInc = StructType(schema.fields :+ StructField("inc", StringType))
-      val dirs = listIncs(s, root, kind).filter(unfolded.contains)
-        .map(id => s"$root/$kind/inc=$id")
+      val dirs = foldIdsByKind(kind).map(id => s"$root/$kind/inc=$id")
       val incRows =
         if (dirs.isEmpty) None
         else Some(s.read.option("basePath", s"$root/$kind").schema(withInc)
           .parquet(dirs: _*)
           .withColumn("inc", col("inc").cast("string"))
           .select(withInc.fieldNames.map(col).toIndexedSeq: _*))
-      val mustWrite = dirs.nonEmpty || kind == "index" || kind == "digests"
-      if (mustWrite)
-        writeKeyedSegment(s, root, kind, minorId, buckets, idCol,
-          incRows.getOrElse(
+      val segFrames =
+        if (!major) Nil
+        else st.segments.filter(seg => segHasKind(s, root, kind, seg))
+          .map(seg => segTable(s, root, kind, st, seg))
+      val parts = segFrames ++ incRows.toSeq
+      if (parts.nonEmpty || kind == "index" || kind == "digests")
+        writeKeyedSegment(s, root, kind, newId, effBuckets, idCol,
+          parts.reduceOption(_ unionByName _).getOrElse(
             s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)))
     }
     // corpus payload: schema is the caller's, so read each increment
     // dir on its own and tag `inc` as a literal (partition-value
     // inference would strip a numeric id's leading zeros)
-    val corpusIncFrames = listIncs(s, root, "corpus").filter(unfolded.contains)
-      .sorted
+    val corpusIncFrames = foldIdsByKind("corpus").sorted
       .map(id => s.read.parquet(s"$root/corpus/inc=$id")
         .withColumn("inc", lit(id)))
-    corpusIncFrames.reduceOption(_ unionByName _).foreach(
-      _.write.mode("overwrite").parquet(basePath(root, "corpus", minorId)))
-    var segments = st.segments :+ Segment(minorId, unfolded.toSet)
-    var nextSeg = minorId + 1
-    // ---- MAJOR fold (size-tiered): merge all live segments into one
-    if (segments.size > 1) {
-      val sizes = segments.map(seg => segBytes(s, root, seg.id))
-      val largest = sizes.max
-      if (sizes.sum - largest >= mergeFactor * largest) {
-        val mergedId = nextSeg
-        nextSeg += 1
-        val stReg =
-          if (st.generation == 0) st.copy(buckets = buckets, idCol = idCol)
-          else st
-        for (kind <- KeyedKinds) {
-          val have = segments.filter(seg => segHasKind(s, root, kind, seg.id))
-          if (have.nonEmpty)
-            writeKeyedSegment(s, root, kind, mergedId, buckets, idCol,
-              have.map(seg => segTable(s, root, kind, stReg, seg.id))
-                .reduce(_ unionByName _))
-        }
-        val fs = fsOf(s, root)
-        segments.map(seg => basePath(root, "corpus", seg.id))
-          .filter(p => fs.exists(new Path(p)))
-          .map(s.read.parquet(_)) match {
-            case Nil => ()
-            case frames => frames.reduce(_ unionByName _)
-              .write.mode("overwrite")
-              .parquet(basePath(root, "corpus", mergedId))
-          }
-        segments = Seq(Segment(mergedId, segments.flatMap(_.incs).toSet))
-      }
-    }
+    val corpusSegFrames =
+      if (!major) Nil
+      else st.segments.map(seg => segDataPath(root, "corpus", seg))
+        .filter(p => fs.exists(new Path(p)))
+        .map(s.read.parquet(_))
+    (corpusSegFrames ++ corpusIncFrames).reduceOption(_ unionByName _).foreach(
+      _.write.mode("overwrite").parquet(basePath(root, "corpus", newId)))
+    val extraFolded = foldIdsByKind.values.flatten.toSet -- unfolded.toSet
+    val segments =
+      if (major) Seq(Segment(newId, st.folded ++ unfolded))
+      else st.segments :+ Segment(newId, unfolded.toSet ++ extraFolded)
     // COMMIT: once this rename lands, the new generation is current.
     writeManifest(s, root, CompactionState(
-      st.generation + 1, buckets, idCol, nextSeg, segments))
+      st.generation + 1, effBuckets, idCol, newId + 1, segments))
     if (cleanup) collectGarbage(s, root, readManifest(s, root))
     true
   }
@@ -473,20 +534,26 @@ object Admission {
     if (st.generation == 0) return
     val fs = fsOf(s, root)
     val live = st.segments.map(_.id).toSet
-    val SegDir = "^s(\\d+)$".r
+    // both path styles are collectable: s<id> (leveled) and g<id>
+    // (legacy round-10 generations, incl. pre-upgrade debris)
+    val SegDir = "^[sg](\\d+)$".r
     for (kind <- AllKinds) {
-      for (id <- listIncs(s, root, kind) if st.folded(id))
+      // delete an inc dir only when a live segment actually HOLDS its
+      // data for this kind — a legacy segment never folded corpus, so
+      // that payload must survive until a compact sweeps it in
+      val covered = coveredIncs(s, root, kind, st)
+      for (id <- listIncs(s, root, kind) if covered(id))
         fs.delete(new Path(s"$root/$kind/inc=$id"), true)
       val baseDir = new Path(s"$root/${kind}_base")
       if (fs.exists(baseDir)) {
         val dead = fs.listStatus(baseDir).map(_.getPath.getName).collect {
-          case SegDir(n) if !live(n.toInt) => n.toInt
+          case n @ SegDir(id) if !live(id.toInt) => (n, id.toInt)
         }
-        for (g <- dead) {
+        for ((dirName, g) <- dead) {
           val name = tableName(root, kind, g)
           if (kind != "corpus" && s.catalog.tableExists(name))
             s.sql(s"DROP TABLE $name")
-          fs.delete(new Path(basePath(root, kind, g)), true)
+          fs.delete(new Path(s"$root/${kind}_base/$dirName"), true)
         }
       }
     }
@@ -586,9 +653,13 @@ object Admission {
     * semantic leg (text legs still apply). `admit(A); admit(B)` ≡
     * `admit(A ∪ B)` parity and compact-invariance are pinned by
     * `AdmissionSemanticSpec` and hash-checked end-to-end by
-    * `q_admission_semantic` (at the gate's 4-bit × 24-table SRP
-    * config the candidate stage provably covers every pair ≥ 0.5 —
-    * the same coverage `q_embed_neardup_lsh` is hash-exact under). */
+    * `q_admission_semantic` — which runs cosThreshold = 0.45 with
+    * nTables = 48 (NOT these defaults): at θ ≈ 63° a qualifying pair
+    * escapes all 48 tables with p ≈ 9·10⁻⁵ under the fixed seed,
+    * while at the 0.5 × 24-table defaults the corresponding coverage
+    * is the one `q_embed_neardup_lsh`'s hash-exactness demonstrates.
+    * Raise nTables when lowering the threshold: coverage decays as
+    * (1 − (1 − θ/π)^nBits)^nTables. */
   def admitWithEmbeddings(newDocs: DataFrame, emb: DataFrame, root: String,
       incId: String, idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding", cosThreshold: Double = 0.5,
@@ -718,10 +789,11 @@ object Admission {
   def corpus(s: SparkSession, root: String): DataFrame = {
     val st = readManifest(s, root)
     val fs = fsOf(s, root)
-    val segs = st.segments.map(seg => basePath(root, "corpus", seg.id))
+    val segs = st.segments.map(seg => segDataPath(root, "corpus", seg))
       .filter(p => fs.exists(new Path(p)))
       .map(s.read.parquet(_))
-    val incs = listIncs(s, root, "corpus").filterNot(st.folded).sorted
+    val incs = listIncs(s, root, "corpus")
+      .filterNot(coveredIncs(s, root, "corpus", st)).sorted
       .map(id => s.read.parquet(s"$root/corpus/inc=$id")
         .withColumn("inc", lit(id)))
     (segs ++ incs).reduceOption(_ unionByName _)
@@ -732,9 +804,11 @@ object Admission {
     * compacted segments plus the not-yet-folded increments. */
   def index(s: SparkSession, root: String): DataFrame = {
     val st = readManifest(s, root)
-    val segs = st.segments.map(seg =>
-      segTable(s, root, "index", st, seg.id))
-    val dirs = listIncs(s, root, "index").filterNot(st.folded)
+    val segs = st.segments
+      .filter(seg => segHasKind(s, root, "index", seg))
+      .map(seg => segTable(s, root, "index", st, seg))
+    val dirs = listIncs(s, root, "index")
+      .filterNot(coveredIncs(s, root, "index", st))
       .map(id => s"$root/index/inc=$id")
     val incs =
       if (dirs.isEmpty) Nil
@@ -757,7 +831,7 @@ object Admission {
     * `root`). */
   def reset(s: SparkSession, root: String): Unit = {
     val fs = fsOf(s, root)
-    val SegDir = "^s(\\d+)$".r
+    val SegDir = "^[sg](\\d+)$".r
     for (kind <- KeyedKinds) {
       val baseDir = new Path(s"$root/${kind}_base")
       val ids =

@@ -242,6 +242,90 @@ class AdmissionCompactSpec extends SparkSpec {
     assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L, 4L))
   }
 
+  test("a pre-leveled (round-10) root upgrades in place: legacy manifest, " +
+      "g-style base dirs, corpus still in inc dirs") {
+    import spark.implicits._
+    // Build a faithful round-10 root from a round-11 one: compact with
+    // cleanup=false (so corpus/inc=d1 survives), move the keyed
+    // segments from s1 to the old g1 layout, DROP the corpus segment
+    // (v1 never folded corpus), rewrite the manifest in the v1 format
+    // (buckets/idcol/folded lines only), and clear the catalog entries.
+    val root = freshRoot()
+    Admission.admit(Seq(
+      (1L, "aa bb cc dd ee ff gg", "s"),
+      (2L, "oo pp qq rr ss tt uu", "s")).toDF("doc_id", "text", "source"),
+      root, "d1")
+    assert(Admission.compact(spark, root, cleanup = false))
+    for (kind <- Seq("index", "digests"))
+      assert(new java.io.File(s"$root/${kind}_base/s1")
+        .renameTo(new java.io.File(s"$root/${kind}_base/g1")))
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$root/corpus_base"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/manifest/gen-1"),
+      "buckets=8\nidcol=doc_id\nfolded=d1\n".getBytes("UTF-8"))
+    // the direct rewrite invalidates Hadoop local-FS's checksum sidecar
+    new java.io.File(s"$root/manifest/.gen-1.crc").delete()
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_adm_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(new java.io.File(s"$root/corpus/inc=d1").exists, "v1 shape")
+
+    // the legacy state must SERVE: corpus from the inc dir, dedup
+    // through the g1 segments
+    val st = Admission.readManifest(spark, root)
+    assert(st.segments.map(s0 => (s0.id, s0.legacy)) == Seq((1, true)), st.toString)
+    assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L))
+    val got = ids(Admission.admit(Seq(
+      (3L, "aa bb cc dd ee ff gg", "s"),
+      (4L, "fresh words after the upgrade", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2"))
+    assert(got == Seq(4L), s"legacy segment must reject the dup: $got")
+    // GC during that admit/compact must NOT remove the uncovered
+    // corpus payload
+    assert(new java.io.File(s"$root/corpus/inc=d1").exists)
+    // the next compact sweeps the legacy corpus in and (size tier)
+    // merges the legacy segment away into the new s-style layout
+    assert(Admission.compact(spark, root))
+    assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L, 4L))
+    val st2 = Admission.readManifest(spark, root)
+    assert(st2.segments.forall(!_.legacy), st2.toString)
+    assert(!new java.io.File(s"$root/index_base/g1").exists,
+      "dead legacy generation must be collected")
+    assert(!new java.io.File(s"$root/corpus/inc=d1").exists,
+      "once covered by a segment, the legacy corpus inc dir is collectable")
+    // and the folded corpus still reads back in full
+    assert(Admission.corpus(spark, root).select("inc").distinct().count() == 2)
+  }
+
+  test("compact inherits the root's bucketing metadata: a different " +
+      "buckets parameter cannot re-label existing segments") {
+    import spark.implicits._
+    val root = freshRoot()
+    Admission.admit(Seq((1L, "aa bb cc dd ee ff gg", "s"))
+      .toDF("doc_id", "text", "source"), root, "d1")
+    assert(Admission.compact(spark, root, buckets = 8))
+    Admission.admit(Seq((2L, "hh ii jj kk ll mm nn", "s"))
+      .toDF("doc_id", "text", "source"), root, "d2")
+    // a later caller asking for 16 buckets must not flip the manifest
+    // to 16 while segment files remain 8-bucketed — declared
+    // clustering would lie and the seen-side joins would miss rows
+    assert(Admission.compact(spark, root, buckets = 16))
+    assert(Admission.readManifest(spark, root).buckets == 8,
+      "bucketing metadata must be inherited from the root's state")
+    val got = ids(Admission.admit(Seq(
+      (3L, "hh ii jj kk ll mm nn", "s"),
+      (4L, "entirely new words right here", "s"))
+      .toDF("doc_id", "text", "source"), root, "d3"))
+    assert(got == Seq(4L), s"dedup must survive the buckets override: $got")
+    // a mismatched idCol is a hard error, not silent corruption
+    intercept[IllegalArgumentException] {
+      Admission.compact(spark, root, idCol = "other_id")
+    }
+  }
+
   test("two roots whose sanitized names collide keep independent state") {
     import spark.implicits._
     val parent = Files.createTempDirectory("graft_adm_names").toString
