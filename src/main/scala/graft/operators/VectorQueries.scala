@@ -584,8 +584,8 @@ object VectorQueries {
     * index scale), sums them in a hash aggregate and ranks with
     * TakeOrderedAndProject. Used by `PqSpec` to measure ADC recall@k
     * against the exact ranking (docs/ann_recall.md). */
-  private[graft] def adcTopkWith(codes: DataFrame, cent: DataFrame,
-      q: Array[Double], topK: Int): DataFrame = {
+  private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
+      q: Array[Double]): DataFrame = {
     val qd = cent.withColumn("qe", typedLit(q))
       .withColumn("qd2", expr(
         "aggregate(zip_with(slice(qe, sub * 8 + 1, 8), cvec, " +
@@ -594,9 +594,88 @@ object VectorQueries {
     codes.join(broadcast(qd), Seq("sub", "code"))
       .groupBy("vec_id").agg(sum("qd2").as("adc"))
       .select(col("vec_id"), sqrt(col("adc")).as("adc_dist"))
+  }
+
+  private[graft] def adcTopkWith(codes: DataFrame, cent: DataFrame,
+      q: Array[Double], topK: Int): DataFrame =
+    adcDistances(codes, cent, q)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+
+  /** IVF + PQ composed search — the IVFADC architecture (Jégou et al.
+    * 2011 §III, the billion-scale FAISS index shape): the coarse
+    * quantizer (per-label centroids, same probe as `q_ivf_topk`)
+    * prunes the corpus to the 2 probed cells, and the fine ranking is
+    * ADC over the TRAINED sub-codebooks ([[pqTrain]]) — the probed
+    * scan touches only the 8 small codes per candidate, never the
+    * floats. Scale shape: probe = broadcast k-row centroid table +
+    * TakeOrdered(2); candidate cut = broadcast semi-join on the probed
+    * labels; ADC = broadcast 8·k lookup + hash aggregate; final top-5
+    * ranks on the ROUNDED distance with id tiebreaks (cross-engine
+    * stable, like `q_pq_adc_topk`). Deterministic given the fixed
+    * seed, so the oracle recomputes identical math and the
+    * approximate search is hash-exact. */
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    // ONE driver-side row — the user-supplied query vector
+    val qArr = q.head.getSeq[Double](0).toArray
+    val probed = pqCodebook(emb).crossJoin(broadcast(q))
+      .select(col("c_label").as("label"),
+        (dot(col("cvec"), col("qe")) /
+          (sqrt(dot(col("cvec"), col("cvec"))) * sqrt(dot(col("qe"), col("qe"))))).as("c"))
+      .orderBy(col("c").desc, col("label"))
+      .limit(2)
+      .select("label")
+    val candIds = emb.join(broadcast(probed), "label").select("vec_id")
+    val (centT, codes) = pqTrain(emb, k = 4, iters = 2)
+    adcDistances(
+        codes.join(candIds, Seq("vec_id"), "left_semi")
+          .filter(col("vec_id") =!= 0),
+        centT, qArr)
+      .select(col("vec_id"), round(col("adc_dist"), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(5)
   }
+
+  private val ivfPqSearchSql =
+    "WITH pts AS (SELECT vec_id, sub, j, embedding[sub * 8 + j]::DOUBLE AS x " +
+    "FROM embeddings, range(0, 8) t(sub), range(1, 9) u(j)), " +
+    "c1 AS (SELECT sub, vec_id % 4 AS code, j, avg(x) AS m " +
+    "FROM pts GROUP BY 1, 2, 3), " +
+    "d1 AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM pts p JOIN c1 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
+    "a1 AS (SELECT vec_id, sub, code FROM d1 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
+    "c2 AS (SELECT p.sub, a.code, p.j, avg(p.x) AS m " +
+    "FROM pts p JOIN a1 a ON a.vec_id = p.vec_id AND a.sub = p.sub " +
+    "GROUP BY 1, 2, 3), " +
+    "d2t AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM pts p JOIN c2 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
+    "codes AS (SELECT vec_id, sub, code FROM d2t " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
+    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+    "coarse AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2), " +
+    "cdist AS (SELECT label, sum(m * q.qe[i]::DOUBLE) / " +
+    "(sqrt(sum(m * m)) * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS c " +
+    "FROM coarse, q GROUP BY label), " +
+    "probe AS (SELECT label FROM cdist ORDER BY c DESC, label LIMIT 2), " +
+    "cand AS (SELECT vec_id FROM embeddings JOIN probe USING (label)), " +
+    "qd AS (SELECT c2.sub, c2.code, " +
+    "sum((q.qe[c2.sub * 8 + c2.j]::DOUBLE - c2.m) * " +
+    "(q.qe[c2.sub * 8 + c2.j]::DOUBLE - c2.m)) AS qd2 " +
+    "FROM c2, q GROUP BY 1, 2), " +
+    "adc AS (SELECT c.vec_id, sum(qd.qd2) AS d2 FROM codes c " +
+    "JOIN qd ON qd.sub = c.sub AND qd.code = c.code " +
+    "JOIN cand ON cand.vec_id = c.vec_id " +
+    "WHERE c.vec_id <> 0 GROUP BY 1) " +
+    "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
+    "ORDER BY adc_dist, vec_id LIMIT 5"
 
   /** [[pqTrain]] under the gate: k = 4, 2 Lloyd rounds from the
     * deterministic seed, hash-checked code-by-code against the same
@@ -766,6 +845,7 @@ object VectorQueries {
       "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
       "WHERE vec_id <> 0 ORDER BY adc_dist, vec_id LIMIT 5")),
     Q("q_pq_train", pqTrainQ, Some(pqTrainSql)),
+    Q("q_ivfpq_search", ivfPqSearch, Some(ivfPqSearchSql)),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

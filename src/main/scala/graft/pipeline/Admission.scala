@@ -760,11 +760,22 @@ object Admission {
     * bounded. The compaction is itself crash-safe (manifest commit
     * point) and a batch replayed across a compaction boundary stays
     * exactly-once because its folded rows still carry `inc` — pinned
-    * by `AdmissionCompactSpec`. */
+    * by `AdmissionCompactSpec`.
+    *
+    * `embeddings = Some(e)` routes every batch through
+    * [[admitWithEmbeddings]] instead of [[admit]]: `e` is a STATIC
+    * lookup table (id → embedding, e.g. a feature store the stream
+    * joins against); the semantic state then grows batch-by-batch
+    * under the identical exactly-once/replay story, since
+    * `admitWithEmbeddings` is idempotent per increment id like
+    * [[admit]] (`AdmissionSemanticSpec` pins the streamed form). */
   def admitStream(docs: DataFrame, root: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       cfg: Option[Curation.Config] = Some(Curation.Config()),
-      compactEvery: Int = 0)
+      compactEvery: Int = 0,
+      embeddings: Option[DataFrame] = None,
+      cosThreshold: Double = 0.5, dim: Int = 64,
+      nBits: Int = 4, nTables: Int = 24)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -772,7 +783,13 @@ object Admission {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val kept = cfg.fold(batch.toDF())(c =>
           Curation.qualityLangFilter(batch.toDF(), c))
-        admit(kept, root, f"b$batchId%09d", idCol, textCol)
+        val incId = f"b$batchId%09d"
+        embeddings match {
+          case Some(e) => admitWithEmbeddings(kept, e, root, incId,
+            idCol, textCol, cosThreshold = cosThreshold, dim = dim,
+            nBits = nBits, nTables = nTables)
+          case None => admit(kept, root, incId, idCol, textCol)
+        }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compact(batch.sparkSession, root, idCol)
         ()

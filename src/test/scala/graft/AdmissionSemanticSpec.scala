@@ -111,6 +111,33 @@ class AdmissionSemanticSpec extends SparkSpec {
       s"the folded semantic segments must still reject doc 2: $got")
   }
 
+  test("streaming admission with the semantic leg rejects embedding dups " +
+      "batch over batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_adm_sem_ck").toString
+    // static id -> embedding lookup: doc 2 duplicates doc 1's vector
+    // with fresh text, doc 3 is orthogonal
+    val emb = toyEmb(1L -> Seq(1.0, 0.5, 0.0, 0.0),
+      2L -> Seq(2.0, 1.0, 0.0, 0.0), 3L -> Seq(0.0, 0.0, 1.0, -0.5))
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = Admission.admitStream(
+      in.toDS().toDF("doc_id", "text", "source"),
+      root, ckpt, cfg = None, embeddings = Some(emb),
+      dim = 4, nBits = 2, nTables = 4)
+    try {
+      in.addData((1L, "aa bb cc dd ee ff gg", "s"))
+      q.processAllAvailable()
+      in.addData((2L, "hh ii jj kk ll mm nn", "s"),
+        (3L, "oo pp qq rr ss tt uu", "s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ids(Admission.corpus(spark, root)) == Seq(1L, 3L),
+      "the cross-batch embedding dup must be rejected through the " +
+        "persisted semantic state")
+  }
+
   test("a text-only root compacts without growing semantic segments") {
     import spark.implicits._
     val root = freshRoot()
