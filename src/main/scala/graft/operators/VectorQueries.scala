@@ -241,25 +241,26 @@ object VectorQueries {
 
   /** IVF-style probed search: coarse-quantize by per-label centroid,
     * probe the 2 closest clusters to the query, brute-force only there. */
+  /** Coarse IVF probe: the `nProbe` labels whose per-label centroid
+    * ([[pqCodebook]] — the same mean-vector table) is most
+    * cosine-similar to the broadcast 1-row query. Shared by
+    * `q_ivf_topk` and `q_ivfpq_search` so the probe rule (ranking,
+    * tie-break, width) cannot drift between the two gate rows. */
+  private def coarseProbe(emb: DataFrame, q: DataFrame, nProbe: Int): DataFrame =
+    pqCodebook(emb).crossJoin(broadcast(q))
+      .select(col("c_label").as("label"),
+        (dot(col("cvec"), col("qe")) /
+          (sqrt(dot(col("cvec"), col("cvec"))) * sqrt(dot(col("qe"), col("qe"))))).as("c"))
+      .orderBy(col("c").desc, col("label"))
+      .limit(nProbe)
+      .select("label")
+
   private def ivfTopk(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
-    // coarse quantizer: per-label mean vector
-    val cent = emb
-      .select(col("label"), posexplode(asDouble(col("embedding"))))
-      .groupBy("label", "pos").agg(avg("col").as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cs"))
-      .select(col("label"), transform(col("cs"), x => x.getField("m")).as("cvec"))
-    val probed = cent.crossJoin(broadcast(q))
-      .select(col("label"),
-        (dot(col("cvec"), col("qe")) /
-          (sqrt(dot(col("cvec"), col("cvec"))) * sqrt(dot(col("qe"), col("qe"))))).as("c"))
-      .orderBy(col("c").desc, col("label"))
-      .limit(2)
-      .select("label")
+    val probed = coarseProbe(emb, q, nProbe = 2)
     emb.join(broadcast(probed), "label")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -622,14 +623,8 @@ object VectorQueries {
       .select(asDouble(col("embedding")).as("qe"))
     // ONE driver-side row — the user-supplied query vector
     val qArr = q.head.getSeq[Double](0).toArray
-    val probed = pqCodebook(emb).crossJoin(broadcast(q))
-      .select(col("c_label").as("label"),
-        (dot(col("cvec"), col("qe")) /
-          (sqrt(dot(col("cvec"), col("cvec"))) * sqrt(dot(col("qe"), col("qe"))))).as("c"))
-      .orderBy(col("c").desc, col("label"))
-      .limit(2)
-      .select("label")
-    val candIds = emb.join(broadcast(probed), "label").select("vec_id")
+    val candIds = emb.join(broadcast(coarseProbe(emb, q, nProbe = 2)), "label")
+      .select("vec_id")
     val (centT, codes) = pqTrain(emb, k = 4, iters = 2)
     adcDistances(
         codes.join(candIds, Seq("vec_id"), "left_semi")

@@ -241,6 +241,17 @@ object Admission {
   }
 
   /** Write-side path of a NEW segment (always `s<id>`). */
+  /** The catalog name the round-10 code registered for generation
+    * `gen` (g-prefixed, no root hash) — dropped alongside the current
+    * name when a legacy segment dies, so a persistent metastore is
+    * not left with entries pointing at deleted directories. */
+  private def legacyTableName(root: String, kind: String, gen: Int): String =
+    s"graft_adm_${kind}_g${gen}_" +
+      root.toLowerCase.replaceAll("[^a-z0-9]+", "_").dropWhile(_ == '_')
+
+  private def dropTableIfExists(s: SparkSession, name: String): Unit =
+    if (s.catalog.tableExists(name)) { s.sql(s"DROP TABLE $name"); () }
+
   private def basePath(root: String, kind: String, seg: Int): String =
     s"$root/${kind}_base/s$seg"
 
@@ -345,13 +356,15 @@ object Admission {
       idCol: String, selfInc: String): DataFrame = {
     val schema = schemaOf(kind, idCol)
     val st = readManifest(s, root)
-    val segs = st.segments
-      .filter(seg => segHasKind(s, root, kind, seg))
-      .map(seg =>
-        segTable(s, root, kind, st, seg)
-          .filter(col("inc") =!= lit(selfInc))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*))
-    val covered = coveredIncs(s, root, kind, st)
+    // probe each segment's on-disk presence ONCE: the frames and the
+    // covered-inc set both derive from it (2× fs.exists per segment
+    // would double metadata round-trips on the streaming hot path)
+    val withKind = st.segments.filter(seg => segHasKind(s, root, kind, seg))
+    val segs = withKind.map(seg =>
+      segTable(s, root, kind, st, seg)
+        .filter(col("inc") =!= lit(selfInc))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    val covered = withKind.flatMap(_.incs).toSet
     val dirs = listIncs(s, root, kind)
       .filterNot(covered).filterNot(_ == selfInc)
       .map(id => s"$root/$kind/inc=$id")
@@ -422,7 +435,23 @@ object Admission {
     val idxIncs = committedIncs(s, root, "index").toSet
     val unfolded = committedIncs(s, root, "digests")
       .filter(idxIncs).filterNot(st.folded)
-    if (unfolded.isEmpty) {
+    // Per-kind fold inputs: the new increments, plus folded-but-
+    // UNCOVERED dirs — a legacy (round-10) segment holds an inc's
+    // index/digests but never its corpus, so the corpus dir folds
+    // now. (Safe to list such an id in the new segment's inc set:
+    // coverage is derived per kind from dirs that actually exist,
+    // and the id's keyed data is already covered by the legacy
+    // segment.)
+    def foldIds(kind: String): Seq[String] = {
+      val covered = coveredIncs(s, root, kind, st)
+      listIncs(s, root, kind).filter(id =>
+        unfolded.contains(id) || (st.folded(id) && !covered(id)))
+    }
+    val foldIdsByKind = AllKinds.map(k => k -> foldIds(k)).toMap
+    // No-op iff there is NOTHING to fold — neither new increments nor
+    // uncovered legacy payload (so `compact` on a freshly upgraded
+    // round-10 root sweeps its corpus even before any new data lands).
+    if (unfolded.isEmpty && foldIdsByKind.values.forall(_.isEmpty)) {
       if (cleanup) collectGarbage(s, root, st)
       return false
     }
@@ -441,19 +470,6 @@ object Admission {
     // same call to rewrite and delete it would double the write I/O
     // of every merge round.
     val fs = fsOf(s, root)
-    // Per-kind fold inputs: the new increments, plus folded-but-
-    // UNCOVERED dirs — a legacy (round-10) segment holds an inc's
-    // index/digests but never its corpus, so the corpus dir folds
-    // now. (Safe to list such an id in the new segment's inc set:
-    // coverage is derived per kind from dirs that actually exist,
-    // and the id's keyed data is already covered by the legacy
-    // segment.)
-    def foldIds(kind: String): Seq[String] = {
-      val covered = coveredIncs(s, root, kind, st)
-      listIncs(s, root, kind).filter(id =>
-        unfolded.contains(id) || (st.folded(id) && !covered(id)))
-    }
-    val foldIdsByKind = AllKinds.map(k => k -> foldIds(k)).toMap
     val incBytes = AllKinds.map { kind =>
       foldIdsByKind(kind)
         .map(id => fs.getContentSummary(new Path(s"$root/$kind/inc=$id"))
@@ -466,9 +482,9 @@ object Admission {
     }
     val newId = st.nextSeg
     // ---- one new segment per kind: the increments, plus (major only)
-    // every live segment of that kind. index/digests are always
-    // written (a healthy admit commits both, even empty); the optional
-    // kinds (semidx/vecs) only where inputs exist.
+    // every live segment of that kind. index/digests are written even
+    // when empty on a real fold; the optional kinds (semidx/vecs)
+    // only where inputs exist.
     for (kind <- KeyedKinds) {
       val schema = schemaOf(kind, idCol)
       val withInc = StructType(schema.fields :+ StructField("inc", StringType))
@@ -484,7 +500,12 @@ object Admission {
         else st.segments.filter(seg => segHasKind(s, root, kind, seg))
           .map(seg => segTable(s, root, kind, st, seg))
       val parts = segFrames ++ incRows.toSeq
-      if (parts.nonEmpty || kind == "index" || kind == "digests")
+      // index/digests are force-written (even empty) only when real
+      // NEW increments folded — a legacy-corpus-only sweep must not
+      // mint empty keyed segments
+      val forceEmpty =
+        (kind == "index" || kind == "digests") && unfolded.nonEmpty
+      if (parts.nonEmpty || forceEmpty)
         writeKeyedSegment(s, root, kind, newId, effBuckets, idCol,
           parts.reduceOption(_ unionByName _).getOrElse(
             s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)))
@@ -550,9 +571,11 @@ object Admission {
           case n @ SegDir(id) if !live(id.toInt) => (n, id.toInt)
         }
         for ((dirName, g) <- dead) {
-          val name = tableName(root, kind, g)
-          if (kind != "corpus" && s.catalog.tableExists(name))
-            s.sql(s"DROP TABLE $name")
+          if (kind != "corpus") {
+            dropTableIfExists(s, tableName(root, kind, g))
+            if (dirName.startsWith("g"))
+              dropTableIfExists(s, legacyTableName(root, kind, g))
+          }
           fs.delete(new Path(s"$root/${kind}_base/$dirName"), true)
         }
       }
@@ -851,14 +874,15 @@ object Admission {
     val SegDir = "^[sg](\\d+)$".r
     for (kind <- KeyedKinds) {
       val baseDir = new Path(s"$root/${kind}_base")
-      val ids =
-        if (!fs.exists(baseDir)) Seq.empty[Int]
+      val dirs =
+        if (!fs.exists(baseDir)) Seq.empty[(String, Int)]
         else fs.listStatus(baseDir).map(_.getPath.getName).collect {
-          case SegDir(n) => n.toInt
+          case n @ SegDir(id) => (n, id.toInt)
         }.toSeq
-      for (g <- ids) {
-        val name = tableName(root, kind, g)
-        if (s.catalog.tableExists(name)) s.sql(s"DROP TABLE $name")
+      for ((dirName, g) <- dirs) {
+        dropTableIfExists(s, tableName(root, kind, g))
+        if (dirName.startsWith("g"))
+          dropTableIfExists(s, legacyTableName(root, kind, g))
       }
     }
     val p = new Path(root)

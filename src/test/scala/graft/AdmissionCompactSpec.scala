@@ -242,14 +242,14 @@ class AdmissionCompactSpec extends SparkSpec {
     assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L, 4L))
   }
 
-  test("a pre-leveled (round-10) root upgrades in place: legacy manifest, " +
-      "g-style base dirs, corpus still in inc dirs") {
+  /** Build a faithful round-10 root from a round-11 one: compact with
+    * cleanup=false (so corpus/inc=d1 survives), move the keyed
+    * segments from s1 to the old g1 layout, DROP the corpus segment
+    * (v1 never folded corpus), rewrite the manifest in the v1 format
+    * (buckets/idcol/folded lines only), and clear the catalog
+    * entries. */
+  private def makeLegacyRoot(): String = {
     import spark.implicits._
-    // Build a faithful round-10 root from a round-11 one: compact with
-    // cleanup=false (so corpus/inc=d1 survives), move the keyed
-    // segments from s1 to the old g1 layout, DROP the corpus segment
-    // (v1 never folded corpus), rewrite the manifest in the v1 format
-    // (buckets/idcol/folded lines only), and clear the catalog entries.
     val root = freshRoot()
     Admission.admit(Seq(
       (1L, "aa bb cc dd ee ff gg", "s"),
@@ -272,6 +272,13 @@ class AdmissionCompactSpec extends SparkSpec {
       .filter(_.name.startsWith("graft_adm_"))
       .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
     assert(new java.io.File(s"$root/corpus/inc=d1").exists, "v1 shape")
+    root
+  }
+
+  test("a pre-leveled (round-10) root upgrades in place: legacy manifest, " +
+      "g-style base dirs, corpus still in inc dirs") {
+    import spark.implicits._
+    val root = makeLegacyRoot()
 
     // the legacy state must SERVE: corpus from the inc dir, dedup
     // through the g1 segments
@@ -298,6 +305,30 @@ class AdmissionCompactSpec extends SparkSpec {
       "once covered by a segment, the legacy corpus inc dir is collectable")
     // and the folded corpus still reads back in full
     assert(Admission.corpus(spark, root).select("inc").distinct().count() == 2)
+  }
+
+  test("an upgraded root sweeps its legacy corpus without waiting for " +
+      "new increments") {
+    val root = makeLegacyRoot()
+    // no new data has landed — compact must STILL fold the v1 corpus
+    // inc dirs (the listing problem the upgrade is meant to fix), not
+    // no-op because nothing is 'unfolded'. mergeFactor pins the MINOR
+    // path so the no-empty-keyed-segments assertion below is exact.
+    assert(Admission.compact(spark, root, mergeFactor = 1e9),
+      "corpus-only sweep must count as real work")
+    assert(!new java.io.File(s"$root/corpus/inc=d1").exists,
+      "legacy corpus inc dir must be folded and collected")
+    assert(new java.io.File(s"$root/corpus_base").exists)
+    assert(ids(Admission.corpus(spark, root)) == Seq(1L, 2L))
+    // the sweep minted no empty keyed segments
+    val st = Admission.readManifest(spark, root)
+    val sweep = st.segments.filter(!_.legacy)
+    assert(sweep.nonEmpty)
+    for (seg <- sweep; kind <- Seq("index", "digests"))
+      assert(!new java.io.File(s"$root/${kind}_base/s${seg.id}").exists,
+        s"corpus-only sweep wrote an empty $kind segment")
+    // and a second sweep with still nothing new is a true no-op
+    assert(!Admission.compact(spark, root, mergeFactor = 1e9))
   }
 
   test("compact inherits the root's bucketing metadata: a different " +
