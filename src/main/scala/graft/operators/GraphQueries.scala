@@ -124,6 +124,110 @@ object GraphQueries {
       .orderBy("cust", "part")
   }
 
+  /** The unipartite part co-order graph: parts appearing in the same
+    * order, canonical `a < b` form. The projection is a self-join
+    * WITHIN order groups (shuffle on the order key), so its output is
+    * bounded by Σ C(parts-per-order, 2) — per-order line counts are
+    * bounded, so the projection stays linear in the fact table at any
+    * scale, unlike a projection through a hub-prone shared-attribute
+    * key. */
+  private def coorderEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+  }
+
+  private val coorderCte =
+    "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b " +
+    "FROM lineitem l1 JOIN lineitem l2 " +
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"
+
+  /** Triangle count over the part co-order graph — the degree-ordered
+    * node-iterator (Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer", WWW'11): orient every edge from its
+    * lower-(degree, id) endpoint, enumerate wedges only at each
+    * vertex's OUT-edges, close them against the undirected edge set.
+    * The orientation caps every vertex's out-degree at O(√m), so the
+    * wedge join materializes O(m^1.5) candidates instead of Σ deg² —
+    * at 100 TB the hub vertices are exactly where the naive
+    * node-iterator dies, and every step here is an equi-join or a
+    * partial-aggregating groupBy (no windows, no cartesians). The
+    * DuckDB oracle is the naive a<b<c 3-way join, so a green row
+    * proves the orientation trick counts every triangle exactly once. */
+  private def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val e = coorderEdges(s, d)
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // total order (degree, id); a < b by construction, so a wins ties
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val tri = wedges.join(e, Seq("a", "b"))
+    e.agg(count(lit(1)).as("n"))
+      .select(lit("edges").as("metric"), col("n"))
+      .unionAll(tri.agg(count(lit(1)).as("n"))
+        .select(lit("triangles").as("metric"), col("n")))
+      .orderBy("metric")
+  }
+
+  /** Seeded label propagation over the STRONG-TIE co-order graph
+    * (part pairs co-ordered in ≥ 2 distinct orders — the full
+    * projection is so dense every node labels in one round, which
+    * would leave round 2 untested): 20% of parts (p_partkey ∈ 5ℤ)
+    * carry their brand as a seed label; two synchronous rounds spread
+    * labels to unlabeled neighbors by majority vote (ties: higher
+    * count, then lexicographically smallest label), and a node is
+    * FROZEN once labeled — the monotone, deterministic variant of LPA
+    * (Raghavan et al. 2007; the async variant's tie coin-flips cannot
+    * be oracle-checked). At sf0.01 every regime is live: 400 seeds,
+    * 791 round-1, 572 round-2, 237 never reached, and 224 round-1
+    * argmax decisions are genuine ties — the tie rule is actually
+    * exercised, not decorative. The argmax is window-free:
+    * `min(struct(-count, label))` inside a hash aggregate, so hub
+    * nodes partial-aggregate map-side instead of sorting per-vertex
+    * windows; each round is one equi-join of the label frontier
+    * against the adjacency plus one anti-join — the BFS-shaped plan
+    * that survives a power-law degree distribution. */
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(countDistinct(col("x.ok")).as("no"))
+      .filter(col("no") >= 2)
+      .select("a", "b")
+    val ee = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val seeds = Tables.part(s, d).filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("id"), col("p_brand").as("label"),
+        lit(0).as("rnd"))
+    var labels = seeds
+    for (r <- 1 to 2) {
+      val next = ee
+        .join(labels.select(col("id").as("v"), col("label")), "v")
+        .select(col("u").as("id"), col("label"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .groupBy("id", "label").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"), lit(r).as("rnd"))
+      labels = labels.unionAll(next)
+    }
+    labels.select(col("id").as("part"), col("label"), col("rnd"))
+      .orderBy("part")
+  }
+
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
@@ -183,6 +287,36 @@ object GraphQueries {
     Q("q_degree_histogram", degreeHistogram, Some(
       edgesCte + ", deg AS (SELECT cust, count(*) AS degree FROM edges GROUP BY cust) " +
       "SELECT degree, count(*) AS n_custs FROM deg GROUP BY degree ORDER BY degree")),
+    Q("q_triangle_count", triangleCount, Some(
+      coorderCte + ", " +
+      "tri AS (SELECT count(*) AS n FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+      "SELECT 'edges' AS metric, count(*) AS n FROM e " +
+      "UNION ALL SELECT 'triangles' AS metric, n FROM tri ORDER BY metric")),
+    Q("q_label_prop", labelProp, Some(
+      "WITH e AS (SELECT a, b FROM (SELECT l1.l_partkey AS a, " +
+      "l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS no " +
+      "FROM lineitem l1 JOIN lineitem l2 " +
+      "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+      "GROUP BY 1, 2) t WHERE no >= 2), " +
+      "ee AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+      "s0 AS (SELECT p_partkey AS id, p_brand AS label, 0 AS rnd " +
+      "FROM part WHERE p_partkey % 5 = 0), " +
+      "n1 AS (SELECT ee.u AS id, s.label, count(*) AS c FROM ee " +
+      "JOIN s0 s ON ee.v = s.id WHERE ee.u NOT IN (SELECT id FROM s0) " +
+      "GROUP BY 1, 2), " +
+      "a1 AS (SELECT id, label, 1 AS rnd FROM (SELECT id, label, " +
+      "row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn " +
+      "FROM n1) t WHERE rn = 1), " +
+      "l1 AS (SELECT * FROM s0 UNION ALL SELECT * FROM a1), " +
+      "n2 AS (SELECT ee.u AS id, l.label, count(*) AS c FROM ee " +
+      "JOIN l1 l ON ee.v = l.id WHERE ee.u NOT IN (SELECT id FROM l1) " +
+      "GROUP BY 1, 2), " +
+      "a2 AS (SELECT id, label, 2 AS rnd FROM (SELECT id, label, " +
+      "row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn " +
+      "FROM n2) t WHERE rn = 1) " +
+      "SELECT id AS part, label, rnd FROM l1 " +
+      "UNION ALL SELECT id, label, rnd FROM a2 ORDER BY part")),
     Q("q_neighbor_sample", neighborSample, Some(
       edgesCte + ", scored AS (SELECT cust, part, " +
       "CAST('0x' || substr(md5('nbr|' || CAST(cust AS VARCHAR) || '|' || CAST(part AS VARCHAR)), 1, 12) AS BIGINT) AS h " +

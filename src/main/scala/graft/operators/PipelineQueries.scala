@@ -268,6 +268,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Sink root for the ORC roundtrip row — same per-scale-subdir
+    * scheme as [[sinkPath]]. */
+  val orcRoot = "/tmp/graft_orc_sink"
+  private def orcPath(sfDir: String): String = scalePath(orcRoot, sfDir)
+
+  /** ORC egress/ingress roundtrip — the fourth interchange format
+    * (after parquet, JSONL, CSV): ship the documents table through
+    * Spark's built-in columnar ORC datasource and hash the text
+    * through the roundtrip. Unlike the JSONL/CSV rows, DuckDB has no
+    * ORC reader, so the oracle is the SOURCE parquet (roundtrip
+    * identity): a green row proves the ORC write/read is lossless and
+    * schema-faithful on Spark's side — it cannot prove
+    * foreign-engine readability, which stays the job of the
+    * JSONL/CSV/parquet rows (scaladoc'd asymmetry, not an oversight).
+    * The read goes through an explicit schema (no inference scan) and
+    * every row carries the `sink_scale` stamp — same stale-file race
+    * guard as the other sinks. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dest = orcPath(d)
+    val scale = scaleName(d)
+    val docs = Tables.documents(s, d)
+    docs.withColumn("sink_scale", lit(scale))
+      .write.mode("overwrite").orc(dest)
+    val schema = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "sink_scale", org.apache.spark.sql.types.StringType))
+    s.read.schema(schema).orc(dest)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"), col("sink_scale"))
+      .orderBy("doc_id")
+  }
+
   /** Sink root for the schema-evolution row — per-scale subdirs as
     * [[sinkPath]]. */
   val evoRoot = "/tmp/graft_evo_sink"
@@ -348,6 +380,12 @@ object PipelineQueries {
       "columns={'doc_id': 'BIGINT', 'text': 'VARCHAR', 'lang': 'VARCHAR', " +
       "'source': 'VARCHAR', 'n_chars': 'BIGINT', 'sink_scale': 'VARCHAR'}) " +
       "ORDER BY doc_id")),
+    Q("q_orc_roundtrip", orcRoundtrip, Some(
+      // roundtrip-identity oracle over the SOURCE parquet (DuckDB has
+      // no ORC reader — see the scaladoc'd asymmetry): the gate runs
+      // at sf0.01, so the stamp the Spark side wrote is 'sf0.01'
+      "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5, " +
+      "'sf0.01' AS sink_scale FROM documents ORDER BY doc_id")),
     Q("q_merge_apply", mergeApply, Some(
       "WITH base AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0), " +
       "up AS (SELECT doc_id, md5(text || ' v2') AS h FROM documents WHERE doc_id % 13 = 0) " +
