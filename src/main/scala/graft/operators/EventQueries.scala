@@ -348,6 +348,45 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("k")
 
+  /** Time-series gap fill + hourly resample: the dense
+    * (hour × event_type) grid with zero-filled counts and a
+    * forward-filled last-known value — the shape every downstream
+    * window/anomaly job needs, because a bare groupBy silently DROPS
+    * empty cells ("no data this hour" is a fact, not an absence). The
+    * hour spine is `sequence(min_hour, max_hour)` exploded from a
+    * 1-row bounds aggregate; the type dimension joins in as a bounded
+    * broadcast (both allowlisted BNLJ shapes — the grid is
+    * hours × |keys|, never data × data). The fill metric is EXACT
+    * integer cents (`round(value·100)` cast long): a float running
+    * aggregate drifts with summation order across engines, integer
+    * sums are order-free and hash-stable (the `q_pmi_bigrams`
+    * lesson). The forward fill is `last(ignoreNulls)` over a per-type
+    * time window — partitioned by the series key, so at 100 TB each
+    * series sorts independently (one spine per key, no global-order
+    * window barrier). */
+  private def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("event_type").as("et"), col("value"))
+    val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1"))
+    val hrs = bounds.select(explode(
+      sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val typ = ev.select("et").distinct()
+    val agg = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("et"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("et").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hrs.crossJoin(broadcast(typ))
+      .join(agg, Seq("h", "et"), "left")
+      .select(fmt(col("h")).as("hour"), col("et").as("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("cents"), lit(0L)).as("value_cents"),
+        coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(0L))
+          .as("filled_cents"))
+      .orderBy("hour", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     // TRY_CAST keeps the oracle's malformed-JSON behavior aligned with
     // Spark's get_json_object (null, not error)
@@ -421,6 +460,20 @@ object EventQueries {
       "SELECT event_type, exact_n, min(n) AS cms_est " +
       "FROM probes JOIN buckets USING (j, b) GROUP BY 1, 2 ORDER BY 1"
     }),
+    Q("q_gap_fill", gapFill, Some(
+      "WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+      "date_trunc('hour', max(ts)) AS h1 FROM events), " +
+      "hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b), " +
+      "typ AS (SELECT DISTINCT event_type AS et FROM events), " +
+      "agg AS (SELECT date_trunc('hour', ts) AS h, event_type AS et, " +
+      "count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+      "FROM events GROUP BY 1, 2) " +
+      "SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour, g.et AS event_type, " +
+      "coalesce(a.n, 0) AS n_events, coalesce(a.cents, 0) AS value_cents, " +
+      "coalesce(last_value(a.cents IGNORE NULLS) OVER (PARTITION BY g.et ORDER BY g.h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents " +
+      "FROM (SELECT h, et FROM hrs CROSS JOIN typ) g " +
+      "LEFT JOIN agg a ON g.h = a.h AND g.et = a.et ORDER BY 1, 2")),
     Q("q_daily_type_counts", dailyTypeCounts, Some(
       "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, event_type, " +
       "count(*) AS n_events, count(DISTINCT user_id) AS n_users " +

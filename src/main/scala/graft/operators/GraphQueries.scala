@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.query.BipartiteExpand
+import graft.query.{BipartiteExpand, Checkpoints}
 import graft.sources.Tables
 
 /** Graph/traversal operator surface (SURVEY.md §2.5) mapped onto the
@@ -198,15 +198,32 @@ object GraphQueries {
     * windows; each round is one equi-join of the label frontier
     * against the adjacency plus one anti-join — the BFS-shaped plan
     * that survives a power-law degree distribution. */
-  private def labelProp(s: SparkSession, d: String): DataFrame = {
+  /** The strong-tie co-order graph (canonical `a < b` pairs co-ordered
+    * in ≥ 2 distinct orders) — ONE definition shared by [[labelProp]]
+    * and [[pageRank]] and kept textually in sync with both oracle
+    * CTEs, so the graph the two analytics run on cannot drift apart. */
+  private def strongTieEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("x").join(li.as("y"),
+    li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
       .agg(countDistinct(col("x.ok")).as("no"))
       .filter(col("no") >= 2)
       .select("a", "b")
+  }
+
+  /** The strong-tie edge CTE, verbatim twin of [[strongTieEdges]]. */
+  private val strongTieCte =
+    "WITH e AS (SELECT a, b FROM (SELECT l1.l_partkey AS a, " +
+    "l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS no " +
+    "FROM lineitem l1 JOIN lineitem l2 " +
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+    "GROUP BY 1, 2) t WHERE no >= 2), " +
+    "ee AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e)"
+
+  private def labelProp(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
     val ee = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     val seeds = Tables.part(s, d).filter(col("p_partkey") % 5 === 0)
@@ -226,6 +243,55 @@ object GraphQueries {
     }
     labels.select(col("id").as("part"), col("label"), col("rnd"))
       .orderBy("part")
+  }
+
+  /** PageRank over the strong-tie co-order graph — two synchronous
+    * power iterations at damping 0.85, in EXACT 64-bit fixed-point
+    * arithmetic: total mass scaled to 10^12 and every division a
+    * floor division (`div`). Floats are the classic cross-engine hash
+    * trap (IEEE −0.0, sum-order last-bit drift — the `q_pmi_bigrams`
+    * lesson), while integer addition is order-independent and integer
+    * division bit-identical in every engine — the same determinism a
+    * 1000-executor run needs for byte-reproducible ranks. Sizing: the
+    * mass ceiling is 10^12 and the interim `85 * m` product tops out
+    * below 10^14, far inside Long; floor loss is < 1 unit (1e-12 of
+    * total mass) per node per term, so ranks carry ~12 significant
+    * digits. Plan shape per iteration: one equi-join of the rank
+    * vector against the adjacency + one hash aggregate (partial
+    * map-side sums — hubs combine before the shuffle) + a left join
+    * back to the node set; the node count rides along as a broadcast
+    * 1-row scalar (allowlisted BNLJ). The graph has no dangling nodes
+    * by construction (every node of `ee` has out-degree ≥ 1), so no
+    * dangling-mass term is needed; mass conservation up to floor loss
+    * is pinned by [[GraphOpsSpec]]. Iterations localCheckpoint-cut so
+    * iteration N's plan doesn't re-derive the co-order self-join
+    * (same lineage policy as [[graft.query.BipartiteExpand]] /
+    * [[graft.query.KMeans]]). */
+  private def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
+    val ee = Checkpoints.cut(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))), None)
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("od"))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    val p0 = Checkpoints.cut(
+      deg.crossJoin(broadcast(n))
+        .select(col("u").as("id"),
+          expr("CAST(1000000000000 div nn AS LONG)").as("pr")), None)
+    var pr = p0
+    for (_ <- 1 to 2) {
+      val contrib = ee.join(pr.withColumnRenamed("id", "u"), "u")
+        .join(deg, "u")
+        .groupBy(col("v").as("id")).agg(sum(expr("pr div od")).as("m"))
+      pr = Checkpoints.cut(
+        p0.select("id").join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("id"), expr(
+            "CAST((15 * (1000000000000 div nn)) div 100" +
+            " + (85 * coalesce(m, 0L)) div 100 AS LONG)").as("pr")), None)
+    }
+    pr.select(col("id").as("part"), col("pr").as("pr_fx"))
+      .orderBy(desc("pr_fx"), col("part"))
   }
 
   /** Degree histogram of the bipartite graph (scale diagnostic: the
@@ -294,12 +360,7 @@ object GraphQueries {
       "SELECT 'edges' AS metric, count(*) AS n FROM e " +
       "UNION ALL SELECT 'triangles' AS metric, n FROM tri ORDER BY metric")),
     Q("q_label_prop", labelProp, Some(
-      "WITH e AS (SELECT a, b FROM (SELECT l1.l_partkey AS a, " +
-      "l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS no " +
-      "FROM lineitem l1 JOIN lineitem l2 " +
-      "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
-      "GROUP BY 1, 2) t WHERE no >= 2), " +
-      "ee AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e), " +
+      strongTieCte + ", " +
       "s0 AS (SELECT p_partkey AS id, p_brand AS label, 0 AS rnd " +
       "FROM part WHERE p_partkey % 5 = 0), " +
       "n1 AS (SELECT ee.u AS id, s.label, count(*) AS c FROM ee " +
@@ -317,6 +378,26 @@ object GraphQueries {
       "FROM n2) t WHERE rn = 1) " +
       "SELECT id AS part, label, rnd FROM l1 " +
       "UNION ALL SELECT id, label, rnd FROM a2 ORDER BY part")),
+    Q("q_pagerank", pageRank, Some(
+      // fixed-point twin of the Spark side: // is DuckDB floor
+      // division, `div` the Spark one — bit-identical on positive
+      // longs, and sum(BIGINT) is cast back down from HUGEINT
+      strongTieCte + ", " +
+      "deg AS (SELECT u, count(*) AS od FROM ee GROUP BY u), " +
+      "n AS (SELECT count(*) AS nn FROM deg), " +
+      "p0 AS (SELECT u AS id, (1000000000000 // nn) AS pr FROM deg, n), " +
+      "c0 AS (SELECT ee.v AS id, CAST(sum(p0.pr // deg.od) AS BIGINT) AS m " +
+      "FROM ee JOIN p0 ON ee.u = p0.id JOIN deg ON ee.u = deg.u GROUP BY 1), " +
+      "p1 AS (SELECT p0.id, (15 * (1000000000000 // nn)) // 100 " +
+      "+ (85 * coalesce(c0.m, 0)) // 100 AS pr " +
+      "FROM p0 LEFT JOIN c0 USING (id), n), " +
+      "c1 AS (SELECT ee.v AS id, CAST(sum(p1.pr // deg.od) AS BIGINT) AS m " +
+      "FROM ee JOIN p1 ON ee.u = p1.id JOIN deg ON ee.u = deg.u GROUP BY 1), " +
+      "p2 AS (SELECT p1.id, (15 * (1000000000000 // nn)) // 100 " +
+      "+ (85 * coalesce(c1.m, 0)) // 100 AS pr " +
+      "FROM p1 LEFT JOIN c1 USING (id), n) " +
+      "SELECT id AS part, CAST(pr AS BIGINT) AS pr_fx FROM p2 " +
+      "ORDER BY pr_fx DESC, part")),
     Q("q_neighbor_sample", neighborSample, Some(
       edgesCte + ", scored AS (SELECT cust, part, " +
       "CAST('0x' || substr(md5('nbr|' || CAST(cust AS VARCHAR) || '|' || CAST(part AS VARCHAR)), 1, 12) AS BIGINT) AS h " +

@@ -49,4 +49,30 @@ class GraphOpsSpec extends SparkSpec {
       "seed set must be exactly the %5 parts")
     assert(out.forall(r => Set(0, 1, 2)(r.getInt(2))))
   }
+
+  test("fixed-point pagerank: mass conserved up to floor loss, teleport " +
+      "floor respected, one row per node") {
+    val out = Catalog.byName("q_pagerank").fn(spark, dir).collect()
+    val n = out.length.toLong
+    assert(n > 0)
+    assert(out.map(_.getLong(0)).distinct.length == n, "a node repeated")
+    val scale = 1000000000000L
+    val mass = out.map(_.getLong(1)).sum
+    // floor loss: < 1 unit per DIRECTED EDGE per iteration (the
+    // pr div od contributions) plus < 2 per node per iteration (the
+    // two div-100 terms) plus < n for the initial split — edge count
+    // dominates; at smoke scale the observed loss is ~3.3e-9 of the
+    // mass, so a 1e-6 relative bound is generous yet still proves
+    // mass is conserved (a lost shuffle partition would shear off
+    // whole percents)
+    assert(mass <= scale, s"mass $mass exceeds the fixed-point base")
+    assert(mass >= scale - scale / 1000000L,
+      s"floor loss too large: ${scale - mass}")
+    // every node keeps at least the teleport share (15% of 1/N)
+    val teleport = (15L * (scale / n)) / 100L
+    assert(out.forall(_.getLong(1) >= teleport), "a rank fell below teleport")
+    // ranks must actually differentiate (a constant vector means the
+    // iteration never ran)
+    assert(out.map(_.getLong(1)).distinct.length > 1)
+  }
 }

@@ -36,7 +36,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_cluster_sizes", // 1-row corpus-total × clustered-total scalars
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
     "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
-    "q_vocab_growth" // 7-row checkpoint list broadcast, range condition
+    "q_vocab_growth", // 7-row checkpoint list broadcast, range condition
+    "q_pagerank",    // 1-row node-count scalar (fixed-point mass base)
+    "q_gap_fill"     // hour spine × 5-row event-type dimension (grid is
+                     // hours × |keys|, never data-sized on either side)
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -109,6 +109,30 @@ class RuleBatterySpec extends SparkSpec {
     assert(rows(0)._2 > 0, "empty funnel at smoke scale")
   }
 
+  test("q_gap_fill: dense grid, zero-filled gaps, forward fill carries " +
+      "the last observed value") {
+    val rows = Catalog.byName("q_gap_fill")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("hour", "event_type", "n_events", "value_cents", "filled_cents")
+      .as[(String, String, Long, Long, Long)].collect()
+    val hours = rows.map(_._1).distinct.sorted
+    val types = rows.map(_._2).distinct
+    assert(rows.length == hours.length * types.length,
+      "grid is not the full hour × type cross product")
+    val gaps = rows.filter(_._3 == 0)
+    assert(gaps.nonEmpty, "fixture produced no gap cells")
+    assert(gaps.forall(_._4 == 0L), "a gap cell carries observed value")
+    // replay the forward fill per type in plain Scala
+    types.foreach { t =>
+      var lastSeen = 0L
+      rows.filter(_._2 == t).sortBy(_._1).foreach { r =>
+        if (r._3 > 0) lastSeen = r._4
+        assert(r._5 == lastSeen,
+          s"fill drifted at (${r._1}, $t): got ${r._5}, want $lastSeen")
+      }
+    }
+  }
+
   test("JSONL roundtrip survives adversarial text (quotes/controls/unicode)") {
     import org.apache.spark.sql.functions._
     val nasty = Seq(
