@@ -387,6 +387,84 @@ object EventQueries {
       .orderBy("hour", "event_type")
   }
 
+  /** Interval union (gaps-and-islands): each event opens a 30-minute
+    * interval; overlapping/touching intervals per user merge into
+    * islands, reported as per-user counts and covered time. The
+    * island rule is the running-max-end formulation (an interval
+    * starts a new island iff its start exceeds the max end of ALL
+    * earlier intervals — lag(end) alone is wrong when a long interval
+    * swallows several short ones). Everything is integer µs, so the
+    * running max and the island sums are bit-stable across engines.
+    * Windows are partitioned by user — at 100 TB every user sorts
+    * independently; there is no global-order barrier. */
+  private def intervalMerge(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("en"))
+      .withColumn("pmax",
+        max("en").over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    iv.groupBy("user_id", "island")
+      .agg(min("st").as("ist"), max("en").as("ien"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_us"),
+        max(col("ien") - col("ist")).as("longest_us"))
+      .orderBy("user_id")
+  }
+
+  /** Hourly-count anomaly flags per event type, 2σ both sides — in
+    * EXACT integer arithmetic: |cnt − μ| > 2σ is algebraically
+    * (n·cnt − S)² > 4·(n·SS − S²) with S = Σcnt, SS = Σcnt² over the
+    * type's hours, which never materializes a float (σ needs a sqrt,
+    * μ a division — both cross-engine hash traps; the squared form is
+    * pure BIGINT and overflow-safe at gate scale: n ≤ 10³, cnt ≤ 10⁶
+    * keeps every product under 10¹⁸). Plan: one hourly hash
+    * aggregate, one per-type moment aggregate (5 rows → broadcast
+    * join back), one filter — at 100 TB the moments are a second-pass
+    * partial aggregate over the already-reduced hourly table. */
+  private def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val hc = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = hc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("n") * col("cnt") - col("s")
+    hc.join(broadcast(st), "event_type")
+      .filter(dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), fmt(col("h")).as("hour"), col("cnt"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** First-order Markov transition matrix of user behavior: for each
+    * user's event sequence (ts, event_id order), count (state → next
+    * state) transitions and report the row-normalized probability in
+    * fixed-point parts-per-million (integer `div` — bit-identical in
+    * both engines; a float ratio would re-fight the signed-zero/
+    * last-bit war). The lead() window is partitioned by user (scales
+    * per-key); the 5×5 transition table aggregates partially
+    * map-side; the row-total join is a broadcast of ≤ |states| rows. */
+  private def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val tot = tr.groupBy("from_type").agg(sum("n_trans").as("tot"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("CAST((n_trans * 1000000) div tot AS LONG)").as("prob_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[Q] = Seq(
     // TRY_CAST keeps the oracle's malformed-JSON behavior aligned with
     // Spark's get_json_object (null, not error)
@@ -500,6 +578,35 @@ object EventQueries {
       "UNION ALL SELECT 2, 'click', count(*) FROM t2 " +
       "UNION ALL SELECT 3, 'purchase', count(*) FROM t3) u ORDER BY step")),
     Q("q_funnel_watermarked", funnelWatermarked, Some(funnelWatermarkedSql)),
+    Q("q_interval_merge", intervalMerge, Some(
+      "WITH iv AS (SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 1800000000 AS en FROM events), " +
+      "x AS (SELECT user_id, st, en, max(en) OVER (PARTITION BY user_id ORDER BY st, en " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
+      "y AS (SELECT user_id, st, en, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS ni FROM x), " +
+      "z AS (SELECT user_id, st, en, sum(ni) OVER (PARTITION BY user_id ORDER BY st, en " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM y), " +
+      "isl AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien FROM z GROUP BY 1, 2) " +
+      "SELECT user_id, count(*) AS n_islands, CAST(sum(ien - ist) AS BIGINT) AS covered_us, " +
+      "max(ien - ist) AS longest_us FROM isl GROUP BY 1 ORDER BY 1")),
+    Q("q_anomaly_zscore", anomalyZscore, Some(
+      "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+      "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS ss " +
+      "FROM hc GROUP BY 1) " +
+      "SELECT hc.event_type, strftime(hc.h, '%Y-%m-%d %H:%M:%S') AS hour, hc.cnt, " +
+      "CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side " +
+      "FROM hc JOIN st USING (event_type) " +
+      "WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
+      "ORDER BY event_type, hour")),
+    Q("q_transition_matrix", transitionMatrix, Some(
+      "WITH x AS (SELECT user_id, event_type AS from_type, " +
+      "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), " +
+      "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans " +
+      "FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+      "t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+      "SELECT c.from_type, c.to_type, c.n_trans, (c.n_trans * 1000000) // t.tot AS prob_ppm " +
+      "FROM c JOIN t USING (from_type) ORDER BY 1, 2")),
     Q("q_retention_cohorts", retentionCohorts, Some(
       "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
       "fd AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) " +

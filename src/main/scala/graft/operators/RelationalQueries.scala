@@ -437,7 +437,109 @@ object RelationalQueries {
           element_at(col("ex"), 7), element_at(col("ex"), 9)).as("ok_p99"))
       .orderBy("l_returnflag")
 
+  /** General GROUPING SETS (the form CUBE/ROLLUP are sugar for) with a
+    * grouping-id disambiguator: priority×status detail, each single
+    * dimension, and the grand total in ONE pass — Catalyst plans the
+    * four sets as a single Expand + hash aggregate, so the fact table
+    * is scanned once, not four times (the at-scale reason this
+    * operator exists instead of four UNION ALL'd aggregates). The gid
+    * is composed from grouping() bits because a NULL-valued grouping
+    * column is otherwise ambiguous with a NULL group key. SQL path:
+    * see rollupAgg's note on the Dataset-API analyzer false positive. */
+  private def groupingSetsAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_gs_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |       grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM graft_gs_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+        .stripMargin)
+  }
+
+  /** 2-D skyline (Pareto frontier) of parts minimizing (price, size) —
+    * an operator relational engines lack natively (Börzsönyi et al.,
+    * ICDE 2001), built so NO step is quadratic or single-partition on
+    * data-sized input:
+    *   1. collapse to one row per distinct price with the min size
+    *      (hash aggregate — same-price dominance resolved here, since
+    *      a same-price smaller-size point strictly dominates);
+    *   2. the strict-prefix min over prices ascending is computed
+    *      two-level: per dollar-bucket minima (hash aggregate, output
+    *      bounded by the VALUE RANGE, not the data) get the
+    *      prior-bucket running min via a window over the tiny bucket
+    *      table, and the within-bucket window is partitioned by
+    *      bucket — no global-order single-partition sort anywhere;
+    *   3. survivors (price rows whose min-size beats every strictly
+    *      cheaper row) join back to the part table on (price, size)
+    *      to recover ALL frontier points (ties on both dims are
+    *      mutually non-dominating and all kept).
+    * Price is exact integer cents; the oracle is the textbook
+    * NOT-EXISTS dominance definition, so the green row proves the
+    * decomposition IS the skyline. */
+  private def skyline(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"),
+      col("p_size"))
+    val perPrice = p.groupBy("cents").agg(min("p_size").as("m"))
+      .withColumn("bkt", expr("cents div 100"))
+    val bktMin = perPrice.groupBy("bkt").agg(min("m").as("bm"))
+      .withColumn("prevBm", min("bm").over(Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val inBkt = Window.partitionBy("bkt").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = perPrice.join(broadcast(bktMin.select("bkt", "prevBm")), "bkt")
+      .withColumn("prevIn", min("m").over(inBkt))
+      .withColumn("rm", least(col("prevBm"), col("prevIn")))
+      .filter(col("rm").isNull || col("m") < col("rm"))
+      .select(col("cents"), col("m").as("p_size"))
+    p.join(surv, Seq("cents", "p_size"))
+      .select("p_partkey", "cents", "p_size")
+      .orderBy("p_partkey")
+  }
+
+  /** Equi-width histogram (20 buckets) of order totals — the profiling
+    * aggregate behind zone maps, CBO column stats and monitoring
+    * dashboards. Two passes: a 1-row bounds aggregate (broadcast —
+    * allowlisted scalar BNLJ) then one partial-aggregating bucket
+    * groupBy, so the fact table crosses exactly one exchange. Bucket
+    * math is exact integer cents: ((cents−lo)·20) div (hi−lo+1) lands
+    * in [0,19] by construction with no float boundary jitter. */
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select(expr("((cents - lo) * 20) div (hi - lo + 1)").as("bucket"),
+        col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_histogram", histogram, Some(
+      "WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+      "b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o) " +
+      "SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bucket, count(*) AS n_orders, " +
+      "min(cents) AS min_cents, max(cents) AS max_cents " +
+      "FROM o, b GROUP BY 1 ORDER BY 1")),
+    Q("q_grouping_sets", groupingSetsAgg, Some(
+      "SELECT o_orderpriority, o_orderstatus, " +
+      "CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT) AS gid, " +
+      "count(*) AS n_orders, round(sum(o_totalprice), 2) AS total " +
+      "FROM orders GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), " +
+      "(o_orderpriority), (o_orderstatus), ()) " +
+      "ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST")),
+    Q("q_skyline", skyline, Some(
+      "WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents, " +
+      "p_size FROM part) " +
+      "SELECT r.p_partkey, r.cents, r.p_size FROM p r WHERE NOT EXISTS (" +
+      "SELECT 1 FROM p s2 WHERE s2.cents <= r.cents AND s2.p_size <= r.p_size " +
+      "AND (s2.cents < r.cents OR s2.p_size < r.p_size)) ORDER BY r.p_partkey")),
     Q("q_percentiles", percentiles, Some(
       "SELECT o_orderstatus, pcts[1] AS p50, pcts[2] AS p90, pcts[3] AS p99 FROM " +
       "(SELECT o_orderstatus, list_transform(quantile_cont(o_totalprice, [0.5, 0.9, 0.99]), " +

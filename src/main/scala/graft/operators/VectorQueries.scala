@@ -31,6 +31,50 @@ object VectorQueries {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Matryoshka (MRL) two-stage retrieval (Kusupati et al., NeurIPS
+    * 2022): rank the corpus CHEAPLY on the 16-dim prefix of the
+    * embedding (MRL trains nested prefixes to be usable standalone),
+    * keep the top-50 candidates, then re-rank ONLY those 50 with the
+    * full 64-dim cosine. At 100 TB the first stage reads a quarter of
+    * the vector bytes (columnar stores can push the prefix slice to
+    * the scan) and the exact stage touches 50 rows — the same
+    * coarse-then-exact economics as IVF/PQ but with zero index build.
+    * Both stages rank on `round(·,4) + 0.0` with vec_id tiebreaks —
+    * total order, so LIMIT is deterministic cross-engine, and the
+    * `+ 0.0` kills IEEE −0.0 before it can reach a hash (near-zero
+    * cosines DO occur here, unlike the high-cos top-10 rows). Both
+    * broadcasts are the 1-row query vector (allowlisted BNLJ). */
+  def matryoshkaSearch(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, preDims: Int = 16, nCand: Int = 50,
+      k: Int = 10): DataFrame = {
+    val id = col(idCol)
+    val q = emb.filter(id === queryId)
+      .select(asDouble(slice(col(vecCol), 1, preDims)).as("qp"),
+        asDouble(col(vecCol)).as("qf"))
+    val cand = emb.crossJoin(broadcast(q))
+      .withColumn("ep", asDouble(slice(col(vecCol), 1, preDims)))
+      .select(id.as("vec_id"),
+        (round(dot(col("ep"), col("qp")) /
+          (sqrt(dot(col("ep"), col("ep"))) * sqrt(dot(col("qp"), col("qp")))), 4)
+          + lit(0.0)).as("cos_pref"))
+      .orderBy(col("cos_pref").desc, col("vec_id"))
+      .limit(nCand)
+    cand.join(emb.withColumnRenamed(idCol, "vec_id"), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("ef", asDouble(col(vecCol)))
+      .select(col("vec_id"), col("cos_pref"),
+        (round(dot(col("ef"), col("qf")) /
+          (sqrt(dot(col("ef"), col("ef"))) * sqrt(dot(col("qf"), col("qf")))), 4)
+          + lit(0.0)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def matryoshkaTopk(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    matryoshkaSearch(Tables.embeddings(s, d), "vec_id", "embedding", 0L)
+  }
+
   /** Brute-force cosine top-10 against the vec_id=0 query vector. */
   private def cosineTopk(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
@@ -727,6 +771,22 @@ object VectorQueries {
   }
 
   val all: Seq[Q] = Seq(
+    Q("q_matryoshka_topk", matryoshkaTopk, Some(
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+      "pr AS (SELECT e.vec_id, " +
+      "round(sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE) / " +
+      "(sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) * " +
+      "sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))), 4) + 0.0 AS cos_pref " +
+      "FROM embeddings e, q, range(1, 17) t(i) GROUP BY e.vec_id), " +
+      "cand AS (SELECT vec_id, cos_pref FROM pr ORDER BY cos_pref DESC, vec_id LIMIT 50), " +
+      "sc AS (SELECT e.vec_id, c.cos_pref, " +
+      "sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE) AS dd, " +
+      "sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS na, " +
+      "sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE) AS nb " +
+      "FROM embeddings e JOIN cand c USING (vec_id), q, range(1, 65) t(i) " +
+      "GROUP BY e.vec_id, c.cos_pref) " +
+      "SELECT vec_id, cos_pref, round(dd / (sqrt(na) * sqrt(nb)), 4) + 0.0 AS cos_sim " +
+      "FROM sc ORDER BY cos_sim DESC, vec_id LIMIT 10")),
     Q("q_cosine_topk", cosineTopk, Some(
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "sc AS (SELECT e.vec_id, " +

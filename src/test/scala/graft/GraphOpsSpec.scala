@@ -75,4 +75,74 @@ class GraphOpsSpec extends SparkSpec {
     // iteration never ran)
     assert(out.map(_.getLong(1)).distinct.length > 1)
   }
+
+  /** The strong-tie graph recomputed naively (collected to the driver —
+    * smoke scale) as an adjacency map for the plain-Scala replays. */
+  private def strongTieAdj(): Map[Long, Set[Long]] = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(countDistinct(col("x.ok")).as("no"))
+      .filter(col("no") >= 2).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    e.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    adj.toMap.withDefaultValue(Set.empty)
+  }
+
+  test("q_kcore: engine peel counts equal a plain-Scala peeling replay") {
+    val out = Catalog.byName("q_kcore").fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1, 2, 3, 4))
+    var adj = strongTieAdj()
+    var nodes = adj.keySet
+    val expected = (1 to 4).map { r =>
+      val surv = nodes.filter(u => (adj(u) & nodes).size >= 3)
+      nodes = surv
+      r -> surv.size.toLong
+    }.toMap
+    assert(out == expected, s"engine $out vs replay $expected")
+    // survivor counts must be monotonically non-increasing
+    assert((1 to 3).forall(r => out(r) >= out(r + 1)))
+  }
+
+  test("q_link_predict: scores equal a plain-Scala common-neighbor " +
+      "replay; no predicted pair is an existing edge") {
+    val out = Catalog.byName("q_link_predict").fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    val adj = strongTieAdj()
+    val expected = (for {
+      u <- adj.keysIterator if adj(u).size <= 16
+      Seq(p, q) <- adj(u).toSeq.sorted.combinations(2)
+    } yield (p, q)).toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong)
+      .filter { case ((p, q), cn) => cn >= 2 && !adj(p).contains(q) }
+      .toMap
+    assert(out == expected, "predicted pair set diverged from the replay")
+  }
+
+  test("q_sssp: distances equal a plain-Scala 3-round Bellman-Ford") {
+    val out = Catalog.byName("q_sssp").fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = strongTieAdj()
+    def w(a: Long, b: Long): Long = 1L + (a + b) % 9
+    var dist = adj.keySet.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = scala.collection.mutable.Map.from(dist)
+      dist.foreach { case (u, du) =>
+        adj(u).foreach { v =>
+          val nd = du + w(math.min(u, v), math.max(u, v))
+          if (!next.contains(v) || nd < next(v)) next(v) = nd
+        }
+      }
+      dist = next.toMap
+    }
+    assert(out == dist, "distance map diverged from the replay")
+    assert(out.nonEmpty && out.values.exists(_ == 0L), "seeds missing")
+    assert(out.values.exists(_ > 0L), "frontier never expanded")
+  }
 }

@@ -38,8 +38,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
     "q_vocab_growth", // 7-row checkpoint list broadcast, range condition
     "q_pagerank",    // 1-row node-count scalar (fixed-point mass base)
-    "q_gap_fill"     // hour spine × 5-row event-type dimension (grid is
+    "q_gap_fill",    // hour spine × 5-row event-type dimension (grid is
                      // hours × |keys|, never data-sized on either side)
+    "q_matryoshka_topk", // 1-row query vector broadcast (both stages)
+    "q_histogram"    // 1-row (lo, hi) bounds scalar
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -84,6 +84,73 @@ class PqSpec extends SparkSpec {
     assert(r >= 0.9, f"ADC must retrieve twin clusters: recall@10 $r%.2f")
   }
 
+  test("matryoshka two-stage: query ranks first at cos 1.0, results come " +
+      "from the prefix candidate set, iid recall@10 >= 0.4") {
+    val out = Catalog.byName("q_matryoshka_topk").fn(spark, dir).collect()
+    assert(out.length == 10)
+    assert(out.head.getLong(0) == 0L && out.head.getDouble(2) == 1.0,
+      "the query vector itself must rank first at cosine 1.0")
+    // stage-2 members must be stage-1 candidates (replayed in Scala)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = allVecs.find(_._1 == 0L).get._2
+    val cand = allVecs
+      .map { case (id, v) =>
+        id -> BigDecimal(cos(v.take(16), q.take(16)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1).toSet
+    assert(out.forall(r => cand(r.getLong(0))),
+      "a re-ranked row was not a prefix-stage candidate")
+    // recall vs the exact full-dim top-10, queries 0-4 (iid corpus =
+    // the worst case; measured 0.58 — docs/ann_recall.md)
+    val recalls = (0L until 5L).map { qid =>
+      val qv = allVecs.find(_._1 == qid).get._2
+      def key(id: Long, c: Double) =
+        (-BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      val exact = allVecs.map { case (id, v) => id -> cos(v, qv) }
+        .sortBy { case (id, c) => key(id, c) }.take(10).map(_._1).toSet
+      val pre = allVecs.map { case (id, v) => id -> cos(v.take(16), qv.take(16)) }
+        .sortBy { case (id, c) => key(id, c) }.take(50)
+      val got = pre.map { case (id, _) =>
+        id -> cos(allVecs.find(_._1 == id).get._2, qv) }
+        .sortBy { case (id, c) => key(id, c) }.take(10).map(_._1).toSet
+      (exact & got).size / 10.0
+    }
+    val r = recalls.sum / recalls.length
+    info(f"matryoshka iid recall@10 = $r%.2f (prefix 16/64, 50 candidates)")
+    assert(r >= 0.4, f"two-stage recall collapsed: $r%.2f")
+  }
+
+  test("matryoshka on the planted (clustered) corpus: recall@10 >= 0.9") {
+    val planted = VectorQueries
+      .plantedEmbeddings(spark, dir, everyNth = 50, nTwins = 10)
+      .persist()
+    val vecs = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter { case (id, _) => id % 50 == 0 && id < 250 }
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid)
+        .map { case (id, v) => id -> cos(v, qv) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val got = VectorQueries
+        .matryoshkaSearch(planted, "vec_id", "e", qid, k = 11)
+        .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      (exact & got).size / 10.0
+    }
+    planted.unpersist()
+    val r = recalls.sum / recalls.length
+    info(f"matryoshka planted recall@10 = $r%.2f")
+    assert(r >= 0.9, f"twin clusters must survive the prefix stage: $r%.2f")
+  }
+
   test("assignment plan: equi-join + hash aggregate, no window, no cartesian") {
     val (_, codes) = VectorQueries.pqTrain(emb, k = 4, iters = 2)
     val plan = codes.queryExecution.executedPlan.toString

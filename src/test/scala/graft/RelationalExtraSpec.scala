@@ -30,4 +30,29 @@ class RelationalExtraSpec extends SparkSpec {
     assert(n(false, true) > 0)        // per-segment
     assert(n(false, false) > 0)       // full detail
   }
+
+  test("q_histogram: buckets partition the table, bounds nest, bucket " +
+      "math replays exactly") {
+    val rows = Catalog.byName("q_histogram").fn(spark, dir)
+      .select("bucket", "n_orders", "min_cents", "max_cents")
+      .as[(Long, Long, Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+      .collect()
+    val cents = graft.sources.Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_._2).sum == cents.length, "histogram dropped rows")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 19))
+    val (lo, hi) = (cents.min, cents.max)
+    val expected = cents.groupBy(c => (c - lo) * 20 / (hi - lo + 1))
+      .map { case (b, cs) => b -> (cs.length.toLong, cs.min, cs.max) }
+    assert(rows.map(r => r._1 -> (r._2, r._3, r._4)).toMap == expected,
+      "bucket contents diverged from the integer replay")
+    // bucket [min,max] ranges must be disjoint and ordered
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, "bucket ranges overlap")
+      case _ =>
+    }
+  }
 }

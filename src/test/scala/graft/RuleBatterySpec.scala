@@ -193,4 +193,143 @@ class RuleBatterySpec extends SparkSpec {
       .filter(col("digest") =!= col("expect")).count()
     assert(wrong === 0, "an upsert did not win over the base row")
   }
+
+  /** (user_id, ts_µs, event_id, event_type) collected once for the
+    * round-11 event-rule replays. */
+  private def eventsUs(dir: String): Array[(Long, Long, Long, String)] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+  }
+
+  test("q_interval_merge: per-user islands equal a plain-Scala sweep") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_interval_merge").fn(spark, dir)
+      .select("user_id", "n_islands", "covered_us", "longest_us")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val gap = 1800L * 1000000L
+    val expected = eventsUs(dir).groupBy(_._1).view.mapValues { evs =>
+      val iv = evs.map(e => (e._2, e._2 + gap)).sortBy(identity)
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      iv.foreach { case (s0, e0) =>
+        if (islands.nonEmpty && s0 <= islands.last._2)
+          islands(islands.length - 1) =
+            (islands.last._1, math.max(islands.last._2, e0))
+        else islands += ((s0, e0))
+      }
+      (islands.length.toLong,
+        islands.map(i => i._2 - i._1).sum,
+        islands.map(i => i._2 - i._1).max)
+    }.toMap
+    assert(out == expected, "island sweep diverged")
+    assert(out.values.exists(_._1 > 1), "no user ever had a gap — rule untested")
+  }
+
+  test("q_anomaly_zscore: flags equal the exact-integer 2σ rule replayed") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_anomaly_zscore").fn(spark, dir)
+      .select("event_type", "hour", "cnt", "side")
+      .as[(String, String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val hourUs = 3600L * 1000000L
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val hourly = eventsUs(dir)
+      .groupBy(e => (e._4, e._2 / hourUs * hourUs))
+      .view.mapValues(_.length.toLong).toMap
+    val expected = hourly.groupBy(_._1._1).flatMap { case (_, hs) =>
+      val n = hs.size.toLong
+      val s0 = hs.values.sum
+      val ss = hs.values.map(c => c * c).sum
+      hs.filter { case (_, cnt) =>
+        val dev = n * cnt - s0
+        dev * dev > 4L * (n * ss - s0 * s0)
+      }.map { case ((et, us), cnt) =>
+        (et, fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))) ->
+          (cnt, if (n * cnt - s0 > 0) "high" else "low")
+      }
+    }
+    assert(out == expected, "anomaly flag set diverged")
+    // the fixtures' hourly counts are high-tail skewed: no hour falls 2σ
+    // BELOW its mean at any SF, so only the high side can fire — the
+    // side computation itself is still proven by the replay equality
+    assert(out.values.exists(_._2 == "high"), "no anomaly fired at smoke scale")
+  }
+
+  test("q_transition_matrix: counts equal a plain-Scala pairing; ppm " +
+      "rows under-sum one million by at most |row|") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_transition_matrix").fn(spark, dir)
+      .select("from_type", "to_type", "n_trans", "prob_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val expected = eventsUs(dir).groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).toSeq
+        .collect { case arr if arr.length == 2 => (arr(0), arr(1)) }
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == expected,
+      "transition counts diverged")
+    out.groupBy(_._1).foreach { case (ft, rows) =>
+      val ppm = rows.map(_._4).sum
+      assert(ppm <= 1000000L && ppm >= 1000000L - rows.length,
+        s"$ft row ppm sums to $ppm")
+    }
+  }
+
+  test("q_skyline: grid-pruned frontier equals naive dominance") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_skyline").fn(spark, dir)
+      .select("p_partkey", "cents", "p_size")
+      .as[(Long, Long, Int)].collect().toSet
+    val pts = {
+      import org.apache.spark.sql.functions.{col, round}
+      graft.sources.Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long"), col("p_size"))
+        .as[(Long, Long, Int)].collect()
+    }
+    val expected = pts.filter { case (_, c, z) =>
+      !pts.exists { case (_, c2, z2) =>
+        c2 <= c && z2 <= z && (c2 < c || z2 < z)
+      }
+    }.toSet
+    assert(out == expected, "skyline diverged from naive dominance")
+    assert(out.nonEmpty && out.size < pts.length)
+  }
+
+  test("q_scd2_build: versions contiguous, exactly one current row per key") {
+    val out = Catalog.byName("q_scd2_build").fn(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "version", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, String, String, Boolean)].collect()
+    out.groupBy(_._1).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to vs.length), s"key $k version gap")
+      assert(vs.count(_._5) == 1, s"key $k current-row count")
+      assert(sorted.last._5, s"key $k: current row is not the last version")
+      assert(sorted.last._4 == "9999-12-31 00:00:00")
+      // each version's valid_to is the next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"key $k interval gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_grouping_sets: margins are consistent with the detail cells") {
+    val out = Catalog.byName("q_grouping_sets")
+      .fn(spark, "/root/testdata/sf0.001")
+      .select("o_orderpriority", "o_orderstatus", "gid", "n_orders")
+      .as[(Option[String], Option[String], Int, Long)].collect()
+    val detail = out.filter(_._3 == 0)
+    val grand = out.filter(_._3 == 3)
+    assert(grand.length == 1 && grand.head._4 == detail.map(_._4).sum)
+    out.filter(_._3 == 1).foreach { case (p, _, _, n) =>
+      assert(n == detail.filter(_._1 == p).map(_._4).sum, s"priority margin $p")
+    }
+    out.filter(_._3 == 2).foreach { case (_, st, _, n) =>
+      assert(n == detail.filter(_._2 == st).map(_._4).sum, s"status margin $st")
+    }
+  }
 }
