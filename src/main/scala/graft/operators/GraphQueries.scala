@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.query.{BipartiteExpand, Checkpoints}
+import graft.query.{BipartiteExpand, Checkpoints, GraphAlgos}
 import graft.sources.Tables
 
 /** Graph/traversal operator surface (SURVEY.md §2.5) mapped onto the
@@ -157,28 +157,8 @@ object GraphQueries {
     * partial-aggregating groupBy (no windows, no cartesians). The
     * DuckDB oracle is the naive a<b<c 3-way join, so a green row
     * proves the orientation trick counts every triangle exactly once. */
-  private def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val e = coorderEdges(s, d)
-    val deg = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("dg"))
-    // total order (degree, id); a < b by construction, so a wins ties
-    val oriented = e
-      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
-      .select(
-        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    val tri = wedges.join(e, Seq("a", "b"))
-    e.agg(count(lit(1)).as("n"))
-      .select(lit("edges").as("metric"), col("n"))
-      .unionAll(tri.agg(count(lit(1)).as("n"))
-        .select(lit("triangles").as("metric"), col("n")))
-      .orderBy("metric")
-  }
+  private def triangleCount(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.triangleCount(coorderEdges(s, d))
 
   /** Seeded label propagation over the STRONG-TIE co-order graph
     * (part pairs co-ordered in ≥ 2 distinct orders — the full
@@ -267,32 +247,10 @@ object GraphQueries {
     * iteration N's plan doesn't re-derive the co-order self-join
     * (same lineage policy as [[graft.query.BipartiteExpand]] /
     * [[graft.query.KMeans]]). */
-  private def pageRank(s: SparkSession, d: String): DataFrame = {
-    val e = strongTieEdges(s, d)
-    val ee = Checkpoints.cut(
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v"))), None)
-    val deg = ee.groupBy("u").agg(count(lit(1)).as("od"))
-    val n = deg.agg(count(lit(1)).as("nn"))
-    val p0 = Checkpoints.cut(
-      deg.crossJoin(broadcast(n))
-        .select(col("u").as("id"),
-          expr("CAST(1000000000000 div nn AS LONG)").as("pr")), None)
-    var pr = p0
-    for (_ <- 1 to 2) {
-      val contrib = ee.join(pr.withColumnRenamed("id", "u"), "u")
-        .join(deg, "u")
-        .groupBy(col("v").as("id")).agg(sum(expr("pr div od")).as("m"))
-      pr = Checkpoints.cut(
-        p0.select("id").join(contrib, Seq("id"), "left")
-          .crossJoin(broadcast(n))
-          .select(col("id"), expr(
-            "CAST((15 * (1000000000000 div nn)) div 100" +
-            " + (85 * coalesce(m, 0L)) div 100 AS LONG)").as("pr")), None)
-    }
-    pr.select(col("id").as("part"), col("pr").as("pr_fx"))
+  private def pageRank(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.pageRank(strongTieEdges(s, d), iters = 2)
+      .select(col("id").as("part"), col("pr_fx"))
       .orderBy(desc("pr_fx"), col("part"))
-  }
 
   /** k-core peeling (k = 3, 4 synchronous rounds) over the strong-tie
     * co-order graph — the distributed formulation of Matula & Beck's
@@ -307,25 +265,8 @@ object GraphQueries {
     * round is live: 1880 nodes peel 1245 → 1078 → 1019 → 983, so the
     * green row proves the recompute-degrees-after-peel semantics, not
     * just a one-shot degree filter. */
-  private def kCore(s: SparkSession, d: String): DataFrame = {
-    val e = strongTieEdges(s, d)
-    var ee = Checkpoints.cut(
-      e.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v"))), None)
-    var out: DataFrame = null
-    for (r <- 1 to 4) {
-      val surv = ee.groupBy("u").agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= 3).select("u")
-      val row = surv.agg(count(lit(1)).as("survivors"))
-        .select(lit(r).as("rnd"), col("survivors"))
-      out = if (out == null) row else out.unionAll(row)
-      ee = Checkpoints.cut(
-        ee.join(surv, Seq("u"), "left_semi")
-          .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .select("u", "v"), None)
-    }
-    out.orderBy("rnd")
-  }
+  private def kCore(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.kCore(strongTieEdges(s, d), k = 3, rounds = 4)
 
   /** Common-neighbor link prediction over the strong-tie graph: score
     * every NON-adjacent pair by the number of shared neighbors
@@ -339,21 +280,8 @@ object GraphQueries {
     * still checks the EXACT predictor). Everything is an equi-join or
     * a hash aggregate: wedge join on the center, anti-join against the
     * canonical edge list, partial-aggregating witness count. */
-  private def linkPredict(s: SparkSession, d: String): DataFrame = {
-    val e = strongTieEdges(s, d)
-    val ee = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-    val deg = ee.groupBy("u").agg(count(lit(1)).as("dg"))
-    val capped = ee.join(deg.filter(col("dg") <= 16).select("u"), "u")
-    val cand = capped.as("x").join(capped.as("y"),
-        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-      .select(col("x.v").as("part_a"), col("y.v").as("part_b"))
-    cand.groupBy("part_a", "part_b").agg(count(lit(1)).as("cn"))
-      .join(e.select(col("a").as("part_a"), col("b").as("part_b")),
-        Seq("part_a", "part_b"), "left_anti")
-      .filter(col("cn") >= 2)
-      .orderBy(desc("cn"), col("part_a"), col("part_b"))
-  }
+  private def linkPredict(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.commonNeighbors(strongTieEdges(s, d), degCap = 16, minCn = 2L)
 
   /** Single-source-set shortest paths: 3 synchronous Bellman-Ford
     * relaxation rounds from the seed set (parts ≡ 0 mod 97) over the
@@ -368,25 +296,9 @@ object GraphQueries {
     * aggregate (partial map-side — hubs combine before the shuffle),
     * localCheckpoint-cut. This is the delta-stepping-shaped plan that
     * scales: no windows, frontier bounded by the reached set. */
-  private def sssp(s: SparkSession, d: String): DataFrame = {
-    val e = strongTieEdges(s, d)
-      .withColumn("w", lit(1L) + (col("a") + col("b")) % 9)
-    val ee = Checkpoints.cut(
-      e.select(col("a").as("u"), col("b").as("v"), col("w"))
-        .unionAll(e.select(col("b").as("u"), col("a").as("v"), col("w"))),
-      None)
-    var dist = ee.select("u").distinct()
-      .filter(col("u") % 97 === 0)
-      .withColumn("dist", lit(0L))
-    for (_ <- 1 to 3) {
-      dist = Checkpoints.cut(
-        dist.unionAll(
-            ee.join(dist, "u")
-              .select(col("v").as("u"), (col("dist") + col("w")).as("dist")))
-          .groupBy("u").agg(min("dist").as("dist")), None)
-    }
-    dist.select(col("u").as("part"), col("dist")).orderBy("part")
-  }
+  private def sssp(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.sssp(strongTieEdges(s, d), u => u % 97 === 0, rounds = 3)
+      .select(col("u").as("part"), col("dist")).orderBy("part")
 
   /** Degree histogram of the bipartite graph (scale diagnostic: the
     * skew profile that decides salting/AQE at 100 TB). */

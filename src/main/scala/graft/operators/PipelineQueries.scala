@@ -391,7 +391,56 @@ object PipelineQueries {
       .orderBy("o_custkey", "version")
   }
 
+  /** Point-in-time (temporal) join against the SCD2 dimension built by
+    * [[scd2Build]]: classify every lineitem by its customer's
+    * order-priority version valid AT ship time vs the priority on its
+    * own order — the "which dimension version was true when the fact
+    * happened" join every warehouse backfill needs (and the one that
+    * silently goes wrong when joined to the CURRENT version instead).
+    * LEFT semantics: ~9% of items ship before the customer's first
+    * version exists (the fixture's ship dates are not causally ordered
+    * after order dates) and land in a NULL prio_at_ship bucket, so the
+    * output partitions the full fact table — n_items sums to
+    * count(lineitem). Plan: the version table joins on the EQUI key
+    * (custkey) with the interval predicate as a residual filter —
+    * per-key version counts are bounded (~10), so the fanout is a
+    * constant, not a range-join blowup; at larger version histories
+    * the binned range-join pattern of `q_range_join_binned` applies.
+    * Versions come from one per-key lead() window (scd2Build's shape). */
+  private def pitJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val scd = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("vt", lead("o_orderdate", 1).over(byKey))
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("vf"),
+        col("vt"), col("o_orderpriority").as("pship"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"), col("o_orderpriority").as("prio_at_order")),
+        "l_orderkey")
+    li.join(scd,
+        col("o_custkey") === col("c") && col("l_shipdate") >= col("vf") &&
+          (col("vt").isNull || col("l_shipdate") < col("vt")), "left")
+      .groupBy(col("prio_at_order"), col("pship").as("prio_at_ship"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("prio_at_order"), col("prio_at_ship").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_pit_join", pitJoin, Some(
+      "WITH scd AS (SELECT o_custkey AS c, o_orderdate AS vf, " +
+      "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt, " +
+      "o_orderpriority AS pship FROM orders), " +
+      "li AS (SELECT l.l_shipdate, o.o_custkey, o.o_orderpriority AS prio_at_order " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) " +
+      "SELECT li.prio_at_order, s.pship AS prio_at_ship, count(*) AS n_items " +
+      "FROM li LEFT JOIN scd s ON li.o_custkey = s.c AND li.l_shipdate >= s.vf " +
+      "AND (s.vt IS NULL OR li.l_shipdate < s.vt) " +
+      "GROUP BY 1, 2 ORDER BY prio_at_order, prio_at_ship NULLS FIRST")),
     Q("q_scd2_build", scd2Build, Some(
       "WITH x AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, " +
       "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version, " +

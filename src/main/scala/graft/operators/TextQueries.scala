@@ -584,27 +584,57 @@ object TextQueries {
     "de" -> Seq("der", "die", "und", "das"),
     "fr" -> Seq("le", "et", "les", "une"))
 
-  /** Language-ID heuristic: CJK codepoint check + stopword votes with a
-    * fixed priority order (en > es > de > fr) — a deterministic n-gram
-    * style classifier computed identically by engine and oracle. */
-  private def langId(s: SparkSession, d: String): DataFrame = {
+  /** Per-language stopword-vote scores over `text` — ONE definition
+    * shared by [[langId]] and [[langConfusion]] so the per-doc row and
+    * the confusion matrix cannot drift (the coarseProbe/funnelTimes
+    * drift-proofing pattern). */
+  private def langScoreCols: Seq[(String, Column)] = {
     val w = words(col("text"))
-    val scores = langMarkers.map { case (l, ms) =>
+    langMarkers.map { case (l, ms) =>
       l -> size(filter(w, x => x.isin(ms: _*)))
     }
+  }
+
+  /** The language prediction of [[langId]]: CJK codepoint check +
+    * stopword votes with a fixed priority order (en > es > de > fr). */
+  private def langPredCol: Column = {
+    val scores = langScoreCols
     val best = greatest(scores.map(_._2): _*)
-    val pred = when(col("text").rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
+    when(col("text").rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
       .when(best === 0, "unknown")
       .otherwise(scores.foldRight(lit("unknown"): Column) { case ((l, sc), acc) =>
         when(sc === best, l).otherwise(acc)
       })
+  }
+
+  /** Language-ID heuristic — a deterministic n-gram-style classifier
+    * computed identically by engine and oracle. */
+  private def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         (Seq(col("doc_id")) ++
-          scores.map { case (l, sc) => sc.as(s"s_$l") } :+
-          pred.as("pred_lang") :+
+          langScoreCols.map { case (l, sc) => sc.as(s"s_$l") } :+
+          langPredCol.as("pred_lang") :+
           col("lang")): _*)
       .orderBy("doc_id")
+
+  /** Classifier-evaluation-as-an-operator: the confusion matrix of
+    * [[langId]]'s prediction against the corpus's labeled `lang`
+    * column, with per-true-language shares in fixed-point ppm
+    * (integer `div` — engine-exact). This is the eval every curation
+    * pipeline runs before trusting a filter at 100 TB; it is one
+    * scan-stage prediction + one hash aggregate + a ≤|langs|²-row
+    * broadcast totals join — evaluation costs one pass, not a
+    * collect. */
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val cm = Tables.documents(s, d)
+      .select(col("lang"), langPredCol.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy("lang").agg(sum("n_docs").as("tot"))
+    cm.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("CAST((n_docs * 1000000) div tot AS LONG)").as("share_ppm"))
+      .orderBy("lang", "pred_lang")
   }
 
   /** Per-document 4-word rolling window hashes (base-131 polynomial
@@ -1736,6 +1766,22 @@ object TextQueries {
       "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' " +
       s"WHEN best = 0 THEN 'unknown' ELSE $langCase END AS pred_lang, lang " +
       "FROM g ORDER BY doc_id")),
+    Q("q_lang_confusion", langConfusion, Some(
+      "WITH s AS (SELECT doc_id, lang, text, " +
+      langMarkers.map { case (l, ms) =>
+        s"CAST(len(list_filter(regexp_extract_all(text, '\\S+'), " +
+        s"x -> x IN (${ms.map(m => s"'$m'").mkString(",")}))) AS INT) AS s_$l"
+      }.mkString(", ") +
+      " FROM documents), " +
+      "g AS (SELECT *, greatest(s_en, s_es, s_de, s_fr) AS best FROM s), " +
+      "p AS (SELECT lang, " +
+      "CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh' " +
+      s"WHEN best = 0 THEN 'unknown' ELSE $langCase END AS pred_lang FROM g), " +
+      "c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM p GROUP BY 1, 2), " +
+      "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+      "SELECT c.lang, c.pred_lang, c.n_docs, (c.n_docs * 1000000) // t.tot AS share_ppm " +
+      "FROM c JOIN t USING (lang) ORDER BY 1, 2")),
     Q("q_fingerprint", fingerprint, Some(
       "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id")),
     Q("q_rolling_fingerprint", rollingFingerprint, Some(

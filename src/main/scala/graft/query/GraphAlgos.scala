@@ -1,0 +1,142 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Library surface for the graph analytics the catalog exposes as
+  * `q_triangle_count` / `q_kcore` / `q_sssp` / `q_link_predict` /
+  * `q_pagerank`: the same algorithm cores, parameterized over ANY
+  * canonical undirected edge list (`a < b`, one row per edge), so a
+  * user can run them on their own graph and [[graft.tools.GraphScale]]
+  * can measure them on replicated corpora. The catalog rows in
+  * [[graft.operators.GraphQueries]] delegate here — the oracle gate
+  * checks THESE implementations.
+  *
+  * Design rules shared by every algorithm (the 100 TB contract):
+  * equi-joins and partial-aggregating groupBys only — no windows, no
+  * cartesians; iteration lineage is localCheckpoint-cut (the BFS
+  * policy from [[BipartiteExpand]]); all ranking/weight arithmetic is
+  * 64-bit integer, so results are bit-reproducible under any
+  * partitioning.
+  */
+object GraphAlgos {
+
+  /** Both orientations (u, v) of a canonical (a < b) edge list. */
+  def undirect(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+
+  /** Degree-ordered node-iterator triangle count (Suri &
+    * Vassilvitskii, WWW'11): orient from the lower-(degree, id)
+    * endpoint — out-degree capped at O(√m) — enumerate wedges at
+    * out-edges, close against the edge set. Returns
+    * (metric ∈ {edges, triangles}, n). */
+  def triangleCount(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val tri = wedges.join(e, Seq("a", "b"))
+    e.agg(count(lit(1)).as("n"))
+      .select(lit("edges").as("metric"), col("n"))
+      .unionAll(tri.agg(count(lit(1)).as("n"))
+        .select(lit("triangles").as("metric"), col("n")))
+      .orderBy("metric")
+  }
+
+  /** k-core peeling (Matula & Beck), `rounds` synchronous rounds:
+    * drop vertices with current degree < k, restrict edges to
+    * survivor–survivor, repeat. Returns (rnd, survivors) per round. */
+  def kCore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var ee = Checkpoints.cut(undirect(e), None)
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val surv = ee.groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("u")
+      val row = surv.agg(count(lit(1)).as("survivors"))
+        .select(lit(r).as("rnd"), col("survivors"))
+      out = if (out == null) row else out.unionAll(row)
+      ee = Checkpoints.cut(
+        ee.join(surv, Seq("u"), "left_semi")
+          .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select("u", "v"), None)
+    }
+    out.orderBy("rnd")
+  }
+
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg):
+    * non-adjacent pairs with ≥ `minCn` shared neighbors, wedge
+    * enumeration restricted to centers of degree ≤ `degCap` (the
+    * Σ deg² hub guard). Returns (part_a, part_b, cn), best first. */
+  def commonNeighbors(e: DataFrame, degCap: Int, minCn: Long): DataFrame = {
+    val ee = undirect(e)
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("dg"))
+    val capped = ee.join(deg.filter(col("dg") <= degCap).select("u"), "u")
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("part_a"), col("y.v").as("part_b"))
+    cand.groupBy("part_a", "part_b").agg(count(lit(1)).as("cn"))
+      .join(e.select(col("a").as("part_a"), col("b").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .filter(col("cn") >= minCn)
+      .orderBy(desc("cn"), col("part_a"), col("part_b"))
+  }
+
+  /** `rounds` synchronous Bellman-Ford relaxations from the seed set
+    * `seedPred(u)` with deterministic integer weights
+    * w = 1 + (a+b) mod 9. Returns (u, dist) over the reached set. */
+  def sssp(e: DataFrame, seedPred: Column => Column, rounds: Int): DataFrame = {
+    val ew = e.withColumn("w", lit(1L) + (col("a") + col("b")) % 9)
+    val ee = Checkpoints.cut(
+      ew.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionAll(ew.select(col("b").as("u"), col("a").as("v"), col("w"))),
+      None)
+    var dist = ee.select("u").distinct()
+      .filter(seedPred(col("u")))
+      .withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      dist = Checkpoints.cut(
+        dist.unionAll(
+            ee.join(dist, "u")
+              .select(col("v").as("u"), (col("dist") + col("w")).as("dist")))
+          .groupBy("u").agg(min("dist").as("dist")), None)
+    }
+    dist.orderBy("u")
+  }
+
+  /** `iters` synchronous PageRank power iterations at damping 0.85 in
+    * exact 64-bit fixed point (mass base 10^12, floor division — see
+    * the q_pagerank scaladoc for the overflow/floor-loss sizing).
+    * Returns (id, pr_fx), highest rank first. */
+  def pageRank(e: DataFrame, iters: Int): DataFrame = {
+    val ee = Checkpoints.cut(undirect(e), None)
+    val deg = ee.groupBy("u").agg(count(lit(1)).as("od"))
+    val n = deg.agg(count(lit(1)).as("nn"))
+    val p0 = Checkpoints.cut(
+      deg.crossJoin(broadcast(n))
+        .select(col("u").as("id"),
+          expr("CAST(1000000000000 div nn AS LONG)").as("pr")), None)
+    var pr = p0
+    for (_ <- 1 to iters) {
+      val contrib = ee.join(pr.withColumnRenamed("id", "u"), "u")
+        .join(deg, "u")
+        .groupBy(col("v").as("id")).agg(sum(expr("pr div od")).as("m"))
+      pr = Checkpoints.cut(
+        p0.select("id").join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("id"), expr(
+            "CAST((15 * (1000000000000 div nn)) div 100" +
+            " + (85 * coalesce(m, 0L)) div 100 AS LONG)").as("pr")), None)
+    }
+    pr.select(col("id"), col("pr").as("pr_fx"))
+      .orderBy(desc("pr_fx"), col("id"))
+  }
+}

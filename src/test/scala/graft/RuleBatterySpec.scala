@@ -317,6 +317,52 @@ class RuleBatterySpec extends SparkSpec {
     }
   }
 
+  test("q_pit_join: buckets partition the fact table; NULL bucket is " +
+      "exactly the pre-history items; version drift is live") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_pit_join").fn(spark, dir)
+      .select("prio_at_order", "prio_at_ship", "n_items")
+      .as[(String, Option[String], Long)].collect()
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    assert(out.map(_._3).sum == li.count(), "PIT buckets dropped fact rows")
+    // NULL prio_at_ship == items shipped before the customer's first
+    // version existed
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val firstV = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("f"))
+    val preHistory = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"))
+      .join(firstV, "o_custkey")
+      .filter(col("l_shipdate") < col("f")).count()
+    assert(out.filter(_._2.isEmpty).map(_._3).sum == preHistory,
+      "NULL bucket is not exactly the pre-history items")
+    // the operator must actually observe drift (ship-time version !=
+    // order-time version), else the PIT join is indistinguishable
+    // from a plain dimension join
+    assert(out.exists(r => r._2.exists(_ != r._1) && r._3 > 0),
+      "no version drift observed — fixture degenerate")
+  }
+
+  test("q_lang_confusion: matrix equals a regroup of q_lang_id's rows; " +
+      "ppm rows under-sum one million by at most |row|") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_lang_confusion").fn(spark, dir)
+      .select("lang", "pred_lang", "n_docs", "share_ppm")
+      .as[(String, String, Long, Long)].collect()
+    val perDoc = Catalog.byName("q_lang_id").fn(spark, dir)
+      .select("lang", "pred_lang").as[(String, String)].collect()
+    val expected = perDoc.groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap == expected,
+      "confusion matrix diverged from the per-doc classifier rows")
+    assert(out.map(_._3).sum == perDoc.length, "matrix dropped documents")
+    out.groupBy(_._1).foreach { case (l, rows) =>
+      val ppm = rows.map(_._4).sum
+      assert(ppm <= 1000000L && ppm >= 1000000L - rows.length,
+        s"$l ppm row sums to $ppm")
+    }
+  }
+
   test("q_grouping_sets: margins are consistent with the detail cells") {
     val out = Catalog.byName("q_grouping_sets")
       .fn(spark, "/root/testdata/sf0.001")
