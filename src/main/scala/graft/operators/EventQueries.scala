@@ -367,14 +367,19 @@ object EventQueries {
   private def gapFill(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("ts"), col("event_type").as("et"), col("value"))
-    val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
-      date_trunc("hour", max("ts")).as("h1"))
+    // ONE scan of the fact table: the spine bounds and the type
+    // dimension both derive from the (hours × |keys|)-sized hourly
+    // aggregate, which is materialized once (localCheckpoint) — the
+    // earlier form re-scanned 100 TB of events three times for two
+    // tiny frames (round-11 review finding)
+    val agg = graft.query.Checkpoints.cut(
+      ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("et"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents")), None)
+    val bounds = agg.agg(min("h").as("h0"), max("h").as("h1"))
     val hrs = bounds.select(explode(
       sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-    val typ = ev.select("et").distinct()
-    val agg = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("et"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val typ = agg.select("et").distinct()
     val w = Window.partitionBy("et").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hrs.crossJoin(broadcast(typ))
@@ -437,6 +442,34 @@ object EventQueries {
     val dev = col("n") * col("cnt") - col("s")
     hc.join(broadcast(st), "event_type")
       .filter(dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), fmt(col("h")).as("hour"), col("cnt"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** Prequential anomaly detection — the streaming-shaped twin of
+    * [[anomalyZscore]]: each hour is tested against the moments of
+    * hours strictly BEFORE it (per type, event-time order, n ≥ 8
+    * warmup), so no verdict ever uses the future — exactly what a
+    * live monitor can compute, and exactly the fold
+    * [[graft.streaming.EventStreams.anomalyStream]] keeps as 3-long
+    * streaming state ((n, S, SS) per key; `StreamingSpec` pins
+    * stream ≡ batch). Same exact-integer algebra as the global
+    * variant; the prefix moments are per-key windows — every type's
+    * history scans independently at scale. */
+  private def anomalyPrequential(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hc = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val dev = col("n") * col("cnt") - col("s")
+    hc.select(col("event_type"), col("h"), col("cnt"),
+        count(lit(1)).over(w).as("n"),
+        coalesce(sum("cnt").over(w), lit(0L)).as("s"),
+        coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)).as("ss"))
+      .filter(col("n") >= 8 &&
+        dev * dev > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
       .select(col("event_type"), fmt(col("h")).as("hour"), col("cnt"),
         when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
       .orderBy("event_type", "hour")
@@ -598,6 +631,19 @@ object EventQueries {
       "CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side " +
       "FROM hc JOIN st USING (event_type) " +
       "WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
+      "ORDER BY event_type, hour")),
+    Q("q_anomaly_prequential", anomalyPrequential, Some(
+      "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, h, cnt, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n, " +
+      "CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS s, " +
+      "CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS ss " +
+      "FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cnt, " +
+      "CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side " +
+      "FROM r WHERE n >= 8 AND (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
       "ORDER BY event_type, hour")),
     Q("q_transition_matrix", transitionMatrix, Some(
       "WITH x AS (SELECT user_id, event_type AS from_type, " +

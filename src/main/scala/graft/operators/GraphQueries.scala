@@ -204,8 +204,11 @@ object GraphQueries {
 
   private def labelProp(s: SparkSession, d: String): DataFrame = {
     val e = strongTieEdges(s, d)
-    val ee = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    // ONE symmetrization definition (GraphAlgos.undirect) — shared
+    // with pageRank/kCore/sssp and textually in sync with the oracle
+    // CTE's `ee` (round-11 review finding: the copy-pasted unionAll
+    // was the drift the "ONE definition" scaladoc claimed to prevent)
+    val ee = graft.query.GraphAlgos.undirect(e)
     val seeds = Tables.part(s, d).filter(col("p_partkey") % 5 === 0)
       .select(col("p_partkey").as("id"), col("p_brand").as("label"),
         lit(0).as("rnd"))
@@ -234,9 +237,14 @@ object GraphQueries {
     * division bit-identical in every engine — the same determinism a
     * 1000-executor run needs for byte-reproducible ranks. Sizing: the
     * mass ceiling is 10^12 and the interim `85 * m` product tops out
-    * below 10^14, far inside Long; floor loss is < 1 unit (1e-12 of
-    * total mass) per node per term, so ranks carry ~12 significant
-    * digits. Plan shape per iteration: one equi-join of the rank
+    * below 10^14, far inside Long; floor loss is < 1 unit per
+    * DIRECTED EDGE per iteration (each of a node's od outgoing
+    * `pr div od` contributions floors independently) plus < 2 per
+    * node per iteration for the div-100 terms — so precision scales
+    * with average degree, not a constant: at |E| directed edges the
+    * loss per iteration is ≤ |E| · 1e-12 of total mass (measured
+    * 3,292 units over 2 iterations at sf0.001's 4,648 half-edges;
+    * `GraphOpsSpec` pins the bound). Plan shape per iteration: one equi-join of the rank
     * vector against the adjacency + one hash aggregate (partial
     * map-side sums — hubs combine before the shuffle) + a left join
     * back to the node set; the node count rides along as a broadcast

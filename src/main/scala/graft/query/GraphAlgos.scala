@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphAlgos {
 
+  /** Default iteration-lineage cut (eager localCheckpoint). Specs pass
+    * `identity` to inspect the LAZY join tree — the eager form hides
+    * every internal join behind an RDD scan, so a plan guard that only
+    * stringifies the final plan sees nothing (round-11 review
+    * finding); [[graft.PlanGuardSpec]] pins the lazy twins. */
+  val defaultCut: DataFrame => DataFrame = Checkpoints.cut(_, None)
+
   /** Both orientations (u, v) of a canonical (a < b) edge list. */
   def undirect(e: DataFrame): DataFrame =
     e.select(col("a").as("u"), col("b").as("v"))
@@ -55,8 +62,9 @@ object GraphAlgos {
   /** k-core peeling (Matula & Beck), `rounds` synchronous rounds:
     * drop vertices with current degree < k, restrict edges to
     * survivor–survivor, repeat. Returns (rnd, survivors) per round. */
-  def kCore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var ee = Checkpoints.cut(undirect(e), None)
+  def kCore(e: DataFrame, k: Int, rounds: Int,
+      cut: DataFrame => DataFrame = defaultCut): DataFrame = {
+    var ee = cut(undirect(e))
     var out: DataFrame = null
     for (r <- 1 to rounds) {
       val surv = ee.groupBy("u").agg(count(lit(1)).as("dg"))
@@ -64,10 +72,10 @@ object GraphAlgos {
       val row = surv.agg(count(lit(1)).as("survivors"))
         .select(lit(r).as("rnd"), col("survivors"))
       out = if (out == null) row else out.unionAll(row)
-      ee = Checkpoints.cut(
+      ee = cut(
         ee.join(surv, Seq("u"), "left_semi")
           .join(surv.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-          .select("u", "v"), None)
+          .select("u", "v"))
     }
     out.orderBy("rnd")
   }
@@ -93,21 +101,21 @@ object GraphAlgos {
   /** `rounds` synchronous Bellman-Ford relaxations from the seed set
     * `seedPred(u)` with deterministic integer weights
     * w = 1 + (a+b) mod 9. Returns (u, dist) over the reached set. */
-  def sssp(e: DataFrame, seedPred: Column => Column, rounds: Int): DataFrame = {
+  def sssp(e: DataFrame, seedPred: Column => Column, rounds: Int,
+      cut: DataFrame => DataFrame = defaultCut): DataFrame = {
     val ew = e.withColumn("w", lit(1L) + (col("a") + col("b")) % 9)
-    val ee = Checkpoints.cut(
+    val ee = cut(
       ew.select(col("a").as("u"), col("b").as("v"), col("w"))
-        .unionAll(ew.select(col("b").as("u"), col("a").as("v"), col("w"))),
-      None)
+        .unionAll(ew.select(col("b").as("u"), col("a").as("v"), col("w"))))
     var dist = ee.select("u").distinct()
       .filter(seedPred(col("u")))
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
-      dist = Checkpoints.cut(
+      dist = cut(
         dist.unionAll(
             ee.join(dist, "u")
               .select(col("v").as("u"), (col("dist") + col("w")).as("dist")))
-          .groupBy("u").agg(min("dist").as("dist")), None)
+          .groupBy("u").agg(min("dist").as("dist")))
     }
     dist.orderBy("u")
   }
@@ -116,25 +124,26 @@ object GraphAlgos {
     * exact 64-bit fixed point (mass base 10^12, floor division — see
     * the q_pagerank scaladoc for the overflow/floor-loss sizing).
     * Returns (id, pr_fx), highest rank first. */
-  def pageRank(e: DataFrame, iters: Int): DataFrame = {
-    val ee = Checkpoints.cut(undirect(e), None)
+  def pageRank(e: DataFrame, iters: Int,
+      cut: DataFrame => DataFrame = defaultCut): DataFrame = {
+    val ee = cut(undirect(e))
     val deg = ee.groupBy("u").agg(count(lit(1)).as("od"))
     val n = deg.agg(count(lit(1)).as("nn"))
-    val p0 = Checkpoints.cut(
+    val p0 = cut(
       deg.crossJoin(broadcast(n))
         .select(col("u").as("id"),
-          expr("CAST(1000000000000 div nn AS LONG)").as("pr")), None)
+          expr("CAST(1000000000000 div nn AS LONG)").as("pr")))
     var pr = p0
     for (_ <- 1 to iters) {
       val contrib = ee.join(pr.withColumnRenamed("id", "u"), "u")
         .join(deg, "u")
         .groupBy(col("v").as("id")).agg(sum(expr("pr div od")).as("m"))
-      pr = Checkpoints.cut(
+      pr = cut(
         p0.select("id").join(contrib, Seq("id"), "left")
           .crossJoin(broadcast(n))
           .select(col("id"), expr(
             "CAST((15 * (1000000000000 div nn)) div 100" +
-            " + (85 * coalesce(m, 0L)) div 100 AS LONG)").as("pr")), None)
+            " + (85 * coalesce(m, 0L)) div 100 AS LONG)").as("pr")))
     }
     pr.select(col("id"), col("pr").as("pr_fx"))
       .orderBy(desc("pr_fx"), col("id"))

@@ -471,4 +471,58 @@ object EventStreams {
           hits.result().iterator
       }
   }
+
+  /** One closed hour's count for one series — [[anomalyStream]]'s
+    * input (produced upstream by a watermarked hourly window
+    * aggregation; pre-aggregated so THIS operator's state is exactly
+    * the moment fold, not an event buffer). */
+  final case class HourCount(event_type: String, hourUs: Long, cnt: Long)
+  final case class MomState(n: Long, s: Long, ss: Long, maxUs: Long)
+  final case class AnomalyHit(event_type: String, hourUs: Long, cnt: Long,
+      side: String)
+
+  /** Streaming prequential anomaly detection — the stateful twin of
+    * the batch `q_anomaly_prequential` row: per event type, each
+    * arriving closed hour is tested against the moments of the hours
+    * already folded (exact-integer 2σ: (n·cnt−S)² > 4(n·SS−S²), n ≥
+    * `warmup`), THEN folded in. State is four longs per key — (n, S,
+    * SS, last hour) — bounded forever, versus the batch form's full
+    * history window; this is the monitor a 100 TB event stream runs,
+    * with per-key state the size of a cache line. The fold is
+    * order-sensitive (a verdict must never use the future), so within
+    * a batch hours are processed in event-time order and a
+    * cross-batch regression (an hour at or before the last folded
+    * one) throws rather than silently contaminating the moments —
+    * the upstream windowed aggregation emits closed windows in
+    * watermark order, so in the intended composition the check never
+    * fires. `StreamingSpec` pins stream ≡ batch on the fixture. */
+  def anomalyStream(counts: Dataset[HourCount],
+      warmup: Long = 8): Dataset[AnomalyHit] = {
+    import counts.sparkSession.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[HourCount], state: GroupState[MomState]) =>
+          var st = state.getOption.getOrElse(MomState(0L, 0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[AnomalyHit]
+          rows.toSeq.sortBy(_.hourUs).foreach { r =>
+            if (r.hourUs <= st.maxUs)
+              throw new IllegalStateException(
+                s"anomalyStream($et): hour ${r.hourUs} arrived at/before " +
+                s"already-folded ${st.maxUs} — prequential moments would " +
+                "use the future; replay closed windows in event-time order")
+            if (st.n >= warmup) {
+              val dev = st.n * r.cnt - st.s
+              if (dev * dev > 4L * (st.n * st.ss - st.s * st.s))
+                out += AnomalyHit(et, r.hourUs, r.cnt,
+                  if (dev > 0) "high" else "low")
+            }
+            st = MomState(st.n + 1, st.s + r.cnt,
+              st.ss + r.cnt * r.cnt, r.hourUs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

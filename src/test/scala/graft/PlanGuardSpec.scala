@@ -37,7 +37,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
     "q_ppl_buckets", // 1-row tercile-cutoff scalar (+ vocab scalar)
     "q_vocab_growth", // 7-row checkpoint list broadcast, range condition
-    "q_pagerank",    // 1-row node-count scalar (fixed-point mass base)
+    "q_pagerank",    // 1-row node-count scalar (fixed-point mass base).
+                     // NOTE: normally unreachable — the catalog row's
+                     // plan is checkpoint-hidden; kept defensively for
+                     // a de-checkpointed variant. Real coverage = the
+                     // lazy-twin pins in the eager-materialized test.
     "q_gap_fill",    // hour spine × 5-row event-type dimension (grid is
                      // hours × |keys|, never data-sized on either side)
     "q_matryoshka_topk", // 1-row query vector broadcast (both stages)
@@ -85,6 +89,28 @@ class PlanGuardSpec extends SparkSpec {
     val (kp, krel) = graft.query.AnnLsh
       .knnGraphBucketedPlan(emb, "vec_id", "embedding", k = 3, dim = 64)
     assertClean("knnGraphBucketed", kp); krel()
+
+    // graph algorithms: every iteration boundary is localCheckpoint-cut
+    // in the catalog rows (q_kcore/q_sssp/q_pagerank plan as RDD
+    // scans), so their join trees are likewise invisible to the sweep —
+    // pin the LAZY twins via GraphAlgos' cut hook (round-11 review
+    // finding: the allowlist entry alone implied coverage that wasn't
+    // there). Tiny synthetic edge list: the PLAN shape is scale-free.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val lazyCut: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity
+    assertClean("kCore(lazy)",
+      graft.query.GraphAlgos.kCore(e, k = 3, rounds = 2, cut = lazyCut))
+    assertClean("sssp(lazy)",
+      graft.query.GraphAlgos.sssp(e, u => u % 2 === 0, rounds = 2, cut = lazyCut))
+    // pageRank carries an INTENDED 1-row broadcast (the node-count
+    // scalar — same allowlisted shape as the catalog sweep's
+    // q_pagerank entry), so pin only cartesian-freedom here
+    val prLazy = graft.query.GraphAlgos.pageRank(e, iters = 2, cut = lazyCut)
+    assert(!prLazy.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"),
+      "pageRank(lazy) plans a cartesian")
   }
 
   test("q_bucketed_join_agg joins the bucketed tables without a join-key exchange") {

@@ -122,11 +122,27 @@ class RuleBatterySpec extends SparkSpec {
     val gaps = rows.filter(_._3 == 0)
     assert(gaps.nonEmpty, "fixture produced no gap cells")
     assert(gaps.forall(_._4 == 0L), "a gap cell carries observed value")
-    // replay the forward fill per type in plain Scala
+    // replay the forward fill per type in plain Scala. The fill's
+    // observation predicate is "cents IS NOT NULL" (last(ignoreNulls)),
+    // NOT "n_events > 0": an hour whose events all carry NULL value has
+    // n_events > 0 but no observed cents, and must carry the previous
+    // fill (round-11 review finding — the old n_events-based replay
+    // passed only because the fixture has no NULL values). Recompute
+    // observedness from the raw events so the pin survives a fixture
+    // with NULLs.
+    val observed = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .select(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.date_trunc("hour",
+            org.apache.spark.sql.functions.col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .distinct().as[(String, String)].collect().toSet
     types.foreach { t =>
       var lastSeen = 0L
       rows.filter(_._2 == t).sortBy(_._1).foreach { r =>
-        if (r._3 > 0) lastSeen = r._4
+        if (observed((r._1, t))) lastSeen = r._4
         assert(r._5 == lastSeen,
           s"fill drifted at (${r._1}, $t): got ${r._5}, want $lastSeen")
       }

@@ -236,6 +236,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming prequential anomaly matches the batch " +
+      "q_anomaly_prequential row across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // closed hours, globally hour-ordered: chunking a global hour sort
+    // preserves per-type event-time order across batches (the stream's
+    // contract — the upstream watermark emits closed windows in order)
+    val hours = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hourUs"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[EventStreams.HourCount]
+      .collect().sortBy(h => (h.hourUs, h.event_type))
+    val in = MemoryStream[EventStreams.HourCount](spark)
+    val q = EventStreams.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      hours.grouped(hours.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val got = spark.table("anom").collect().map(r =>
+      (r.getAs[String]("event_type"),
+        fmt.format(java.time.Instant.ofEpochSecond(
+          r.getAs[Long]("hourUs") / 1000000L)),
+        r.getAs[Long]("cnt"), r.getAs[String]("side"))).toSet
+    val want = Catalog.byName("q_anomaly_prequential").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    assert(got == want, s"stream ${got.size} hits vs batch ${want.size}")
+    assert(got.nonEmpty, "no prequential anomaly fired at smoke scale")
+  }
+
+  test("streaming prequential anomaly throws on an out-of-order closed " +
+      "hour instead of contaminating the moments") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val us = 3600L * 1000000L
+    val in = MemoryStream[EventStreams.HourCount](spark)
+    val q = EventStreams.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anom_dis")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStreams.HourCount("view", 2 * us, 10L))
+      q.processAllAvailable()
+      in.addData(EventStreams.HourCount("view", 1 * us, 10L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("prequential")),
+        s"wrong failure: ${messages(ex)}")
+    } finally q.stop()
+  }
+
   test("funnel hits accumulate identically across micro-batch splits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
