@@ -498,7 +498,94 @@ object EventQueries {
       .orderBy("from_type", "to_type")
   }
 
+  /** Last-touch attribution: every purchase credits the most recent
+    * click by the same user within a 24 h lookback, the marketing /
+    * conversion-analysis shape. One per-user window pass: the running
+    * `last(click ts, ignoreNulls)` in event-time order gives each
+    * purchase its candidate touch; the 24 h rule decides attributed
+    * vs organic. Per-day rollup with exact integer value cents.
+    *
+    * Scale: the window is partitioned by user_id — each user's
+    * timeline is independent, so 10⁹ users spread across executors;
+    * no global sort, no self-join (the naive form is
+    * purchases ⋈ clicks per user, quadratic in events-per-user). */
+  private def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          col("ts_us") - col("last_click_us") <= 86400000000L)
+      .groupBy("day")
+      .agg(
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(!col("attributed"), 1L).otherwise(0L)).as("n_organic"),
+        sum(when(col("attributed"), col("cents")).otherwise(0L))
+          .as("attributed_cents"))
+      .orderBy("day")
+  }
+
+  private val attributionSql =
+    "WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, " +
+    "strftime(ts, '%Y-%m-%d') AS day, " +
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+    "WHERE event_type IN ('click', 'purchase')), " +
+    "t AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts_us END " +
+    "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us FROM e), " +
+    "p AS (SELECT day, (last_click_us IS NOT NULL AND " +
+    "ts_us - last_click_us <= 86400000000) AS attributed, cents " +
+    "FROM t WHERE event_type = 'purchase') " +
+    "SELECT day, CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed, " +
+    "CAST(sum(CASE WHEN attributed THEN 0 ELSE 1 END) AS BIGINT) AS n_organic, " +
+    "CAST(sum(CASE WHEN attributed THEN cents ELSE 0 END) AS BIGINT) AS attributed_cents " +
+    "FROM p GROUP BY 1 ORDER BY 1"
+
+  /** Frequent event-type trigrams (per-user time-ordered paths) — the
+    * navigation-mining operator behind "what do users do before
+    * converting". lead()/lead(2) over the per-user window pairs each
+    * event with its two successors; the global count is a hash
+    * aggregate over a 3-token key (≤ |types|³ groups, bounded), and
+    * the top-10 is TakeOrderedAndProject — no global sort of the fact
+    * table anywhere. */
+  private def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(10)
+  }
+
+  private val eventPathsSql =
+    "WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us " +
+    "FROM events), " +
+    "t AS (SELECT event_type AS step1, " +
+    "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS step2, " +
+    "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS step3 " +
+    "FROM e) " +
+    "SELECT step1, step2, step3, count(*) AS n_paths FROM t " +
+    "WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 " +
+    "ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10"
+
   val all: Seq[Q] = Seq(
+    Q("q_attribution", attribution, Some(attributionSql)),
+    Q("q_event_paths", eventPaths, Some(eventPathsSql)),
     // TRY_CAST keeps the oracle's malformed-JSON behavior aligned with
     // Spark's get_json_object (null, not error)
     Q("q_json_extract", jsonExtract, Some(

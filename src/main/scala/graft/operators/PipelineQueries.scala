@@ -430,7 +430,48 @@ object PipelineQueries {
       .orderBy(col("prio_at_order"), col("prio_at_ship").asc_nulls_first)
   }
 
+  /** Partitioned-layout write + partition-pruned read — THE scan-cost
+    * lever at 100 TB: a date-partitioned table turns a "read the
+    * month" query into a listing of one directory instead of a scan
+    * of all of them. The gate row writes events Hive-partitioned by
+    * event date, reads back with an equality filter on the partition
+    * column, and aggregates — the filter is satisfied by directory
+    * PRUNING (PartitionFilters in the scan, no data files of other
+    * days opened; pinned in `PipelineSinkSpec`), never by row-level
+    * evaluation. The oracle recomputes from the ORIGINAL events
+    * table, so the green row proves the partitioned roundtrip is
+    * lossless AND the pruned read is complete for the selected day. */
+  val pruneRoot = "/tmp/graft_part_prune"
+  def prunePath(sfDir: String): String = scalePath(pruneRoot, sfDir)
+
+  /** The pruned day's aggregate, shared by the gate row (post-write
+    * read-back) and the spec's plan pin. */
+  def prunedDayAgg(s: SparkSession, dest: String): DataFrame =
+    s.read.parquet(dest)
+      .filter(col("event_date") === "2024-01-15")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("event_type")
+
+  private def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    val dest = prunePath(d)
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dest)
+    prunedDayAgg(s, dest)
+  }
+
+  private val partitionPruneSql =
+    "SELECT event_type, count(*) AS n_events, " +
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents " +
+    "FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15' " +
+    "GROUP BY 1 ORDER BY 1"
+
   val all: Seq[Q] = Seq(
+    Q("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     Q("q_pit_join", pitJoin, Some(
       "WITH scd AS (SELECT o_custkey AS c, o_orderdate AS vf, " +
       "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS vt, " +

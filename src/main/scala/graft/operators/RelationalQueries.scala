@@ -520,7 +520,145 @@ object RelationalQueries {
       .orderBy("bucket")
   }
 
+  /** TPC-H Q3 (shipping priority) re-expressed over the synthetic star
+    * schema: the canonical 3-way selective fact join every warehouse
+    * user runs on day one. Revenue is EXACT integer micro-dollars —
+    * cents × (10000 − discount basis points) — because a float
+    * Σ price·(1−disc) is summation-order-dependent and the top-10
+    * ranking would be hash-unstable across engines (the PMI
+    * signed-zero lesson, applied to money).
+    *
+    * Scale shape: all three filters sit on the scans (pushed to
+    * parquet); customer reduces to a key list BEFORE the join
+    * (broadcast-eligible semi-join shape); lineitem carries only
+    * (orderkey, revenue) into the exchange; the top-10 is a
+    * TakeOrderedAndProject, never a global sort. */
+  private def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-07-01").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("rev"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sum("rev").as("revenue_micros"))
+      .orderBy(col("revenue_micros").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): the 6-table star chain
+    * region → nation → {customer, supplier} → orders → lineitem with
+    * the s_nationkey = c_nationkey residual — revenue shipped by a
+    * supplier in the customer's own nation, per ASIA nation. The
+    * broadcast-dimension showcase: region/nation/supplier are bounded
+    * at any scale factor and broadcast explicitly, so the only
+    * shuffles are the two fact exchanges (orders ⋈ customer keys,
+    * lineitem ⋈ qualified orders) and the 5-row final aggregate.
+    * Revenue in exact integer micro-dollars as in [[tpchQ3]]. */
+  private def regionalVolume(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").as("revenue_micros"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_micros").desc, col("n_name"))
+  }
+
+  /** Pearson correlation from EXACT integer moments — the reason this
+    * exists instead of `corr()`: a float running corr is
+    * summation-order-dependent, so two engines (or two partitionings
+    * of the same engine) disagree in the last bits and the gate hash
+    * flips. Here the five moments (Σx, Σy, Σxy, Σx², Σy²) are BIGINT
+    * sums over integer-cast inputs — associative, partial-aggregating,
+    * bit-identical under any partitioning — and the final corr is ONE
+    * fixed IEEE expression tree over those integers (mul/div/sqrt are
+    * all correctly-rounded, so Spark and DuckDB produce the same
+    * double). y is whole dollars, not cents, keeping n·Σy² well under
+    * 2⁶³ through sf10. */
+  private def corrExact(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+        (round(
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+          sqrt((col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+            (col("n").cast("double") * col("syy") -
+              col("sy").cast("double") * col("sy"))), 6) + lit(0.0))
+        .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_tpch_q3", tpchQ3, Some(
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
+      "o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_micros " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01' " +
+      "AND l_shipdate > TIMESTAMP '1998-07-01' " +
+      "GROUP BY 1, 2, 3 ORDER BY revenue_micros DESC, o_orderkey LIMIT 10")),
+    Q("q_regional_volume", regionalVolume, Some(
+      "SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_micros, " +
+      "count(*) AS n_items " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1998-01-01' " +
+      "GROUP BY 1 ORDER BY revenue_micros DESC, n_name")),
+    Q("q_corr_exact", corrExact, Some(
+      "WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+      "sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, " +
+      "sum(x*x) AS sxx, sum(y*y) AS syy FROM " +
+      "(SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
+      "CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem) " +
+      "GROUP BY 1) " +
+      "SELECT l_returnflag, n, round((CAST(n AS DOUBLE) * sxy - " +
+      "CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n AS DOUBLE) * sxx - " +
+      "CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - " +
+      "CAST(sy AS DOUBLE) * sy)), 6) + 0.0 AS corr_qty_price " +
+      "FROM m ORDER BY l_returnflag")),
     Q("q_histogram", histogram, Some(
       "WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
       "b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o) " +

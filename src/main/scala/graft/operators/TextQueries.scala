@@ -960,7 +960,11 @@ object TextQueries {
     * the tf rows (a self-join on word would rescan and re-aggregate
     * the corpus); the N-docs scalar joins in as a broadcast
     * single-row build. */
-  private def tfidf(s: SparkSession, d: String): DataFrame = {
+  /** Shared TF-IDF scoring core — (doc_id, word, tf, tfidf rounded 4)
+    * — used verbatim by both the q_tfidf gate row and
+    * [[keywordExtract]]'s per-doc ranking so the weighting cannot
+    * drift between the two. */
+  private def tfidfScores(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -971,7 +975,28 @@ object TextQueries {
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
           .as("tfidf"))
-      .orderBy("doc_id", "word")
+  }
+
+  private def tfidf(s: SparkSession, d: String): DataFrame =
+    tfidfScores(s, d).orderBy("doc_id", "word")
+
+  /** Per-document keyword extraction: the top-3 TF-IDF terms of every
+    * document — the "what is this doc about" featurizer behind topic
+    * tagging, cluster labeling and retrieval snippets. Ranking is a
+    * row_number window PER DOCUMENT (each doc's terms rank
+    * independently — 10⁹ docs spread across executors, no global
+    * sort) over the ROUNDED score with a lexicographic tie-break, so
+    * the rank is engine-independent wherever the rounded scores are
+    * (which the green q_tfidf row establishes). */
+  private def keywordExtract(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tfidfScores(s, d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tfidf"))
+      .orderBy("doc_id", "rank")
   }
 
   /** BM25 relevance scoring against a fixed term set — the ranking
@@ -1813,6 +1838,17 @@ object TextQueries {
       "n AS (SELECT count(*) AS n_docs FROM documents) " +
       "SELECT doc_id, word, tf, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf " +
       "FROM tf JOIN df USING (word), n ORDER BY doc_id, word")),
+    Q("q_keyword_extract", keywordExtract, Some(
+      "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), " +
+      "tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+      "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "sc AS (SELECT doc_id, word, tf, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf " +
+      "FROM tf JOIN df USING (word), n), " +
+      "rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY tfidf DESC, word) AS INT) AS rank FROM sc) " +
+      "SELECT doc_id, rank, word, tfidf FROM rk WHERE rank <= 3 " +
+      "ORDER BY doc_id, rank")),
     Q("q_dedup_clusters", dedupClustersQ, Some(clustersCte +
       " SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
     Q("q_dedup_cluster_sizes", dedupClusterSizes, Some(clustersCte + ", " +

@@ -61,6 +61,44 @@ class PipelineSinkSpec extends SparkSpec {
       s"source filter must prune partitions, plan:\n$scanned")
   }
 
+  test("q_partition_prune: the day filter reads exactly one partition") {
+    import graft.operators.PipelineQueries
+    val sfDir = "/root/testdata/sf0.001"
+    // the gate row itself performs the write; re-derive the read side
+    Catalog.byName("q_partition_prune").fn(spark, sfDir).collect()
+    val dest = PipelineQueries.prunePath(sfDir)
+    val agg = PipelineQueries.prunedDayAgg(spark, dest)
+    agg.collect()
+    // find the scan through AQE wrappers: AdaptiveSparkPlanExec and
+    // every QueryStageExec (Result/Shuffle) are plan-tree LEAVES whose
+    // real subtree hangs off a field, so a plain collect stops at them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(agg.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec in the pruned plan"))
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"day predicate must be a partition filter: ${scan.metadata}")
+    // all files the (pruned) scan would read live in the one day dir
+    val rel = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    val dayDirs = rel.flatMap(_.files.map(_.getPath.getParent.getName))
+      .distinct
+    assert(dayDirs == Seq("event_date=2024-01-15"),
+      s"scan touched partitions beyond the selected day: $dayDirs")
+    // and other day directories DO exist on disk (pruning had work to do)
+    val allDays = Files.list(java.nio.file.Paths.get(dest))
+      .iterator().asScala
+      .count(_.getFileName.toString.startsWith("event_date="))
+    assert(allDays > 1, s"fixture wrote only $allDays day partitions")
+  }
+
   test("two writes of the same input produce byte-identical files") {
     val packed = Curation.run(Tables.documents(spark, "/root/testdata/sf0.001"))
     val d1 = Files.createTempDirectory("graft_sink_a")

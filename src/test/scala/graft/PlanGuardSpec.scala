@@ -23,6 +23,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_cosine_topk", // 1-row query vector
     "q_ivf_topk",    // 1-row query vector + 2-row probe set
     "q_tfidf",       // 1-row corpus-count scalar
+    "q_keyword_extract", // same 1-row corpus-count scalar (shares
+                         // q_tfidf's tfidfScores core)
     "q_kmeans_step", // k-row centroid table (k = label count, bounded)
     "q_bm25",        // 1-row (N, avgdl) corpus-stats scalar
     "q_bigram_lm",   // 1-row vocabulary-size scalar

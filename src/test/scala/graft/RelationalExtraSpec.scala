@@ -55,4 +55,71 @@ class RelationalExtraSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q_corr_exact: integer-moment corr equals a plain-Scala replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_corr_exact").fn(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val xs = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val expected = xs.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length.toLong
+      val (sx, sy) = (rows.map(_._2).sum, rows.map(_._3).sum)
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val c = (n.toDouble * sxy - sx.toDouble * sy) /
+        math.sqrt((n.toDouble * sxx - sx.toDouble * sx) *
+          (n.toDouble * syy - sy.toDouble * sy))
+      (n, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0)
+    }.toMap
+    assert(out == expected, "corr moments replay mismatch")
+    // moments stay far from 2^63 at this scale: the documented bound
+    val worst = xs.map(r => r._3 * r._3).max
+    assert(worst.toDouble * xs.length < 1e17,
+      "y² moment magnitude approaching overflow — revisit dollar scaling")
+  }
+
+  test("q_regional_volume: all three dimension joins broadcast") {
+    val df = Catalog.byName("q_regional_volume")
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3,
+      s"expected region/nation-chain, customer-dim and supplier joins " +
+        s"on the broadcast path, saw $nBroadcast BroadcastHashJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_tpch_q3: top-10 equals an independent SQL formulation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_tpch_q3").fn(spark, dir)
+      .as[(Long, String, String, Long)].collect()
+    graft.sources.Tables.customer(spark, dir).createOrReplaceTempView("c3")
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("o3")
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("l3")
+    val expected = spark.sql(
+      """SELECT o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS od,
+        |       o_orderpriority,
+        |       sum(CAST(round(l_extendedprice * 100) AS LONG) *
+        |           (10000 - CAST(round(l_discount * 10000) AS LONG))) AS rev
+        |FROM l3 JOIN o3 ON l_orderkey = o_orderkey
+        |JOIN c3 ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3 ORDER BY rev DESC, o_orderkey LIMIT 10"""
+        .stripMargin)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.toSeq == expected.toSeq)
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq,
+      "revenue not descending")
+  }
 }

@@ -394,4 +394,49 @@ class RuleBatterySpec extends SparkSpec {
       assert(n == detail.filter(_._2 == st).map(_._4).sum, s"status margin $st")
     }
   }
+
+  test("q_attribution: last-touch credit equals a plain-Scala replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_attribution").fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), date_format(col("ts"), "yyyy-MM-dd"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long, String, String, Long)].collect()
+    val window = 86400000000L
+    val expected = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var lastClick = Option.empty[Long]
+      rows.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (r._4 == "click") lastClick = Some(r._2)
+        else {
+          val attr = lastClick.exists(c => r._2 - c <= window)
+          val (a, o, c) = expected(r._5)
+          expected(r._5) =
+            if (attr) (a + 1, o, c + r._6) else (a, o + 1, c)
+        }
+      }
+    }
+    assert(out == expected.toMap, "per-day attribution mismatch")
+  }
+
+  test("q_event_paths: trigram top-10 equals a plain-Scala replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_event_paths").fn(spark, dir)
+      .as[(String, String, String, Long)].collect()
+    val tri = eventsUs(dir).groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(3).filter(_.length == 3)
+        .map(w => (w(0), w(1), w(2))).toSeq
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectedTop = tri.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    assert(out.toSeq == expectedTop, "trigram ranking mismatch")
+  }
 }
