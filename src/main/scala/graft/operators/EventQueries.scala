@@ -583,7 +583,105 @@ object EventQueries {
     "WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 " +
     "ORDER BY n_paths DESC, step1, step2, step3 LIMIT 10"
 
+  /** Trailing-7-day distinct users per day — the sliding COUNT DISTINCT
+    * no window function computes (count distinct isn't decomposable
+    * over overlapping frames). The scale trick: collapse events to
+    * DISTINCT (day, user) first — the only data-sized stage, one hash
+    * aggregate — then explode each pair to the ≤ 7 as-of days it
+    * covers (a bounded ×7 blowup of the ALREADY-collapsed pairs, not
+    * of raw events) and count distinct per as-of day. The join against
+    * observed days keeps the spine data-defined; that side is bounded
+    * by the calendar. */
+  private def rollingDistinct(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("as_of")).distinct()
+    du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("as_of"), col("user_id"))
+      .join(days, "as_of")
+      .groupBy("as_of")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .select(date_format(col("as_of"), "yyyy-MM-dd").as("as_of"),
+        col("users_7d"))
+      .orderBy("as_of")
+  }
+
+  private val rollingDistinctSql =
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+    "days AS (SELECT DISTINCT day AS as_of FROM du), " +
+    "cov AS (SELECT as_of, user_id FROM du JOIN days " +
+    "ON as_of BETWEEN day AND day + 6) " +
+    "SELECT strftime(as_of, '%Y-%m-%d') AS as_of, " +
+    "count(DISTINCT user_id) AS users_7d FROM cov GROUP BY 1 ORDER BY 1"
+
+  /** RFM segmentation (recency / frequency / monetary quintiles over
+    * purchasing users) with TIE-STABLE quantile buckets: the textbook
+    * `ntile(5)` assigns tied metric values to different buckets based
+    * on sort order — nondeterministic across engines AND across
+    * partitionings. Here bucket(v) = ⌊5·|{u : value(u) < v}| / n⌋ + 1
+    * (strict rank), so equal values always share a bucket and the
+    * whole statistic is exact integer arithmetic. The rank table is a
+    * running sum over the VALUE HISTOGRAM (bounded by distinct metric
+    * values, not by users — the skyline bucket-window shape), joined
+    * back per metric; user metrics themselves are one hash aggregate
+    * of the purchase stream. Anchor = max purchase day (1-row
+    * broadcast). Output: the 5×5×5-bounded segment histogram. */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val anchor = p.agg(max(col("day")).as("anchor_day"))
+    val u = p.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+        sum("cents").as("m"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("anchor_day"), col("last_day")).cast("long").as("r"),
+        col("f"), col("m"))
+    val nUsers = u.agg(count(lit(1)).as("n_users"))
+    def bucket(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = df.groupBy(col(v).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("less", sum("c").over(w) - col("c"))
+        .select(col("v").as(v), col("less").as(s"less_$out"))
+      df.join(hist, v)
+    }
+    bucket(bucket(bucket(u, "r", "r"), "f", "f"), "m", "m")
+      .crossJoin(broadcast(nUsers))
+      .select(
+        expr("less_r * 5 div n_users + 1").as("r_b"),
+        expr("less_f * 5 div n_users + 1").as("f_b"),
+        expr("less_m * 5 div n_users + 1").as("m_b"))
+      .groupBy("r_b", "f_b", "m_b")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_b", "f_b", "m_b")
+  }
+
+  private val rfmSegmentsSql =
+    "WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+    "WHERE event_type = 'purchase'), " +
+    "anchor AS (SELECT max(day) AS anchor_day FROM p), " +
+    "u AS (SELECT user_id, date_diff('day', max(day), (SELECT anchor_day FROM anchor)) AS r, " +
+    "count(*) AS f, sum(cents) AS m FROM p GROUP BY 1), " +
+    "n AS (SELECT count(*) AS nu FROM u), " +
+    "hr AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS less FROM " +
+    "(SELECT r AS v, count(*) AS c FROM u GROUP BY 1)), " +
+    "hf AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS less FROM " +
+    "(SELECT f AS v, count(*) AS c FROM u GROUP BY 1)), " +
+    "hm AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS less FROM " +
+    "(SELECT m AS v, count(*) AS c FROM u GROUP BY 1)), " +
+    "b AS (SELECT (hr.less * 5) // nu + 1 AS r_b, (hf.less * 5) // nu + 1 AS f_b, " +
+    "(hm.less * 5) // nu + 1 AS m_b FROM u CROSS JOIN n " +
+    "JOIN hr ON u.r = hr.v JOIN hf ON u.f = hf.v JOIN hm ON u.m = hm.v) " +
+    "SELECT r_b, f_b, m_b, count(*) AS n_users FROM b " +
+    "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+
   val all: Seq[Q] = Seq(
+    Q("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
+    Q("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_event_paths", eventPaths, Some(eventPathsSql)),
     // TRY_CAST keeps the oracle's malformed-JSON behavior aligned with

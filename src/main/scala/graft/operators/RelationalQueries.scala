@@ -625,7 +625,71 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Latest-record-per-key — the CDC/changelog "current view" operator
+    * (Kafka topic → latest state, Delta dedup-on-merge, SCD type 1).
+    * Implemented as ONE hash aggregate of `max(struct(orderdate µs,
+    * orderkey, payload))` — struct ordering gives the (date, key)
+    * argmax and carries the payload for free — so there is NO window,
+    * NO per-key sort, and partial aggregation halves the shuffle
+    * map-side. The window form (`row_number ... rn = 1`) sorts every
+    * key group; the argmax form is the one that survives a skewed key
+    * at 100 TB (partial aggregates combine before the exchange). */
+  private def latestByKey(s: SparkSession, d: String): DataFrame = {
+    // ordering key is the yyyy-MM-dd string: lexicographic ==
+    // chronological, and it sidesteps the fixture's TIMESTAMP vs
+    // TIMESTAMP_NTZ physical-encoding drift entirely
+    Tables.orders(s, d)
+      .select(col("o_custkey"),
+        struct(date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+          col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio")).as("rec"))
+      .groupBy("o_custkey")
+      .agg(max("rec").as("m"))
+      .select(col("o_custkey"), col("m.k").as("o_orderkey"),
+        col("m.ds").as("orderdate"),
+        col("m.prio").as("o_orderpriority"))
+      .orderBy("o_custkey")
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the canonical
+    * correlated scalar subquery — "lineitems whose quantity is below
+    * 20% of the part's average" — DECORRELATED into a per-part moment
+    * aggregate joined back to the fact table, which is what a 100 TB
+    * plan must do (a correlated probe per row is a join in disguise).
+    * The 0.2·avg comparison is cross-multiplied into pure integers:
+    * qty < sum/(5n) ⟺ 5·qty·n < sum — no float avg ever exists, so
+    * the filter is bit-stable under any partitioning. */
+  private def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sq"), count(lit(1)).as("nq"))
+    val brand = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1").select("p_partkey")
+    val qualified = stats.join(broadcast(brand),
+      col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "sq", "nq")
+    li.join(qualified, Seq("l_partkey"))
+      .filter(col("qty") * col("nq") * lit(5L) < col("sq"))
+      .agg(count(lit(1)).as("n_small"),
+        coalesce(sum("cents"), lit(0L)).as("rev_cents"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_latest_by_key", latestByKey, Some(
+      "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
+      "o_orderpriority FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
+      "WHERE rn = 1 ORDER BY o_custkey")),
+    Q("q_tpch_q17", tpchQ17, Some(
+      "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), " +
+      "st AS (SELECT l_partkey, sum(qty) AS sq, count(*) AS nq FROM li GROUP BY 1), " +
+      "pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1') " +
+      "SELECT count(*) AS n_small, CAST(coalesce(sum(cents), 0) AS BIGINT) AS rev_cents " +
+      "FROM li JOIN pk ON l_partkey = p_partkey JOIN st USING (l_partkey) " +
+      "WHERE qty * nq * 5 < sq")),
     Q("q_tpch_q3", tpchQ3, Some(
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
       "o_orderpriority, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +

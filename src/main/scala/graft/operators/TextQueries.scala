@@ -999,6 +999,33 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    * rate against the corpus top-K vocabulary — the curation signal
+    * that tells "this doc is full of tokens the tokenizer will
+    * shatter" (code, other scripts, boilerplate noise). The vocab is
+    * the top-K words by corpus frequency with a lexicographic
+    * tie-break (deterministic truncation), built by one hash
+    * aggregate + TakeOrderedAndProject and BROADCAST back — the
+    * per-token membership probe never shuffles the token stream. The
+    * rate is fixed-point ppm via integer floor division (no float
+    * division to diverge). K = 16 because the synthetic corpus has 31
+    * distinct lowered words; production K (32k–256k) changes nothing
+    * structural — a 256k-word broadcast is a few MB. */
+  private def oovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(16)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        expr("n_oov * cast(1000000 as bigint) div n_tok"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 relevance scoring against a fixed term set — the ranking
     * function behind retrieval-based curation (scoring a web corpus
     * against a seed query, retrieval-augmented filtering, dedup
@@ -1849,6 +1876,15 @@ object TextQueries {
       "ORDER BY tfidf DESC, word) AS INT) AS rank FROM sc) " +
       "SELECT doc_id, rank, word, tfidf FROM rk WHERE rank <= 3 " +
       "ORDER BY doc_id, rank")),
+    Q("q_oov_rate", oovRate, Some(
+      "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +
+      "FROM documents), " +
+      "v AS (SELECT word, CAST(1 AS BIGINT) AS in_vocab FROM " +
+      "(SELECT word, count(*) AS c FROM toks GROUP BY 1 ORDER BY c DESC, word LIMIT 16)) " +
+      "SELECT doc_id, count(*) AS n_tok, " +
+      "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "(CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS oov_ppm " +
+      "FROM toks LEFT JOIN v USING (word) GROUP BY 1 ORDER BY 1")),
     Q("q_dedup_clusters", dedupClustersQ, Some(clustersCte +
       " SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
     Q("q_dedup_cluster_sizes", dedupClusterSizes, Some(clustersCte + ", " +

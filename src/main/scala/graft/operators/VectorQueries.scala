@@ -770,7 +770,36 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Int8-quantized retrieval: score = Σ round(64·xᵢ)·round(64·qᵢ) —
+    * the production quantized-dot-product index shape (4× memory cut,
+    * SIMD-friendly int math), and on the GATE the reason is hash
+    * stability: the score is a pure INTEGER, so the top-10 ranking
+    * cannot flip on float summation order across engines or
+    * partitionings (cosine rows need the round+0.0 normalization;
+    * this one needs nothing). Quantization is scan-stage `transform`,
+    * the query vector a 1-row broadcast, the top-10 a
+    * TakeOrderedAndProject. */
+  private def int8Topk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val quant = "transform(embedding, x -> cast(round(x * 64) as bigint))"
+    val q = emb.filter(col("vec_id") === 7).select(expr(quant).as("qq"))
+    emb.filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), expr(quant).as("eq"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(eq, qq, (a, b) -> a * b), 0L, " +
+          "(acc, v) -> acc + v)").as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_int8_topk", int8Topk, Some(
+      "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) " +
+      "SELECT vec_id, list_sum(list_transform(generate_series(1, len(embedding)), " +
+      "i -> CAST(round(embedding[i] * 64) AS BIGINT) * CAST(round(qe[i] * 64) AS BIGINT))) AS score " +
+      "FROM embeddings, q WHERE vec_id <> 7 " +
+      "ORDER BY score DESC, vec_id LIMIT 10")),
     Q("q_matryoshka_topk", matryoshkaTopk, Some(
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
       "pr AS (SELECT e.vec_id, " +

@@ -47,7 +47,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_gap_fill",    // hour spine × 5-row event-type dimension (grid is
                      // hours × |keys|, never data-sized on either side)
     "q_matryoshka_topk", // 1-row query vector broadcast (both stages)
-    "q_histogram"    // 1-row (lo, hi) bounds scalar
+    "q_histogram",   // 1-row (lo, hi) bounds scalar
+    "q_rfm_segments", // 1-row anchor-day + 1-row user-count scalars
+    "q_int8_topk"    // 1-row quantized query vector
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

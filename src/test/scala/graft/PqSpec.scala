@@ -157,4 +157,30 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "cartesian in PQ training")
     assert(!plan.contains("Window"), "argmin must be an aggregate, not a window")
   }
+
+  test("q_int8_topk: integer scores replay exactly and rank like float dot") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_int8_topk").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray }.toMap
+    def q64(v: Array[Double]): Array[Long] =
+      v.map(x => BigDecimal(x * 64)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qq = q64(vecs(7L))
+    val expected = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) =>
+        id -> q64(v).zip(qq).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(out.toSeq == expected, "int8 dot-product ranking mismatch")
+    // quantized ranking should track the float ranking closely at 64×
+    val floatTop = vecs.toSeq.filter(_._1 != 7L)
+      .map { case (id, v) =>
+        id -> v.zip(vecs(7L)).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val overlap = out.map(_._1).count(floatTop.contains)
+    info(s"int8 vs float top-10 overlap = $overlap/10")
+    assert(overlap >= 8, s"quantization distorted the ranking: $overlap/10")
+  }
 }

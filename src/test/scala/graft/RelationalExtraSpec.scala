@@ -97,6 +97,52 @@ class RelationalExtraSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_latest_by_key: argmax aggregate equals the window formulation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_latest_by_key").fn(spark, dir)
+      .as[(Long, Long, String, String)].collect()
+    // independent window-based formulation of "latest per key"
+    graft.sources.Tables.orders(spark, dir).createOrReplaceTempView("olk")
+    val expected = spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+        |       o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM olk)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+      .as[(Long, Long, String, String)].collect()
+    assert(out.toSeq == expected.toSeq)
+    // and the argmax plan carries NO window/sort-within-key operator
+    val plan = Catalog.byName("q_latest_by_key").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"latest-by-key must be a hash-aggregate argmax, not a window:\n$plan")
+  }
+
+  test("q_tpch_q17: decorrelated filter equals the correlated-subquery form") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_tpch_q17").fn(spark, dir)
+      .as[(Long, Long)].collect().head
+    graft.sources.Tables.lineitem(spark, dir).createOrReplaceTempView("l17")
+    graft.sources.Tables.part(spark, dir).createOrReplaceTempView("p17")
+    // the textbook correlated form, integerized the same way
+    val expected = spark.sql(
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS LONG) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS LONG) AS cents FROM l17)
+        |SELECT count(*) AS n_small,
+        |       coalesce(sum(cents), CAST(0 AS LONG)) AS rev_cents
+        |FROM li JOIN p17 ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND qty * (SELECT count(*) FROM li i WHERE i.l_partkey = li.l_partkey) * 5
+        |      < (SELECT sum(qty) FROM li i WHERE i.l_partkey = li.l_partkey)"""
+        .stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(out == expected, s"Q17 decorrelation mismatch: $out vs $expected")
+    assert(out._1 > 0, "fixture degenerate: no small-quantity lineitems")
+  }
+
   test("q_tpch_q3: top-10 equals an independent SQL formulation") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

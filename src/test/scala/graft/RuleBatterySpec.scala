@@ -439,4 +439,90 @@ class RuleBatterySpec extends SparkSpec {
       .map { case ((a, b, c), n) => (a, b, c, n) }
     assert(out.toSeq == expectedTop, "trigram ranking mismatch")
   }
+
+  test("q_rolling_distinct: trailing-7d uniques equal a per-day set scan") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_rolling_distinct").fn(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val du = graft.sources.Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .as[(String, Long)].collect().distinct
+    val days = du.map(_._1).distinct
+    val expected = days.map { asof =>
+      val d = java.time.LocalDate.parse(asof)
+      asof -> du.collect {
+        case (day, u) if {
+          val dd = java.time.LocalDate.parse(day)
+          !dd.isAfter(d) && !dd.isBefore(d.minusDays(6))
+        } => u
+      }.distinct.length.toLong
+    }.toMap
+    assert(out == expected, "trailing-7d distinct mismatch")
+    // the window genuinely accumulates: some day must exceed its
+    // same-day unique count (otherwise the fixture can't catch a
+    // broken trailing rule)
+    val sameDay = du.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(days.exists(d => out(d) > sameDay(d)),
+      "fixture degenerate: trailing window never exceeds same-day uniques")
+  }
+
+  test("q_rfm_segments: tie-stable quintiles equal a plain-Scala replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_rfm_segments").fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val p = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).cast("string"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val asof = java.time.LocalDate.parse(p.map(_._2).max)
+    val users = p.groupBy(_._1).map { case (_, rows) =>
+      val r = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(rows.map(_._2).max), asof)
+      (r, rows.length.toLong, rows.map(_._3).sum)
+    }.toSeq
+    val n = users.length
+    def buckets(vs: Seq[Long]): Map[Long, Long] = {
+      val less = vs.groupBy(identity).view
+        .mapValues(_ => 0L).toMap.map { case (v, _) =>
+          v -> vs.count(_ < v).toLong }
+      less.map { case (v, l) => v -> (l * 5 / n + 1) }
+    }
+    val (rb, fb, mb) =
+      (buckets(users.map(_._1)), buckets(users.map(_._2)),
+        buckets(users.map(_._3)))
+    val expected = users.groupBy(u => (rb(u._1), fb(u._2), mb(u._3)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(out == expected, "RFM segment histogram mismatch")
+    // tie-stability is the point: at least one metric must actually
+    // have tied values across users, or the test proves nothing
+    assert(users.map(_._2).distinct.length < n,
+      "fixture degenerate: no frequency ties to exercise bucket stability")
+  }
+
+  test("q_oov_rate: ppm rates equal a replay and vocab truncation bites") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_oov_rate").fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")))
+      .as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> "\\S+".r.findAllIn(t).toSeq }
+    val vocab = toks.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expected = toks.map { case (id, ws) =>
+      val oov = ws.count(w => !vocab.contains(w)).toLong
+      id -> (ws.length.toLong, oov, oov * 1000000L / ws.length)
+    }.toMap
+    assert(out == expected, "OOV replay mismatch")
+    assert(expected.values.exists(_._2 > 0),
+      "fixture degenerate: vocab covers everything, OOV never fires")
+  }
 }
