@@ -525,4 +525,72 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** A click or purchase for [[attributionStream]] (µs event time;
+    * cents only meaningful on purchases). */
+  final case class TouchEv(user_id: Long, tsUs: Long, event_id: Long,
+      event_type: String, cents: Long)
+  final case class TouchState(lastClickUs: Long, maxUs: Long,
+      maxId: Long)
+  /** One purchase verdict: attributed iff a click by the same user
+    * preceded it within the lookback. */
+  final case class AttribVerdict(user_id: Long, tsUs: Long,
+      attributed: Boolean, cents: Long)
+
+  /** Streaming last-touch attribution — the stateful twin of the
+    * batch `q_attribution` row: per user, ONE long of state (the last
+    * click's event time) classifies every purchase the moment it
+    * arrives, versus the batch form's full per-user window pass. This
+    * is the live marketing monitor shape: bounded state per user
+    * forever, verdicts final on emit.
+    *
+    * Ordering contract (same family as [[anomalyStream]]): a verdict
+    * must never miss a click from its past, so within a batch events
+    * fold in (tsUs, event_id) order — the batch rule's exact total
+    * order — and a cross-batch regression (an event older than the
+    * newest already-folded event) THROWS: the late arrival could be
+    * the click that flips an already-emitted verdict. The upstream
+    * watermarked sort (or a per-user FIFO source) satisfies the
+    * contract; detection beats silent wrong credit. */
+  def attributionStream(events: Dataset[TouchEv],
+      lookbackUs: Long = 86400000000L): Dataset[AttribVerdict] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttribVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TouchEv], state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(
+            TouchState(Long.MinValue, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[AttribVerdict]
+          evs.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+            // disorder = older than the fold frontier in the batch
+            // rule's TOTAL order (tsUs, event_id) — an equal-ts click
+            // with a smaller id would still precede an already-folded
+            // purchase, so ties check the id too
+            if (e.tsUs < st.maxUs ||
+                (e.tsUs == st.maxUs && e.event_id < st.maxId))
+              throw new IllegalStateException(
+                s"attributionStream($user): event (${e.tsUs}, ${e.event_id}) " +
+                s"arrived after (${st.maxUs}, ${st.maxId}) was folded — an " +
+                "emitted verdict may have missed this touch; replay " +
+                "per-user events in event-time order")
+            e.event_type match {
+              case "click" =>
+                st = TouchState(e.tsUs, e.tsUs, e.event_id)
+              case "purchase" =>
+                val attributed = st.lastClickUs != Long.MinValue &&
+                  e.tsUs - st.lastClickUs <= lookbackUs
+                out += AttribVerdict(user, e.tsUs, attributed, e.cents)
+                st = st.copy(maxUs = e.tsUs, maxId = e.event_id)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"attributionStream: unexpected event_type '$other' — " +
+                  "filter to click/purchase upstream")
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -323,4 +323,67 @@ class StreamingSpec extends SparkSpec {
       .filter(_._2 > 0)
     assert(got == want, s"chunked stream $got vs batch $want")
   }
+
+  test("streaming last-touch attribution matches the batch q_attribution " +
+      "rollup across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // clicks+purchases in global (tsUs, event_id) order: chunking a
+    // globally-sorted replay preserves per-user event-time order
+    // across batches (the stream's contract)
+    val evs = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[EventStreams.TouchEv]
+      .collect().sortBy(e => (e.tsUs, e.event_id))
+    val in = MemoryStream[EventStreams.TouchEv](spark)
+    val q = EventStreams.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    val got = spark.table("attrib").collect()
+      .map(r => (fmt.format(java.time.Instant.ofEpochSecond(
+          r.getAs[Long]("tsUs") / 1000000L)),
+        r.getAs[Boolean]("attributed"), r.getAs[Long]("cents")))
+      .groupBy(_._1).map { case (day, vs) =>
+        (day, vs.count(_._2).toLong, vs.count(!_._2).toLong,
+          vs.filter(_._2).map(_._3).sum) }.toSet
+    val want = Catalog.byName("q_attribution").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"stream rollup $got vs batch $want")
+    assert(got.nonEmpty && got.exists(_._2 > 0),
+      "fixture degenerate: no attributed purchase in the stream")
+  }
+
+  test("streaming attribution throws on a cross-batch late touch " +
+      "instead of silently mis-crediting") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[EventStreams.TouchEv](spark)
+    val q = EventStreams.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attrib_dis")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStreams.TouchEv(1L, 2000000L, 10L, "purchase", 500L))
+      q.processAllAvailable()
+      // the click that should have preceded the purchase arrives late
+      in.addData(EventStreams.TouchEv(1L, 1000000L, 9L, "click", 0L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("attributionStream")),
+        s"wrong failure: ${messages(ex)}")
+    } finally q.stop()
+  }
 }
