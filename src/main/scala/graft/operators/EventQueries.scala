@@ -679,7 +679,191 @@ object EventQueries {
     "SELECT r_b, f_b, m_b, count(*) AS n_users FROM b " +
     "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
 
+  /** Robust (median/MAD) anomaly detection — the |x−μ|>kσ rule's
+    * outlier-resistant twin: one extreme hour inflates σ enough to
+    * mask its neighbors, while the median absolute deviation barely
+    * moves. The cross-engine float trap is interpolated medians, so
+    * everything lives in 2×-scaled EXACT integers: the midpoint of
+    * two integers doubles to an integer, hence med2 = 2·median(cnt)
+    * and mad2 = 2·median(|2·cnt − med2|) are exact longs (the
+    * interpolated double a+b is exact in IEEE far below 2⁵³, and both
+    * engines use the same p·(n−1) linear-interpolation quantile), and
+    * the classic |cnt−med| > 3·MAD flag is the pure-integer
+    * cross-multiplication 2·dev > 3·mad2 (dev = |2cnt−med2| =
+    * 2|cnt−med|, mad2 = 4·MAD ⇒ dev/2 > 3·mad2/4 ⟺ 2·dev > 3·mad2).
+    * Per-type medians aggregate a bounded (hours × types) table —
+    * the fact stream crosses one exchange into the hourly rollup. */
+  /** The MAD rule over any (event_type, hour_start, cnt) series table
+    * — ONE definition shared by the gate row and the spec's synthetic
+    * low-side drive (the fixture's Poisson-ish counts only ever flag
+    * high, so the low branch gets its engine coverage from a
+    * constructed series). */
+  def madFlags(hourly: DataFrame): DataFrame = {
+    val med = hourly.groupBy("event_type")
+      .agg((expr("percentile(cnt, 0.5)") * 2).cast("long").as("med2"))
+    val dev = hourly.join(med, "event_type")
+      .withColumn("dev", abs(col("cnt") * 2 - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev, 0.5)") * 2).cast("long").as("mad2"))
+    dev.join(mad, "event_type")
+      .filter(col("dev") * 2 > col("mad2") * 3)
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        when(col("cnt") * 2 > col("med2"), "high").otherwise("low")
+          .as("side"))
+      .orderBy("event_type", "hour_start")
+  }
+
+  private def madAnomaly(s: SparkSession, d: String): DataFrame =
+    madFlags(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        fmt(date_trunc("hour", col("ts"))).as("hour_start"))
+      .agg(count(lit(1)).as("cnt")))
+
+  private val madAnomalySql =
+    "WITH h AS (SELECT event_type, strftime(date_trunc('hour', ts), " +
+    "'%Y-%m-%d %H:%M:%S') AS hour_start, count(*) AS cnt FROM events GROUP BY 1, 2), " +
+    "med AS (SELECT event_type, CAST(quantile_cont(cnt, 0.5) * 2 AS BIGINT) AS med2 " +
+    "FROM h GROUP BY 1), " +
+    "dv AS (SELECT h.event_type, h.hour_start, h.cnt, med.med2, " +
+    "abs(h.cnt * 2 - med.med2) AS dev FROM h JOIN med USING (event_type)), " +
+    "mad AS (SELECT event_type, CAST(quantile_cont(dev, 0.5) * 2 AS BIGINT) AS mad2 " +
+    "FROM dv GROUP BY 1) " +
+    "SELECT dv.event_type, dv.hour_start, dv.cnt, " +
+    "CASE WHEN dv.cnt * 2 > dv.med2 THEN 'high' ELSE 'low' END AS side " +
+    "FROM dv JOIN mad USING (event_type) WHERE dv.dev * 2 > mad.mad2 * 3 " +
+    "ORDER BY 1, 2"
+
+  /** A/B experiment significance — per first-day cohort, users split
+    * into two deterministic arms (portable md5 hash — both engines
+    * derive the SAME assignment, so even the randomization is
+    * oracle-checked), "conversion" = the user purchased, and the
+    * two-proportion z-test at α=0.05 evaluated ENTIRELY in integers:
+    * z² > 1.96² ⟺ 25·(c₁n₂−c₂n₁)²·N > 96·n₁n₂·C·(N−C)
+    * (cross-multiplied pooled-variance z; C = c₁+c₂, N = n₁+n₂) — no
+    * float proportion or sqrt ever exists, so the verdict is
+    * bit-stable under any partitioning. Magnitudes: c,n ≤ users per
+    * cohort; the largest term 25(c₁n₂)²N stays under 2⁶³ through
+    * ~2×10⁵ users/cohort — the gate documents the headroom, a
+    * production run shards cohorts further. Per-user state is one
+    * hash aggregate; the cohort table is bounded (days × 2 arms). */
+  private def abSignificance(s: SparkSession, d: String): DataFrame = {
+    def wsum(c: org.apache.spark.sql.Column) =
+      (1 to 8).map(i => ascii(substring(c, i, 1)) * lit(i)).reduce(_ + _)
+    val ev = Tables.events(s, d)
+    val users = ev.groupBy("user_id")
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("cohort"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .withColumn("arm",
+        pmod(wsum(md5(concat(lit("ab|"), col("user_id")))), lit(2)))
+    val arms = users.groupBy("cohort")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    arms.select(col("cohort"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (lit(25L) * (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+          (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+          (col("n_a") + col("n_b")) >
+         lit(96L) * col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+          (col("n_a") + col("n_b") - col("c_a") - col("c_b")))
+          .as("significant"))
+      .orderBy("cohort")
+  }
+
+  private val abSignificanceSql = {
+    val wsum = (1 to 8).map(i =>
+      s"ascii(substring(h, $i, 1)) * $i").mkString(" + ")
+    "WITH u AS (SELECT user_id, strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS cohort, " +
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted " +
+    "FROM events GROUP BY 1), " +
+    "uh AS (SELECT cohort, converted, " +
+    "md5('ab|' || CAST(user_id AS VARCHAR)) AS h FROM u), " +
+    s"ua AS (SELECT cohort, converted, ($wsum) % 2 AS arm FROM uh), " +
+    "arms AS (SELECT cohort, " +
+    "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+    "CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a, " +
+    "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+    "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b " +
+    "FROM ua GROUP BY 1 HAVING n_a > 0 AND n_b > 0) " +
+    "SELECT cohort, n_a, c_a, n_b, c_b, " +
+    "(25 * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
+    "96 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) AS significant " +
+    "FROM arms ORDER BY cohort"
+  }
+
+  /** KMV sketch INTERSECTION (Beyer et al., SIGMOD'07): estimate
+    * |viewers ∩ purchasers| from two k-min-value sketches without
+    * ever joining the full sets — the sketch-algebra primitive behind
+    * audience-overlap and join-size estimation at 100 TB (sketches
+    * are k rows each; only they move). Same portable md5→(0,1] hash
+    * as `q_kmv_distinct`, so both engines build bit-identical
+    * sketches and even the ESTIMATE is hash-checked, next to the
+    * exact overlap. Estimator: τ = k-th smallest of the union sketch,
+    * K∩ = |{v ∈ both sketches : u(v) ≤ τ}|, est = K∩·(k_u−1)/(k_u·τ).
+    * The per-set k-min is a per-type window over DISTINCT
+    * (type, user) — the same shape as `q_kmv_distinct`; a production
+    * run swaps it for the bounded-heap TopK aggregator. */
+  private def kmvIntersect(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    def uh(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(c.cast("string")), 1, 12), 16, 10)
+        .cast("long") + 1L).cast("double") / lit(281474976710656.0) // 2^48
+    val du = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id")).distinct()
+    val exact = du.groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === 2).agg(count(lit(1)).as("exact_common"))
+    val withU = du.withColumn("u", uh(col("user_id")))
+    val w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    val sk = withU.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("event_type", "user_id", "u")
+    val uniW = Window.orderBy("u", "user_id")
+    val tau = sk.select("user_id", "u").distinct()
+      .withColumn("rn", row_number().over(uniW)).filter(col("rn") <= k)
+      .agg(max("u").as("tau"), count(lit(1)).as("k_u"))
+    val a = sk.filter(col("event_type") === "view")
+      .select(col("user_id"), col("u"))
+    val b = sk.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ub"))
+    a.join(b, col("user_id") === col("ub"))
+      .crossJoin(broadcast(tau))
+      .filter(col("u") <= col("tau"))
+      .agg(count(lit(1)).as("k_int"))
+      .crossJoin(broadcast(tau))
+      .crossJoin(broadcast(exact))
+      .select(col("exact_common"), col("k_int"),
+        round(col("k_int") * (col("k_u") - 1) / (col("k_u") * col("tau")), 1)
+          .as("kmv_est"))
+  }
+
+  private val kmvIntersectSql =
+    "WITH du AS (SELECT DISTINCT event_type, user_id FROM events " +
+    "WHERE event_type IN ('view', 'purchase')), " +
+    "ex AS (SELECT count(*) AS exact_common FROM " +
+    "(SELECT user_id FROM du GROUP BY 1 HAVING count(*) = 2)), " +
+    "wu AS (SELECT event_type, user_id, " +
+    "(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
+    "/ 281474976710656.0 AS u FROM du), " +
+    "sk AS (SELECT event_type, user_id, u FROM " +
+    "(SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rn " +
+    "FROM wu) WHERE rn <= 16), " +
+    "tau AS (SELECT max(u) AS tau, count(*) AS k_u FROM " +
+    "(SELECT user_id, u FROM (SELECT DISTINCT user_id, u FROM sk) t " +
+    "QUALIFY row_number() OVER (ORDER BY u, user_id) <= 16)), " +
+    "ki AS (SELECT count(*) AS k_int FROM sk a JOIN sk b " +
+    "ON a.user_id = b.user_id AND a.event_type = 'view' AND b.event_type = 'purchase' " +
+    "CROSS JOIN tau WHERE a.u <= tau.tau) " +
+    "SELECT exact_common, k_int, " +
+    "round(k_int * (k_u - 1) / (k_u * tau), 1) AS kmv_est " +
+    "FROM ki CROSS JOIN tau CROSS JOIN ex"
+
   val all: Seq[Q] = Seq(
+    Q("q_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
+    Q("q_mad_anomaly", madAnomaly, Some(madAnomalySql)),
+    Q("q_ab_significance", abSignificance, Some(abSignificanceSql)),
     Q("q_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     Q("q_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q_attribution", attribution, Some(attributionSql)),

@@ -291,6 +291,27 @@ object GraphQueries {
   private def linkPredict(s: SparkSession, d: String): DataFrame =
     GraphAlgos.commonNeighbors(strongTieEdges(s, d), degCap = 16, minCn = 2L)
 
+  /** Neighborhood-Jaccard link scoring — [[linkPredict]]'s raw
+    * common-neighbor count normalized by neighborhood size:
+    * J = |Γa ∩ Γb| / |Γa ∪ Γb| in fixed-point ppm (integer floor
+    * division — no float ranking to flip), which stops the predictor
+    * from just ranking hub pairs first. Reuses the SAME
+    * `GraphAlgos.commonNeighbors` wedge pipeline (hub-capped centers,
+    * the Σ deg² guard) plus two equi-joins against the degree table —
+    * the scale shape is unchanged. */
+  private def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = strongTieEdges(s, d)
+    val cn = GraphAlgos.commonNeighbors(e, degCap = 16, minCn = 2L)
+    val deg = GraphAlgos.undirect(e).groupBy("u")
+      .agg(count(lit(1)).as("dg"))
+    cn.join(deg.select(col("u").as("part_a"), col("dg").as("da")), "part_a")
+      .join(deg.select(col("u").as("part_b"), col("dg").as("db")), "part_b")
+      .select(col("part_a"), col("part_b"), col("cn"),
+        expr("cn * cast(1000000 as bigint) div (da + db - cn)")
+          .as("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), col("part_a"), col("part_b"))
+  }
+
   /** Single-source-set shortest paths: 3 synchronous Bellman-Ford
     * relaxation rounds from the seed set (parts ≡ 0 mod 97) over the
     * strong-tie graph with deterministic integer edge weights
@@ -439,6 +460,20 @@ object GraphQueries {
       "SELECT cn.part_a, cn.part_b, cn.cn FROM cn " +
       "LEFT JOIN e ON cn.part_a = e.a AND cn.part_b = e.b " +
       "WHERE e.a IS NULL AND cn.cn >= 2 ORDER BY cn.cn DESC, part_a, part_b")),
+    Q("q_jaccard_neighbors", jaccardNeighbors, Some(
+      strongTieCte + ", " +
+      "deg AS (SELECT u, count(*) AS dg FROM ee GROUP BY 1), " +
+      "capped AS (SELECT ee.u, ee.v FROM ee JOIN deg ON ee.u = deg.u WHERE deg.dg <= 16), " +
+      "cand AS (SELECT x.v AS part_a, y.v AS part_b FROM capped x " +
+      "JOIN capped y ON x.u = y.u AND x.v < y.v), " +
+      "cn AS (SELECT part_a, part_b, count(*) AS cn FROM cand GROUP BY 1, 2), " +
+      "pred AS (SELECT cn.part_a, cn.part_b, cn.cn FROM cn " +
+      "LEFT JOIN e ON cn.part_a = e.a AND cn.part_b = e.b " +
+      "WHERE e.a IS NULL AND cn.cn >= 2) " +
+      "SELECT p.part_a, p.part_b, p.cn, " +
+      "(p.cn * 1000000) // (d1.dg + d2.dg - p.cn) AS jaccard_ppm " +
+      "FROM pred p JOIN deg d1 ON p.part_a = d1.u JOIN deg d2 ON p.part_b = d2.u " +
+      "ORDER BY jaccard_ppm DESC, part_a, part_b")),
     Q("q_sssp", sssp, Some(
       strongTieCte + ", " +
       "ew AS (SELECT a, b, 1 + (a + b) % 9 AS w FROM e), " +

@@ -676,7 +676,48 @@ object RelationalQueries {
         coalesce(sum("cents"), lit(0L)).as("rev_cents"))
   }
 
+  /** Referential-integrity audit — the data-quality gate every
+    * warehouse load runs before publishing: orphan counts for each
+    * foreign key (child rows whose parent is missing) plus the
+    * childless-parent coverage stat. Every probe is ONE left-anti
+    * equi-join feeding a 1-row count — the 100 TB shape (anti joins
+    * shuffle/broadcast on the key like any equi-join; no row ever
+    * leaves the count aggregate), and the lazy union of the five
+    * probes lets Spark share scans where ReuseExchange applies. */
+  private def fkAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def probe(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.join(parent.select(pk), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("fk_check"), col("n_rows"))
+    probe("customer_without_order", Tables.customer(s, d), "c_custkey",
+        ord, "o_custkey")
+      .unionAll(probe("lineitem_orderkey_orphan", li, "l_orderkey",
+        ord, "o_orderkey"))
+      .unionAll(probe("lineitem_partkey_orphan", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionAll(probe("lineitem_suppkey_orphan", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionAll(probe("orders_custkey_orphan", ord, "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy("fk_check")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_fk_audit", fkAudit, Some(
+      "SELECT 'customer_without_order' AS fk_check, count(*) AS n_rows FROM customer " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+      "UNION ALL SELECT 'lineitem_orderkey_orphan', count(*) FROM lineitem " +
+      "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) " +
+      "UNION ALL SELECT 'lineitem_partkey_orphan', count(*) FROM lineitem " +
+      "WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) " +
+      "UNION ALL SELECT 'lineitem_suppkey_orphan', count(*) FROM lineitem " +
+      "WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey) " +
+      "UNION ALL SELECT 'orders_custkey_orphan', count(*) FROM orders " +
+      "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) " +
+      "ORDER BY fk_check")),
     Q("q_latest_by_key", latestByKey, Some(
       "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
       "o_orderpriority FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey " +

@@ -999,6 +999,32 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-document token Shannon entropy (nats) — the lexical-diversity
+    * curation signal (template/boilerplate docs score low, natural
+    * prose high). H = ln(n) − (Σ c·ln c)/n over the doc's word
+    * histogram. The cross-engine trap is the Σ: a float sum over a
+    * GROUP is summation-order-dependent, so the histogram is folded
+    * as a SORTED ARRAY — `sort_array(collect_list(struct(word, c)))`
+    * then a left `aggregate` fold — and DuckDB mirrors it with
+    * `list_sort` + `list_transform` + `list_reduce`: both engines add
+    * the same terms in the same order. Per-doc arrays are bounded by
+    * the doc's vocabulary (collect_list here is per-document state,
+    * not a global collect). */
+  private def entropyQ(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    tf.groupBy("doc_id")
+      .agg(sum("c").as("n_tok"),
+        sort_array(collect_list(struct(col("word"), col("c")))).as("h"))
+      .select(col("doc_id"), col("n_tok"),
+        (round(
+          log(col("n_tok").cast("double")) -
+            expr("aggregate(h, 0D, (acc, x) -> acc + x.c * ln(x.c))") /
+              col("n_tok"), 4) + lit(0.0)).as("entropy_nats"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary
     * rate against the corpus top-K vocabulary — the curation signal
     * that tells "this doc is full of tokens the tokenizer will
@@ -1876,6 +1902,19 @@ object TextQueries {
       "ORDER BY tfidf DESC, word) AS INT) AS rank FROM sc) " +
       "SELECT doc_id, rank, word, tfidf FROM rk WHERE rank <= 3 " +
       "ORDER BY doc_id, rank")),
+    Q("q_entropy", entropyQ, Some(
+      "WITH tf AS (SELECT doc_id, word, count(*) AS c FROM " +
+      "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "hh AS (SELECT doc_id, sum(c) AS n_tok, " +
+      "list_sort(list(struct_pack(word := word, c := c))) AS h " +
+      "FROM tf GROUP BY 1) " +
+      "SELECT doc_id, n_tok, " +
+      "round(ln(CAST(n_tok AS DOUBLE)) - " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(h, x -> x.c * ln(x.c))), (acc, v) -> acc + v) " +
+      "/ n_tok, 4) + 0.0 AS entropy_nats " +
+      "FROM hh ORDER BY doc_id")),
     Q("q_oov_rate", oovRate, Some(
       "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +
       "FROM documents), " +

@@ -125,6 +125,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == expected, "predicted pair set diverged from the replay")
   }
 
+  test("q_jaccard_neighbors: ppm scores equal the replay and re-rank " +
+      "hub pairs below tight pairs") {
+    val out = Catalog.byName("q_jaccard_neighbors").fn(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val adj = strongTieAdj()
+    val expected = (for {
+      u <- adj.keysIterator if adj(u).size <= 16
+      Seq(p, q) <- adj(u).toSeq.sorted.combinations(2)
+    } yield (p, q)).toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong)
+      .filter { case ((p, q), cn) => cn >= 2 && !adj(p).contains(q) }
+      .map { case ((p, q), cn) =>
+        (p, q) -> (cn,
+          cn * 1000000L / (adj(p).size + adj(q).size - cn)) }
+      .toMap
+    assert(out == expected, "jaccard scores diverged from the replay")
+    // normalization must matter: the cn-ranking and the jaccard-ranking
+    // must disagree somewhere, or the operator adds nothing over
+    // q_link_predict
+    val byCn = expected.toSeq.sortBy { case ((p, q), (cn, _)) => (-cn, p, q) }
+      .map(_._1)
+    val byJ = expected.toSeq.sortBy { case ((p, q), (_, j)) => (-j, p, q) }
+      .map(_._1)
+    assert(byCn != byJ,
+      "fixture degenerate: jaccard ranking identical to raw common-neighbor")
+  }
+
   test("q_sssp: distances equal a plain-Scala 3-round Bellman-Ford") {
     val out = Catalog.byName("q_sssp").fn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -49,7 +49,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_matryoshka_topk", // 1-row query vector broadcast (both stages)
     "q_histogram",   // 1-row (lo, hi) bounds scalar
     "q_rfm_segments", // 1-row anchor-day + 1-row user-count scalars
-    "q_int8_topk"    // 1-row quantized query vector
+    "q_int8_topk",   // 1-row quantized query vector
+    "q_kmv_intersect" // 1-row (tau, k_u) + 1-row exact-count scalars
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -97,6 +97,32 @@ class RelationalExtraSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q_fk_audit: orphan counts equal plain-Scala key-set differences") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_fk_audit").fn(spark, dir)
+      .as[(String, Long)].collect().toMap
+    import graft.sources.Tables
+    def keys(df: org.apache.spark.sql.DataFrame, c: String): Array[Long] =
+      df.select(col(c)).as[Long].collect()
+    val custKeys = keys(Tables.customer(spark, dir), "c_custkey").toSet
+    val ordCust = keys(Tables.orders(spark, dir), "o_custkey")
+    val ordKeys = keys(Tables.orders(spark, dir), "o_orderkey").toSet
+    val partKeys = keys(Tables.part(spark, dir), "p_partkey").toSet
+    val suppKeys = keys(Tables.supplier(spark, dir), "s_suppkey").toSet
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .as[(Long, Long, Long)].collect()
+    val expected = Map(
+      "customer_without_order" ->
+        custKeys.diff(ordCust.toSet).size.toLong,
+      "lineitem_orderkey_orphan" -> li.count(r => !ordKeys(r._1)).toLong,
+      "lineitem_partkey_orphan" -> li.count(r => !partKeys(r._2)).toLong,
+      "lineitem_suppkey_orphan" -> li.count(r => !suppKeys(r._3)).toLong,
+      "orders_custkey_orphan" -> ordCust.count(k => !custKeys(k)).toLong)
+    assert(out == expected, "FK audit counts diverged from the replay")
+  }
+
   test("q_latest_by_key: argmax aggregate equals the window formulation") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
