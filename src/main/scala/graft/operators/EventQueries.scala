@@ -621,11 +621,15 @@ object EventQueries {
     * partitionings. Here bucket(v) = ⌊5·|{u : value(u) < v}| / n⌋ + 1
     * (strict rank), so equal values always share a bucket and the
     * whole statistic is exact integer arithmetic. The rank table is a
-    * running sum over the VALUE HISTOGRAM (bounded by distinct metric
-    * values, not by users — the skyline bucket-window shape), joined
-    * back per metric; user metrics themselves are one hash aggregate
-    * of the purchase stream. Anchor = max purchase day (1-row
-    * broadcast). Output: the 5×5×5-bounded segment histogram. */
+    * running sum over the VALUE HISTOGRAM (the skyline bucket-window
+    * shape) — and each metric's histogram is genuinely VALUE-RANGE
+    * bounded, not user-bounded: recency is days, frequency is a small
+    * count, and monetary is bucketed to whole dollars before ranking
+    * exactly so its histogram cannot degenerate to one row per user
+    * (cent-level sums are near-unique). Joined back per metric; user
+    * metrics themselves are one hash aggregate of the purchase
+    * stream. Anchor = max purchase day (1-row broadcast). Output: the
+    * 5×5×5-bounded segment histogram. */
   private def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val p = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
@@ -634,7 +638,7 @@ object EventQueries {
     val anchor = p.agg(max(col("day")).as("anchor_day"))
     val u = p.groupBy("user_id")
       .agg(max("day").as("last_day"), count(lit(1)).as("f"),
-        sum("cents").as("m"))
+        expr("sum(cents) div 100").as("m"))
       .crossJoin(broadcast(anchor))
       .select(col("user_id"),
         datediff(col("anchor_day"), col("last_day")).cast("long").as("r"),
@@ -665,7 +669,7 @@ object EventQueries {
     "WHERE event_type = 'purchase'), " +
     "anchor AS (SELECT max(day) AS anchor_day FROM p), " +
     "u AS (SELECT user_id, date_diff('day', max(day), (SELECT anchor_day FROM anchor)) AS r, " +
-    "count(*) AS f, sum(cents) AS m FROM p GROUP BY 1), " +
+    "count(*) AS f, sum(cents) // 100 AS m FROM p GROUP BY 1), " +
     "n AS (SELECT count(*) AS nu FROM u), " +
     "hr AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS less FROM " +
     "(SELECT r AS v, count(*) AS c FROM u GROUP BY 1)), " +
@@ -741,11 +745,15 @@ object EventQueries {
     * z² > 1.96² ⟺ 25·(c₁n₂−c₂n₁)²·N > 96·n₁n₂·C·(N−C)
     * (cross-multiplied pooled-variance z; C = c₁+c₂, N = n₁+n₂) — no
     * float proportion or sqrt ever exists, so the verdict is
-    * bit-stable under any partitioning. Magnitudes: c,n ≤ users per
-    * cohort; the largest term 25(c₁n₂)²N stays under 2⁶³ through
-    * ~2×10⁵ users/cohort — the gate documents the headroom, a
-    * production run shards cohorts further. Per-user state is one
-    * hash aggregate; the cohort table is bounded (days × 2 arms). */
+    * bit-stable under any partitioning. Magnitudes: the worst-case
+    * term 25·Δ²·N with |Δ| ≤ n₁n₂ ≤ (N/2)² is ~25·N⁵/16, which fits
+    * 2⁶³ only through N ≈ 900 users/cohort; realistic near-null
+    * effects sit orders of magnitude lower, Spark's ANSI mode makes
+    * any overflow LOUD (exception, not wraparound), and a production
+    * run at bigger cohorts moves the comparison to 128-bit decimals
+    * or divides both sides by gcd-scale factors first. Per-user state
+    * is one hash aggregate; the cohort table is bounded
+    * (days × 2 arms). */
   private def abSignificance(s: SparkSession, d: String): DataFrame = {
     def wsum(c: org.apache.spark.sql.Column) =
       (1 to 8).map(i => ascii(substring(c, i, 1)) * lit(i)).reduce(_ + _)

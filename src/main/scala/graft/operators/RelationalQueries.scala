@@ -564,7 +564,11 @@ object RelationalQueries {
     * at any scale factor and broadcast explicitly, so the only
     * shuffles are the two fact exchanges (orders ⋈ customer keys,
     * lineitem ⋈ qualified orders) and the 5-row final aggregate.
-    * Revenue in exact integer micro-dollars as in [[tpchQ3]]. */
+    * Revenue in exact integer micro-dollars as in [[tpchQ3]].
+    * Headroom: ~10¹¹ micro-dollars/item sums safely to ~10⁷ items
+    * per nation group (≈ sf10); past that Spark's ANSI mode throws
+    * loudly and a production run switches the sum to DECIMAL(38)
+    * (still exact) or plain cents. */
   private def regionalVolume(s: SparkSession, d: String): DataFrame = {
     val asiaNations = Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),

@@ -482,7 +482,8 @@ class RuleBatterySpec extends SparkSpec {
     val users = p.groupBy(_._1).map { case (_, rows) =>
       val r = java.time.temporal.ChronoUnit.DAYS.between(
         java.time.LocalDate.parse(rows.map(_._2).max), asof)
-      (r, rows.length.toLong, rows.map(_._3).sum)
+      // monetary ranks on whole dollars (value-range-bounded histogram)
+      (r, rows.length.toLong, rows.map(_._3).sum / 100)
     }.toSeq
     val n = users.length
     def buckets(vs: Seq[Long]): Map[Long, Long] = {
