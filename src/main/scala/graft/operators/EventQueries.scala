@@ -33,15 +33,21 @@ object EventQueries {
   /** Sessionization with a 30-minute inactivity gap — the batch
     * equivalent of flatMapGroupsWithState session windows: lag() to
     * mark session starts, running sum to number them. */
-  private def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** The 30-minute-gap session-id assignment, shared by
+    * [[sessionize]] and [[bounceRate]] so the session rule cannot
+    * drift between them (the funnelTimes pattern). */
+  private def withSessionIds(ev: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("new_s",
         when(unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("sid", sum("new_s").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def sessionize(s: SparkSession, d: String): DataFrame =
+    withSessionIds(Tables.events(s, d))
       .groupBy("user_id", "sid")
       .agg(
         count(lit(1)).as("n_events"),
@@ -49,7 +55,132 @@ object EventQueries {
         fmt(max(col("ts"))).as("session_end"),
         round(sum("value"), 2).as("session_value"))
       .orderBy("user_id", "sid")
+
+  /** Bounce rate per day — share of sessions with exactly one event
+    * (fixed-point ppm, integer floor division): the product-health
+    * metric every session table feeds. Reuses [[withSessionIds]]'s
+    * exact gap rule; the per-day rollup is a bounded final
+    * aggregate. */
+  private def bounceRate(s: SparkSession, d: String): DataFrame =
+    withSessionIds(Tables.events(s, d))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      .groupBy(date_format(col("start_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_ppm",
+        expr("n_bounce * cast(1000000 as bigint) div n_sessions"))
+      .orderBy("day")
+
+  private val bounceRateSql =
+    "WITH x AS (SELECT user_id, event_id, ts, " +
+    "epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap " +
+    "FROM events), " +
+    "y AS (SELECT user_id, ts, CAST(sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) OVER " +
+    "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid " +
+    "FROM x), " +
+    "sess AS (SELECT user_id, sid, count(*) AS n_events, min(ts) AS start_ts " +
+    "FROM y GROUP BY 1, 2) " +
+    "SELECT strftime(start_ts, '%Y-%m-%d') AS day, count(*) AS n_sessions, " +
+    "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+    "(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS bounce_ppm " +
+    "FROM sess GROUP BY 1 ORDER BY 1"
+
+  /** CUSUM drift detection over the hourly series — the
+    * change-point monitor that catches a sustained small shift a
+    * per-hour threshold rule misses. The clamped fold
+    * S_t = max(0, S_{t−1} + (x_t − μ₀ − k)) is not a window function,
+    * but its closed form IS: S_t = P_t − min(0, min_{i≤t} P_i) with
+    * P the running sum of deviations — two per-key window passes, no
+    * stateful fold needed (the identity a distributed engine wants).
+    * Everything is exact integers scaled by 2n₀: baseline = each
+    * type's first 168 hours (n₀ hours, Σ=S₀), deviation
+    * d' = 2n₀·x − 3S₀ (allowance k = μ₀/2), threshold h = 4μ₀ →
+    * 8S₀ in scaled units. Output: per-type max CUSUM statistic +
+    * drift verdict (the fixture is stationary, so the spec drives a
+    * synthetic shifted series through this SAME core for the
+    * flagged branch). */
+  def cusumStats(hourly: DataFrame): DataFrame = {
+    val weekUs = 604800000000L
+    val base = hourly.groupBy("event_type").agg(min("hour_us").as("h0"))
+    val withBase = hourly.join(base, "event_type")
+    val bl = withBase.filter(col("hour_us") < col("h0") + lit(weekUs))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum("cnt").as("s0"))
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBase.filter(col("hour_us") >= col("h0") + lit(weekUs))
+      .join(bl, "event_type")
+      .withColumn("d", lit(2L) * col("n0") * col("cnt") - lit(3L) * col("s0"))
+      .withColumn("p", sum("d").over(w))
+      .withColumn("stat", col("p") - least(lit(0L), min("p").over(w)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test_hours"), max("stat").as("max_cusum"),
+        (max("stat") > lit(8L) * max("s0")).as("drifted"))
+      .orderBy("event_type")
   }
+
+  private def cusumDrift(s: SparkSession, d: String): DataFrame =
+    cusumStats(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("cnt")))
+
+  private val cusumDriftSql =
+    "WITH h AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us, " +
+    "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+    "base AS (SELECT event_type, min(hour_us) AS h0 FROM h GROUP BY 1), " +
+    "bl AS (SELECT h.event_type, count(*) AS n0, sum(cnt) AS s0 " +
+    "FROM h JOIN base USING (event_type) WHERE hour_us < h0 + 604800000000 GROUP BY 1), " +
+    "t AS (SELECT h.event_type, hour_us, 2 * n0 * cnt - 3 * s0 AS d, s0 " +
+    "FROM h JOIN base USING (event_type) JOIN bl USING (event_type) " +
+    "WHERE hour_us >= h0 + 604800000000), " +
+    "ps AS (SELECT event_type, s0, hour_us, " +
+    "sum(d) OVER (PARTITION BY event_type ORDER BY hour_us " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM t), " +
+    "st AS (SELECT event_type, s0, p - least(CAST(0 AS BIGINT), " +
+    "min(p) OVER (PARTITION BY event_type ORDER BY hour_us " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat FROM ps) " +
+    "SELECT event_type, count(*) AS n_test_hours, max(stat) AS max_cusum, " +
+    "(max(stat) > 8 * max(s0)) AS drifted " +
+    "FROM st GROUP BY 1 ORDER BY 1"
+
+  /** Time-to-convert: per first-view-day cohort, the median minutes
+    * from a user's FIRST view to their FIRST purchase — the canonical
+    * conversion-latency rollup. Per-user firsts are conditional-min
+    * hash aggregates (one pass, no window, no self-join); the median
+    * uses the exact 2×-scaled-integer interpolation trick from
+    * `q_mad_anomaly` (midpoints of integer minutes double to
+    * integers), so the statistic is hash-stable cross-engine. */
+  private def timeToConvert(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p0"))
+      .filter(col("v0").isNotNull && col("p0").isNotNull &&
+        col("p0") > col("v0"))
+      .select(date_format(timestamp_micros(col("v0")), "yyyy-MM-dd")
+          .as("cohort"),
+        expr("(p0 - v0) div 60000000").as("mins"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        (expr("percentile(mins, 0.5)") * 2).cast("long").as("med2_mins"))
+      .orderBy("cohort")
+
+  private val timeToConvertSql =
+    "WITH f AS (SELECT user_id, " +
+    "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v0, " +
+    "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p0 " +
+    "FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1), " +
+    "c AS (SELECT strftime(make_timestamp(v0), '%Y-%m-%d') AS cohort, " +
+    "(p0 - v0) // 60000000 AS mins FROM f " +
+    "WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0) " +
+    "SELECT cohort, count(*) AS n_converted, " +
+    "CAST(quantile_cont(mins, 0.5) * 2 AS BIGINT) AS med2_mins " +
+    "FROM c GROUP BY 1 ORDER BY 1"
 
   /** Sessionization via Spark's built-in `session_window` (gap-merged
     * session aggregation — the form that also runs under Structured
@@ -869,6 +1000,9 @@ object EventQueries {
     "FROM ki CROSS JOIN tau CROSS JOIN ex"
 
   val all: Seq[Q] = Seq(
+    Q("q_cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    Q("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),
+    Q("q_bounce_rate", bounceRate, Some(bounceRateSql)),
     Q("q_kmv_intersect", kmvIntersect, Some(kmvIntersectSql)),
     Q("q_mad_anomaly", madAnomaly, Some(madAnomalySql)),
     Q("q_ab_significance", abSignificance, Some(abSignificanceSql)),

@@ -999,6 +999,23 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Deterministic Bernoulli sampling (p = 0.1) via the portable
+    * md5→(0,1] hash — TABLESAMPLE with a seed that reproduces across
+    * engines, partitionings and reruns: both Spark and DuckDB select
+    * the IDENTICAL rows, so the sample itself (not just its size) is
+    * oracle-checked. The per-row probe is scan-stage arithmetic (no
+    * shuffle, no rand()); complements `q_stratified_sample`'s
+    * exact-k-per-group form. */
+  private def bernoulliSample(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("smp|"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long") + 1L).cast("double") / lit(281474976710656.0) // 2^48
+    Tables.documents(s, d)
+      .withColumn("u", u).filter(col("u") < 0.1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document token Shannon entropy (nats) — the lexical-diversity
     * curation signal (template/boilerplate docs score low, natural
     * prose high). H = ln(n) − (Σ c·ln c)/n over the doc's word
@@ -1902,6 +1919,10 @@ object TextQueries {
       "ORDER BY tfidf DESC, word) AS INT) AS rank FROM sc) " +
       "SELECT doc_id, rank, word, tfidf FROM rk WHERE rank <= 3 " +
       "ORDER BY doc_id, rank")),
+    Q("q_bernoulli_sample", bernoulliSample, Some(
+      "SELECT doc_id, lang, n_chars FROM (SELECT *, " +
+      "(CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
+      "/ 281474976710656.0 AS u FROM documents) WHERE u < 0.1 ORDER BY doc_id")),
     Q("q_entropy", entropyQ, Some(
       "WITH tf AS (SELECT doc_id, word, count(*) AS c FROM " +
       "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +

@@ -603,6 +603,133 @@ class RuleBatterySpec extends SparkSpec {
       s"KMV estimate $est too far from exact $exact")
   }
 
+  test("q_cusum_drift: the window identity equals the clamped fold, and " +
+      "a synthetic shift trips the flag") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_cusum_drift").fn(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.nonEmpty)
+    val hourly = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long, Long)].collect()
+    val weekUs = 604800000000L
+    val expected = hourly.groupBy(_._1).map { case (et, rows) =>
+      val h0 = rows.map(_._2).min
+      val (bl, test) = rows.sortBy(_._2).partition(_._2 < h0 + weekUs)
+      val (n0, s0) = (bl.length.toLong, bl.map(_._3).sum)
+      // the clamped fold the operator's window identity must equal
+      var s = 0L; var mx = 0L
+      test.foreach { r =>
+        s = math.max(0L, s + (2 * n0 * r._3 - 3 * s0))
+        mx = math.max(mx, s)
+      }
+      et -> (test.length.toLong, mx, mx > 8 * s0)
+    }
+    assert(out == expected.toMap,
+      "window-identity CUSUM diverged from the clamped fold")
+    assert(out.values.forall(!_._3), "stationary fixture should not drift")
+    // synthetic: baseline ~100/hour, then a sustained +60% shift —
+    // must flag through the SAME engine core
+    val synth = (0 until 400).map(i =>
+        ("synth", i * 3600000000L, if (i < 168) 100L else 160L))
+      .toDF("event_type", "hour_us", "cnt")
+    val Array((_, _, _, drifted)) =
+      graft.operators.EventQueries.cusumStats(synth)
+        .as[(String, Long, Long, Boolean)].collect()
+    assert(drifted, "sustained +60% shift must trip the CUSUM flag")
+  }
+
+  test("q_time_to_convert: cohort medians equal a plain-Scala replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_time_to_convert").fn(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)].collect()
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    val expected = ev.groupBy(_._1).values.flatMap { rows =>
+      val v0 = rows.collect { case (_, "view", us) => us }.minOption
+      val p0 = rows.collect { case (_, "purchase", us) => us }.minOption
+      (v0, p0) match {
+        case (Some(v), Some(p)) if p > v =>
+          Some((fmt.format(java.time.Instant.ofEpochSecond(v / 1000000L)),
+            (p - v) / 60000000L))
+        case _ => None
+      }
+    }.toSeq.groupBy(_._1).map { case (c, vs) =>
+      c -> (vs.length.toLong, med2(vs.map(_._2)))
+    }
+    assert(out == expected, "time-to-convert medians diverged")
+    assert(out.values.map(_._1).sum >= 5,
+      "too few conversions to exercise the median")
+  }
+
+  test("q_bounce_rate: per-day ppm equals a session-sweep replay") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_bounce_rate").fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val ev = eventsUs(dir) // (user_id, tsUs, event_id, event_type)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      var startUs = -1L; var lastUs = -1L; var n = 0
+      sorted.foreach { r =>
+        if (startUs < 0 || r._2 - lastUs > 1800000000L) {
+          if (n > 0) sizes += ((startUs, n))
+          startUs = r._2; n = 0
+        }
+        lastUs = r._2; n += 1
+      }
+      if (n > 0) sizes += ((startUs, n))
+      sizes
+    }.toSeq
+    val expected = sessions
+      .groupBy(s => fmt.format(java.time.Instant.ofEpochSecond(s._1 / 1000000L)))
+      .map { case (day, ss) =>
+        val b = ss.count(_._2 == 1).toLong
+        day -> (ss.length.toLong, b, b * 1000000L / ss.length)
+      }
+    assert(out == expected.toMap, "bounce rollup diverged from the sweep")
+    assert(out.values.exists(v => v._2 > 0 && v._2 < v._1),
+      "fixture degenerate: bounce share is 0% or 100% everywhere")
+  }
+
+  test("q_bernoulli_sample: rows equal the hash replay; rate near p") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_bernoulli_sample").fn(spark, dir)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    val ids = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long].collect()
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"smp|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 281474976710656.0
+    }
+    val expected = ids.filter(u(_) < 0.1).toSet
+    assert(out == expected, "sampled id set diverged from the hash replay")
+    // rate within 4 sigma of p=0.1 (binomial sd ≈ sqrt(p(1-p)/n))
+    val rate = out.size.toDouble / ids.length
+    assert(math.abs(rate - 0.1) < 4 * math.sqrt(0.09 / ids.length),
+      s"sample rate $rate suspiciously far from 0.1")
+  }
+
   test("q_oov_rate: ppm rates equal a replay and vocab truncation bites") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
