@@ -526,6 +526,51 @@ object EventStreams {
       }
   }
 
+  final case class CusumState(p: Long, minP: Long, maxUs: Long)
+  final case class CusumHit(event_type: String, hourUs: Long,
+      stat: Long, drifted: Boolean)
+
+  /** Streaming CUSUM drift monitor — the stateful twin of the batch
+    * `q_cusum_drift` row's window identity: per event type, THREE
+    * longs of state (running deviation sum P, its running minimum,
+    * and the last folded hour) reproduce S_t = P_t − min(0, min P_i)
+    * incrementally — bounded state forever, one emit per closed hour
+    * with the scaled statistic and the 8·S₀ threshold verdict. The
+    * baseline (n₀, S₀) is the batch-trained constant a deployed
+    * monitor ships with (passed in, not learned online — retraining
+    * is a redeploy). Ordering contract identical to [[anomalyStream]]:
+    * hours fold in event-time order within a batch; a cross-batch
+    * regression throws (a CUSUM that folds the future before the past
+    * reports wrong change points silently otherwise). */
+  def cusumStream(counts: Dataset[HourCount], n0: Long, s0: Long,
+      thresholdNum: Long = 8L): Dataset[CusumHit] = {
+    import counts.sparkSession.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (et: String, rows: Iterator[HourCount], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MinValue))
+          val out = Seq.newBuilder[CusumHit]
+          rows.toSeq.sortBy(_.hourUs).foreach { r =>
+            if (r.hourUs <= st.maxUs)
+              throw new IllegalStateException(
+                s"cusumStream($et): hour ${r.hourUs} arrived at/before " +
+                s"already-folded ${st.maxUs} — the statistic would fold " +
+                "the future before the past; replay closed windows in " +
+                "event-time order")
+            val p = st.p + (2L * n0 * r.cnt - 3L * s0)
+            val minP = math.min(st.minP, p)
+            val stat = p - math.min(0L, minP)
+            out += CusumHit(et, r.hourUs, stat, stat > thresholdNum * s0)
+            st = CusumState(p, minP, r.hourUs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** A click or purchase for [[attributionStream]] (µs event time;
     * cents only meaningful on purchases). */
   final case class TouchEv(user_id: Long, tsUs: Long, event_id: Long,

@@ -364,6 +364,67 @@ class StreamingSpec extends SparkSpec {
       "fixture degenerate: no attributed purchase in the stream")
   }
 
+  test("streaming CUSUM monitor matches the batch q_cusum_drift summary " +
+      "across micro-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hourly = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hourUs"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[EventStreams.HourCount].collect()
+    val weekUs = 604800000000L
+    // one stream per type (each type's deployed monitor carries its own
+    // batch-trained baseline); chunked replay in event-time order
+    val batch = Catalog.byName("q_cusum_drift").fn(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    batch.keys.toSeq.sorted.foreach { et =>
+      val rows = hourly.filter(_.event_type == et).sortBy(_.hourUs)
+      val h0 = rows.map(_.hourUs).min
+      val (bl, test) = rows.partition(_.hourUs < h0 + weekUs)
+      val in = MemoryStream[EventStreams.HourCount](spark)
+      val q = EventStreams
+        .cusumStream(in.toDS(), bl.length.toLong, bl.map(_.cnt).sum)
+        .writeStream.format("memory").queryName(s"cusum_$et")
+        .outputMode("append").start()
+      try {
+        test.grouped(test.length / 3 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val hits = spark.table(s"cusum_$et")
+        .as[EventStreams.CusumHit].collect()
+      val (nTest, maxCusum, drifted) = batch(et)
+      assert(hits.length == nTest, s"$et: one emit per closed hour")
+      assert(hits.map(_.stat).max == maxCusum,
+        s"$et: streaming max stat vs batch $maxCusum")
+      assert(hits.exists(_.drifted) == drifted, s"$et: drift verdict")
+    }
+  }
+
+  test("streaming CUSUM throws on an out-of-order closed hour") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val us = 3600L * 1000000L
+    val in = MemoryStream[EventStreams.HourCount](spark)
+    val q = EventStreams.cusumStream(in.toDS(), n0 = 10L, s0 = 1000L)
+      .writeStream.format("memory").queryName("cusum_dis")
+      .outputMode("append").start()
+    try {
+      in.addData(EventStreams.HourCount("view", 2 * us, 10L))
+      q.processAllAvailable()
+      in.addData(EventStreams.HourCount("view", 1 * us, 10L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).exists(_.contains("cusumStream")),
+        s"wrong failure: ${messages(ex)}")
+    } finally q.stop()
+  }
+
   test("streaming attribution throws on a cross-batch late touch " +
       "instead of silently mis-crediting") {
     import spark.implicits._
