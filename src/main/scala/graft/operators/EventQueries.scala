@@ -999,7 +999,105 @@ object EventQueries {
     "round(k_int * (k_u - 1) / (k_u * tau), 1) AS kmv_est " +
     "FROM ki CROSS JOIN tau CROSS JOIN ex"
 
+  /** Lag-feature engineering over the hourly series — the
+    * time-series featurizer every forecasting/anomaly model consumes:
+    * lag-1, lag-24 (same hour yesterday) and the first difference,
+    * each a `lag()` over the per-type window (one exchange on the
+    * series key; Spark collapses all three onto a single per-key
+    * sorted pass). Lags skip MISSING hours (they reference the
+    * previous PRESENT row) — compose with `q_gap_fill`'s dense grid
+    * upstream when calendar-exact lags are required; the raw form is
+    * kept here so both semantics exist. Leading rows carry NULL lags
+    * (a model drops or masks them) — the oracle reproduces the NULLs
+    * exactly. */
+  private def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour_us")
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lag1", lag("cnt", 1).over(w))
+      .withColumn("lag24", lag("cnt", 24).over(w))
+      .withColumn("delta1", col("cnt") - col("lag1"))
+      .select(col("event_type"),
+        fmt(timestamp_micros(col("hour_us"))).as("hour_start"),
+        col("cnt"), col("lag1"), col("lag24"), col("delta1"))
+      .orderBy("event_type", "hour_start")
+  }
+
+  private val lagFeaturesSql =
+    "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, " +
+    "count(*) AS cnt FROM events GROUP BY 1, 2), " +
+    "f AS (SELECT event_type, hr, cnt, " +
+    "lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY hr) AS lag1, " +
+    "lag(cnt, 24) OVER (PARTITION BY event_type ORDER BY hr) AS lag24 " +
+    "FROM h) " +
+    "SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start, " +
+    "cnt, lag1, lag24, cnt - lag1 AS delta1 " +
+    "FROM f ORDER BY 1, 2"
+
+  /** Decile lift / gains table — the ranking-model eval operator:
+    * users scored by engagement (view count), bucketed into deciles
+    * with the SAME tie-stable strict-rank rule as `q_rfm_segments`
+    * (⌊10·rank/n⌋+1 — ntile's sort-order tie split would be
+    * engine-nondeterministic), then per-decile conversion rate and
+    * the top-down cumulative gain (share of ALL converters captured
+    * from the best decile downward) in fixed-point ppm. The gain
+    * cumsum is a window over the ≤10-row decile table — bounded;
+    * the per-user score is one hash aggregate; the rank histogram is
+    * value-range bounded (view counts). */
+  private def decileLift(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val n = u.agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = u.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("less", sum("c").over(w) - col("c"))
+      .select(col("score"), col("less"))
+    val deciles = u.join(hist, "score").crossJoin(broadcast(n))
+      .select(expr("less * 10 div n_users + 1").as("decile"), col("conv"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val wTop = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = deciles.agg(sum("n_conv").as("total_conv"))
+    deciles
+      .withColumn("cum_conv", sum("n_conv").over(wTop))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        expr("n_conv * cast(1000000 as bigint) div n_users").as("conv_ppm"),
+        expr("cum_conv * cast(1000000 as bigint) div total_conv")
+          .as("cum_gain_ppm"))
+      .orderBy(col("decile").desc)
+  }
+
+  private val decileLiftSql =
+    "WITH u AS (SELECT user_id, " +
+    "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score, " +
+    "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv " +
+    "FROM events GROUP BY 1), " +
+    "n AS (SELECT count(*) AS n_users FROM u), " +
+    "hist AS (SELECT score, sum(c) OVER (ORDER BY score) - c AS less FROM " +
+    "(SELECT score, count(*) AS c FROM u GROUP BY 1)), " +
+    "dd AS (SELECT (less * 10) // n_users + 1 AS decile, conv " +
+    "FROM u JOIN hist USING (score) CROSS JOIN n), " +
+    "dec AS (SELECT decile, count(*) AS n_users, sum(conv) AS n_conv " +
+    "FROM dd GROUP BY 1), " +
+    "tot AS (SELECT sum(n_conv) AS total_conv FROM dec) " +
+    "SELECT decile, n_users, n_conv, " +
+    "(n_conv * 1000000) // n_users AS conv_ppm, " +
+    "(sum(n_conv) OVER (ORDER BY decile DESC " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total_conv AS cum_gain_ppm " +
+    "FROM dec CROSS JOIN tot ORDER BY decile DESC"
+
   val all: Seq[Q] = Seq(
+    Q("q_lag_features", lagFeatures, Some(lagFeaturesSql)),
+    Q("q_decile_lift", decileLift, Some(decileLiftSql)),
     Q("q_cusum_drift", cusumDrift, Some(cusumDriftSql)),
     Q("q_time_to_convert", timeToConvert, Some(timeToConvertSql)),
     Q("q_bounce_rate", bounceRate, Some(bounceRateSql)),

@@ -1161,7 +1161,11 @@ object TextQueries {
     * Shingles take the same engine-portable 48-bit md5 hash as
     * [[ngramJaccard]] before the wide shuffle (longs move, not n-gram
     * strings; the oracle hashes identically). */
-  private def dedupClustersQ(s: SparkSession, d: String): DataFrame =
+  /** The (vertex, component) assignment over near-dup clusters —
+    * shared by `q_dedup_clusters`, `q_dedup_cluster_sizes` and
+    * `q_survivor_pick` so the clustering cannot drift between the
+    * three views of it. */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame =
     graft.query.ConnectedComponents
       .run(graft.functions.TextFunctions
         .jaccardPairs(shingles(s, d).select(col("doc_id"),
@@ -1169,7 +1173,29 @@ object TextQueries {
             .as("shingle")),
           "doc_id", 0.8, maxDf = 200),
         "id_a", "id_b")
-      .orderBy("vertex")
+
+  private def dedupClustersQ(s: SparkSession, d: String): DataFrame =
+    dedupComponents(s, d).orderBy("vertex")
+
+  /** Survivorship: the canonical document each near-dup cluster KEEPS
+    * — dedup's output side (the admission loop keeps first-seen;
+    * an offline curation pass keeps BEST, here longest-text with
+    * smallest-id tie-break). One `max(struct(n_chars, −doc_id))`
+    * argmax hash aggregate per component (the `q_latest_by_key`
+    * shape — no window, partial aggregation map-side, survives a
+    * giant template cluster), over the SAME component assignment as
+    * `q_dedup_clusters`. */
+  private def survivorPick(s: SparkSession, d: String): DataFrame =
+    dedupComponents(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("vertex") === col("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("component"), col("n_members"),
+        (-col("m.nid")).as("survivor_doc_id"),
+        col("m.n_chars").as("survivor_chars"))
+      .orderBy("component")
 
   /** Duplicate-cluster size histogram — the observability twin of
     * [[dedupClustersQ]]: how much of the corpus sits in near-dup
@@ -1180,13 +1206,7 @@ object TextQueries {
     * one tiny aggregate over the components table; the singleton
     * count is corpus-total minus clustered, a broadcast scalar join. */
   private def dedupClusterSizes(s: SparkSession, d: String): DataFrame = {
-    val comps = graft.query.ConnectedComponents
-      .run(graft.functions.TextFunctions
-        .jaccardPairs(shingles(s, d).select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
-            .as("shingle")),
-          "doc_id", 0.8, maxDf = 200),
-        "id_a", "id_b")
+    val comps = dedupComponents(s, d)
     val hist = comps.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
@@ -1947,6 +1967,17 @@ object TextQueries {
       "FROM toks LEFT JOIN v USING (word) GROUP BY 1 ORDER BY 1")),
     Q("q_dedup_clusters", dedupClustersQ, Some(clustersCte +
       " SELECT v AS vertex, min(u) AS component FROM r GROUP BY v ORDER BY v")),
+    Q("q_survivor_pick", survivorPick, Some(clustersCte + ", " +
+      "comp AS (SELECT v AS vertex, min(u) AS component FROM r GROUP BY v), " +
+      "j AS (SELECT component, doc_id, n_chars FROM comp " +
+      "JOIN documents ON vertex = doc_id), " +
+      "rk AS (SELECT component, doc_id, n_chars, row_number() OVER " +
+      "(PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn FROM j), " +
+      "cn AS (SELECT component, count(*) AS n_members FROM j GROUP BY 1) " +
+      "SELECT cn.component, cn.n_members, rk.doc_id AS survivor_doc_id, " +
+      "rk.n_chars AS survivor_chars " +
+      "FROM cn JOIN rk ON cn.component = rk.component AND rk.rn = 1 " +
+      "ORDER BY cn.component")),
     Q("q_dedup_cluster_sizes", dedupClusterSizes, Some(clustersCte + ", " +
       "comp AS (SELECT v AS vertex, min(u) AS component FROM r GROUP BY v), " +
       "cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1), " +

@@ -50,7 +50,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_histogram",   // 1-row (lo, hi) bounds scalar
     "q_rfm_segments", // 1-row anchor-day + 1-row user-count scalars
     "q_int8_topk",   // 1-row quantized query vector
-    "q_kmv_intersect" // 1-row (tau, k_u) + 1-row exact-count scalars
+    "q_kmv_intersect", // 1-row (tau, k_u) + 1-row exact-count scalars
+    "q_decile_lift"  // 1-row user-count + 1-row total-conversions scalars
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

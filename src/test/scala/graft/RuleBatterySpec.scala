@@ -730,6 +730,84 @@ class RuleBatterySpec extends SparkSpec {
       s"sample rate $rate suspiciously far from 0.1")
   }
 
+  test("q_lag_features: lags equal a per-type sorted replay, NULLs only " +
+      "at series heads") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_lag_features").fn(spark, dir)
+      .as[(String, String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+    val byType = out.groupBy(_._1)
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val lag1 = if (i >= 1) Some(sorted(i - 1)._3) else None
+        val lag24 = if (i >= 24) Some(sorted(i - 24)._3) else None
+        assert(r._4 == lag1 && r._5 == lag24,
+          s"lag mismatch at ${r._1}/${r._2}")
+        assert(r._6 == lag1.map(v => r._3 - v), "delta mismatch")
+      }
+    }
+    assert(out.exists(_._5.isDefined), "no lag24 rows at smoke scale")
+  }
+
+  test("q_decile_lift: gains table equals a plain-Scala strict-rank replay") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_decile_lift").fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val us = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .as[(Long, Long, Long)].collect()
+    val n = us.length
+    val scores = us.map(_._2)
+    val decile = scores.map(v => scores.count(_ < v).toLong * 10 / n + 1)
+    val byDecile = us.zip(decile).groupBy(_._2).map { case (dk, rows) =>
+      dk -> (rows.length.toLong, rows.map(_._1._3).sum)
+    }
+    val totalConv = byDecile.values.map(_._2).sum
+    var cum = 0L
+    val expected = byDecile.toSeq.sortBy(-_._1).map { case (dk, (nu, nc)) =>
+      cum += nc
+      dk -> (nu, nc, nc * 1000000L / nu, cum * 1000000L / totalConv)
+    }.toMap
+    assert(out == expected, "lift table diverged from the replay")
+    // the gains curve must be monotone non-decreasing top-down and end
+    // at exactly 100%
+    val topDown = out.toSeq.sortBy(-_._1).map(_._2._4)
+    assert(topDown == topDown.sorted && topDown.last == 1000000L,
+      s"gains curve malformed: $topDown")
+  }
+
+  test("q_survivor_pick: per-cluster keeper equals an argmax replay over " +
+      "the shared components") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_survivor_pick").fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val comps = Catalog.byName("q_dedup_clusters").fn(spark, dir)
+      .as[(Long, Long)].collect()
+    val chars = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    val expected = comps.groupBy(_._2).map { case (comp, vs) =>
+      val members = vs.map(_._1)
+      val keep = members.maxBy(id => (chars(id), -id))
+      comp -> (members.length.toLong, keep, chars(keep))
+    }
+    assert(out == expected, "survivor choice diverged from the replay")
+    // survivorship must be live: some cluster's keeper is NOT its
+    // smallest id (the admission loop's min-id rule differs here)
+    assert(expected.exists { case (_, (_, keep, _)) =>
+      comps.filter(_._2 == keep).isEmpty || true } &&
+      expected.exists { case (comp, (_, keep, _)) =>
+        keep != comps.filter(_._2 == comp).map(_._1).min },
+      "fixture degenerate: longest-doc rule never disagrees with min-id")
+  }
+
   test("q_oov_rate: ppm rates equal a replay and vocab truncation bites") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
