@@ -13,6 +13,23 @@ object TextFunctions {
   /** Tokenize: non-whitespace runs (robust to repeated separators). */
   def words(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
+  /** The portable md5 → (0,1] 48-bit uniform hash — ONE definition for
+    * every operator whose cross-engine guarantee depends on Spark and
+    * DuckDB drawing the SAME uniform value per key (KMV cardinality
+    * and intersection sketches, Bernoulli sampling). `key` is the
+    * already-salted string expression to hash. [[unitHashSql]] is the
+    * DuckDB twin; change them TOGETHER or the hash-parity operators
+    * silently diverge. */
+  def unitHash(key: Column): Column =
+    (conv(substring(md5(key), 1, 12), 16, 10).cast("long") + 1L)
+      .cast("double") / lit(281474976710656.0) // 2^48
+
+  /** DuckDB twin of [[unitHash]]: `expr` is the salted VARCHAR SQL
+    * expression to hash. */
+  def unitHashSql(expr: String): String =
+    s"(CAST('0x' || substr(md5($expr), 1, 12) AS BIGINT) + 1)::DOUBLE " +
+      "/ 281474976710656.0"
+
   /** Distinct word n-gram shingles of a tokens array. */
   def shingleArray(ws: Column, n: Int): Column =
     array_distinct(transform(

@@ -141,7 +141,7 @@ object EventQueries {
     "st AS (SELECT event_type, s0, p - least(CAST(0 AS BIGINT), " +
     "min(p) OVER (PARTITION BY event_type ORDER BY hour_us " +
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS stat FROM ps) " +
-    "SELECT event_type, count(*) AS n_test_hours, max(stat) AS max_cusum, " +
+    "SELECT event_type, count(*) AS n_test_hours, CAST(max(stat) AS BIGINT) AS max_cusum, " +
     "(max(stat) > 8 * max(s0)) AS drifted " +
     "FROM st GROUP BY 1 ORDER BY 1"
 
@@ -808,8 +808,9 @@ object EventQueries {
     "(SELECT f AS v, count(*) AS c FROM u GROUP BY 1)), " +
     "hm AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS less FROM " +
     "(SELECT m AS v, count(*) AS c FROM u GROUP BY 1)), " +
-    "b AS (SELECT (hr.less * 5) // nu + 1 AS r_b, (hf.less * 5) // nu + 1 AS f_b, " +
-    "(hm.less * 5) // nu + 1 AS m_b FROM u CROSS JOIN n " +
+    "b AS (SELECT CAST((hr.less * 5) // nu + 1 AS BIGINT) AS r_b, " +
+    "CAST((hf.less * 5) // nu + 1 AS BIGINT) AS f_b, " +
+    "CAST((hm.less * 5) // nu + 1 AS BIGINT) AS m_b FROM u CROSS JOIN n " +
     "JOIN hr ON u.r = hr.v JOIN hf ON u.f = hf.v JOIN hm ON u.m = hm.v) " +
     "SELECT r_b, f_b, m_b, count(*) AS n_users FROM b " +
     "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
@@ -873,12 +874,14 @@ object EventQueries {
     * derive the SAME assignment, so even the randomization is
     * oracle-checked), "conversion" = the user purchased, and the
     * two-proportion z-test at α=0.05 evaluated ENTIRELY in integers:
-    * z² > 1.96² ⟺ 25·(c₁n₂−c₂n₁)²·N > 96·n₁n₂·C·(N−C)
-    * (cross-multiplied pooled-variance z; C = c₁+c₂, N = n₁+n₂) — no
+    * z² > 1.96² ⟺ 625·(c₁n₂−c₂n₁)²·N > 2401·n₁n₂·C·(N−C)
+    * (1.96² = 2401/625 EXACTLY — 96/25 = 3.84 would be slightly
+    * liberal; cross-multiplied pooled-variance z; C = c₁+c₂,
+    * N = n₁+n₂) — no
     * float proportion or sqrt ever exists, so the verdict is
     * bit-stable under any partitioning. Magnitudes: the worst-case
-    * term 25·Δ²·N with |Δ| ≤ n₁n₂ ≤ (N/2)² is ~25·N⁵/16, which fits
-    * 2⁶³ only through N ≈ 900 users/cohort; realistic near-null
+    * term 625·Δ²·N with |Δ| ≤ n₁n₂ ≤ (N/2)² is ~625·N⁵/16, which fits
+    * 2⁶³ only through N ≈ 470 users/cohort; realistic near-null
     * effects sit orders of magnitude lower, Spark's ANSI mode makes
     * any overflow LOUD (exception, not wraparound), and a production
     * run at bigger cohorts moves the comparison to 128-bit decimals
@@ -903,10 +906,10 @@ object EventQueries {
         sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c_b"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
     arms.select(col("cohort"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        (lit(25L) * (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+        (lit(625L) * (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
           (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
           (col("n_a") + col("n_b")) >
-         lit(96L) * col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+         lit(2401L) * col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
           (col("n_a") + col("n_b") - col("c_a") - col("c_b")))
           .as("significant"))
       .orderBy("cohort")
@@ -928,8 +931,8 @@ object EventQueries {
     "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b " +
     "FROM ua GROUP BY 1 HAVING n_a > 0 AND n_b > 0) " +
     "SELECT cohort, n_a, c_a, n_b, c_b, " +
-    "(25 * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
-    "96 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) AS significant " +
+    "(625 * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
+    "2401 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) AS significant " +
     "FROM arms ORDER BY cohort"
   }
 
@@ -948,8 +951,7 @@ object EventQueries {
   private def kmvIntersect(s: SparkSession, d: String): DataFrame = {
     val k = 16
     def uh(c: org.apache.spark.sql.Column) =
-      (conv(substring(md5(c.cast("string")), 1, 12), 16, 10)
-        .cast("long") + 1L).cast("double") / lit(281474976710656.0) // 2^48
+      graft.functions.TextFunctions.unitHash(c.cast("string"))
     val du = Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_type"), col("user_id")).distinct()
@@ -984,8 +986,8 @@ object EventQueries {
     "ex AS (SELECT count(*) AS exact_common FROM " +
     "(SELECT user_id FROM du GROUP BY 1 HAVING count(*) = 2)), " +
     "wu AS (SELECT event_type, user_id, " +
-    "(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
-    "/ 281474976710656.0 AS u FROM du), " +
+    graft.functions.TextFunctions.unitHashSql("CAST(user_id AS VARCHAR)") +
+    " AS u FROM du), " +
     "sk AS (SELECT event_type, user_id, u FROM " +
     "(SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY u, user_id) AS rn " +
     "FROM wu) WHERE rn <= 16), " +
@@ -1084,15 +1086,15 @@ object EventQueries {
     "n AS (SELECT count(*) AS n_users FROM u), " +
     "hist AS (SELECT score, sum(c) OVER (ORDER BY score) - c AS less FROM " +
     "(SELECT score, count(*) AS c FROM u GROUP BY 1)), " +
-    "dd AS (SELECT (less * 10) // n_users + 1 AS decile, conv " +
+    "dd AS (SELECT CAST((less * 10) // n_users + 1 AS BIGINT) AS decile, conv " +
     "FROM u JOIN hist USING (score) CROSS JOIN n), " +
-    "dec AS (SELECT decile, count(*) AS n_users, sum(conv) AS n_conv " +
+    "dec AS (SELECT decile, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv " +
     "FROM dd GROUP BY 1), " +
     "tot AS (SELECT sum(n_conv) AS total_conv FROM dec) " +
     "SELECT decile, n_users, n_conv, " +
-    "(n_conv * 1000000) // n_users AS conv_ppm, " +
-    "(sum(n_conv) OVER (ORDER BY decile DESC " +
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total_conv AS cum_gain_ppm " +
+    "CAST((n_conv * 1000000) // n_users AS BIGINT) AS conv_ppm, " +
+    "CAST((sum(n_conv) OVER (ORDER BY decile DESC " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total_conv AS BIGINT) AS cum_gain_ppm " +
     "FROM dec CROSS JOIN tot ORDER BY decile DESC"
 
   val all: Seq[Q] = Seq(

@@ -302,8 +302,7 @@ object GraphQueries {
   private def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
     val e = strongTieEdges(s, d)
     val cn = GraphAlgos.commonNeighbors(e, degCap = 16, minCn = 2L)
-    val deg = GraphAlgos.undirect(e).groupBy("u")
-      .agg(count(lit(1)).as("dg"))
+    val deg = GraphAlgos.degrees(e)
     cn.join(deg.select(col("u").as("part_a"), col("dg").as("da")), "part_a")
       .join(deg.select(col("u").as("part_b"), col("dg").as("db")), "part_b")
       .select(col("part_a"), col("part_b"), col("cn"),

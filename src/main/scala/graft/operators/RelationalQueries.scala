@@ -367,8 +367,8 @@ object RelationalQueries {
     * group; at scale the k minima aggregate map-side. */
   private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val u = (conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
-      .cast("long") + 1L).cast("double") / lit(281474976710656.0)  // 2^48
+    val u = graft.functions.TextFunctions
+      .unitHash(col("l_partkey").cast("string"))
     val dk = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_partkey")).distinct()
       .withColumn("u", u)
@@ -809,8 +809,8 @@ object RelationalQueries {
     Q("q_kmv_distinct", kmvDistinct, Some(
       "WITH dk AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem), " +
       "un AS (SELECT l_returnflag, l_partkey, " +
-      "(CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
-      "/ 281474976710656.0 AS u FROM dk), " +
+      graft.functions.TextFunctions.unitHashSql("CAST(l_partkey AS VARCHAR)") +
+      " AS u FROM dk), " +
       "rn AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_partkey) AS rn FROM un) " +
       "SELECT l_returnflag, count(*) AS exact_distinct, " +
       "round(15 / max(CASE WHEN rn = 16 THEN u END), 1) AS kmv_est " +

@@ -1007,9 +1007,8 @@ object TextQueries {
     * shuffle, no rand()); complements `q_stratified_sample`'s
     * exact-k-per-group form. */
   private def bernoulliSample(s: SparkSession, d: String): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("smp|"),
-        col("doc_id").cast("string"))), 1, 12), 16, 10)
-      .cast("long") + 1L).cast("double") / lit(281474976710656.0) // 2^48
+    val u = graft.functions.TextFunctions.unitHash(
+      concat(lit("smp|"), col("doc_id").cast("string")))
     Tables.documents(s, d)
       .withColumn("u", u).filter(col("u") < 0.1)
       .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1941,13 +1940,13 @@ object TextQueries {
       "ORDER BY doc_id, rank")),
     Q("q_bernoulli_sample", bernoulliSample, Some(
       "SELECT doc_id, lang, n_chars FROM (SELECT *, " +
-      "(CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)::DOUBLE " +
-      "/ 281474976710656.0 AS u FROM documents) WHERE u < 0.1 ORDER BY doc_id")),
+      graft.functions.TextFunctions.unitHashSql("'smp|' || CAST(doc_id AS VARCHAR)") +
+      " AS u FROM documents) WHERE u < 0.1 ORDER BY doc_id")),
     Q("q_entropy", entropyQ, Some(
       "WITH tf AS (SELECT doc_id, word, count(*) AS c FROM " +
       "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +
       "FROM documents) GROUP BY 1, 2), " +
-      "hh AS (SELECT doc_id, sum(c) AS n_tok, " +
+      "hh AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, " +
       "list_sort(list(struct_pack(word := word, c := c))) AS h " +
       "FROM tf GROUP BY 1) " +
       "SELECT doc_id, n_tok, " +

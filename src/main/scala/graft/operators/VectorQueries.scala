@@ -796,8 +796,8 @@ object VectorQueries {
   val all: Seq[Q] = Seq(
     Q("q_int8_topk", int8Topk, Some(
       "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) " +
-      "SELECT vec_id, list_sum(list_transform(generate_series(1, len(embedding)), " +
-      "i -> CAST(round(embedding[i] * 64) AS BIGINT) * CAST(round(qe[i] * 64) AS BIGINT))) AS score " +
+      "SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, len(embedding)), " +
+      "i -> CAST(round(embedding[i] * 64) AS BIGINT) * CAST(round(qe[i] * 64) AS BIGINT))) AS BIGINT) AS score " +
       "FROM embeddings, q WHERE vec_id <> 7 " +
       "ORDER BY score DESC, vec_id LIMIT 10")),
     Q("q_matryoshka_topk", matryoshkaTopk, Some(

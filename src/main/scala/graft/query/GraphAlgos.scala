@@ -84,9 +84,15 @@ object GraphAlgos {
     * non-adjacent pairs with ≥ `minCn` shared neighbors, wedge
     * enumeration restricted to centers of degree ≤ `degCap` (the
     * Σ deg² hub guard). Returns (part_a, part_b, cn), best first. */
+  /** Undirected degree table (u, dg) — the ONE definition of "degree"
+    * shared by the wedge hub cap in [[commonNeighbors]] and the
+    * Jaccard denominator in `q_jaccard_neighbors`. */
+  def degrees(e: DataFrame): DataFrame =
+    undirect(e).groupBy("u").agg(count(lit(1)).as("dg"))
+
   def commonNeighbors(e: DataFrame, degCap: Int, minCn: Long): DataFrame = {
     val ee = undirect(e)
-    val deg = ee.groupBy("u").agg(count(lit(1)).as("dg"))
+    val deg = degrees(e)
     val capped = ee.join(deg.filter(col("dg") <= degCap).select("u"), "u")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))

@@ -93,9 +93,8 @@ class PipelineSinkSpec extends SparkSpec {
     assert(dayDirs == Seq("event_date=2024-01-15"),
       s"scan touched partitions beyond the selected day: $dayDirs")
     // and other day directories DO exist on disk (pruning had work to do)
-    val allDays = Files.list(java.nio.file.Paths.get(dest))
-      .iterator().asScala
-      .count(_.getFileName.toString.startsWith("event_date="))
+    val allDays = new java.io.File(dest).list()
+      .count(_.startsWith("event_date="))
     assert(allDays > 1, s"fixture wrote only $allDays day partitions")
   }
 
