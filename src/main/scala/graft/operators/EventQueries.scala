@@ -61,8 +61,8 @@ object EventQueries {
     * metric every session table feeds. Reuses [[withSessionIds]]'s
     * exact gap rule; the per-day rollup is a bounded final
     * aggregate. */
-  private def bounceRate(s: SparkSession, d: String): DataFrame =
-    withSessionIds(Tables.events(s, d))
+  def bounceRateOf(ev: DataFrame): DataFrame =
+    withSessionIds(ev)
       .groupBy("user_id", "sid")
       .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
       .groupBy(date_format(col("start_ts"), "yyyy-MM-dd").as("day"))
@@ -71,6 +71,9 @@ object EventQueries {
       .withColumn("bounce_ppm",
         expr("n_bounce * cast(1000000 as bigint) div n_sessions"))
       .orderBy("day")
+
+  private def bounceRate(s: SparkSession, d: String): DataFrame =
+    bounceRateOf(Tables.events(s, d))
 
   private val bounceRateSql =
     "WITH x AS (SELECT user_id, event_id, ts, " +
@@ -640,10 +643,10 @@ object EventQueries {
     * timeline is independent, so 10⁹ users spread across executors;
     * no global sort, no self-join (the naive form is
     * purchases ⋈ clicks per user, quadratic in events-per-user). */
-  private def attribution(s: SparkSession, d: String): DataFrame = {
+  def attributionOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    ev
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
@@ -664,6 +667,9 @@ object EventQueries {
           .as("attributed_cents"))
       .orderBy("day")
   }
+
+  private def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(Tables.events(s, d))
 
   private val attributionSql =
     "WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, " +
@@ -723,8 +729,8 @@ object EventQueries {
     * of raw events) and count distinct per as-of day. The join against
     * observed days keeps the spine data-defined; that side is bounded
     * by the calendar. */
-  private def rollingDistinct(s: SparkSession, d: String): DataFrame = {
-    val du = Tables.events(s, d)
+  def rollingDistinctOf(ev: DataFrame): DataFrame = {
+    val du = ev
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val days = du.select(col("day").as("as_of")).distinct()
     du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
@@ -736,6 +742,9 @@ object EventQueries {
         col("users_7d"))
       .orderBy("as_of")
   }
+
+  private def rollingDistinct(s: SparkSession, d: String): DataFrame =
+    rollingDistinctOf(Tables.events(s, d))
 
   private val rollingDistinctSql =
     "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
@@ -761,8 +770,8 @@ object EventQueries {
     * metrics themselves are one hash aggregate of the purchase
     * stream. Anchor = max purchase day (1-row broadcast). Output: the
     * 5×5×5-bounded segment histogram. */
-  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
-    val p = Tables.events(s, d)
+  def rfmSegmentsOf(ev: DataFrame): DataFrame = {
+    val p = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), to_date(col("ts")).as("day"),
         round(col("value") * 100).cast("long").as("cents"))
@@ -793,6 +802,9 @@ object EventQueries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("r_b", "f_b", "m_b")
   }
+
+  private def rfmSegments(s: SparkSession, d: String): DataFrame =
+    rfmSegmentsOf(Tables.events(s, d))
 
   private val rfmSegmentsSql =
     "WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
