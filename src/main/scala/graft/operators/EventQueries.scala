@@ -1109,7 +1109,107 @@ object EventQueries {
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000) // total_conv AS BIGINT) AS cum_gain_ppm " +
     "FROM dec CROSS JOIN tot ORDER BY decile DESC"
 
+  /** Stickiness (DAU / trailing-7-day actives, the product-health
+    * ratio) in fixed-point ppm — composes [[rollingDistinctOf]]'s
+    * trailing-window machinery with the per-day distinct count; both
+    * sides collapse to DISTINCT (day, user) before anything else, so
+    * raw events cross one exchange. */
+  private def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dau = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("as_of"))
+      .agg(countDistinct("user_id").as("dau"))
+    rollingDistinctOf(ev).join(dau, "as_of")
+      .select(col("as_of"), col("dau"), col("users_7d").as("wau7"),
+        expr("dau * cast(1000000 as bigint) div wau7").as("stickiness_ppm"))
+      .orderBy("as_of")
+  }
+
+  private val stickinessSql =
+    "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), " +
+    "days AS (SELECT DISTINCT day AS as_of FROM du), " +
+    "cov AS (SELECT as_of, user_id FROM du JOIN days " +
+    "ON as_of BETWEEN day AND day + 6), " +
+    "wau AS (SELECT as_of, count(DISTINCT user_id) AS wau7 FROM cov GROUP BY 1), " +
+    "dau AS (SELECT day AS as_of, count(DISTINCT user_id) AS dau FROM du GROUP BY 1) " +
+    "SELECT strftime(wau.as_of, '%Y-%m-%d') AS as_of, dau, wau7, " +
+    "(dau * 1000000) // wau7 AS stickiness_ppm " +
+    "FROM wau JOIN dau ON wau.as_of = dau.as_of ORDER BY 1"
+
+  /** Hour-of-day seasonality profile per event type in fixed-point
+    * ppm — the load-shape rollup behind capacity planning and the
+    * baseline for any seasonal-adjustment step. One hash aggregate
+    * over the bounded (type × 24) key space; the per-type total
+    * joins back as a bounded broadcast (no window). */
+  private def seasonality(s: SparkSession, d: String): DataFrame = {
+    val byHod = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = byHod.groupBy("event_type")
+      .agg(sum("n_events").as("total"))
+    byHod.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hod"), col("n_events"),
+        expr("n_events * cast(1000000 as bigint) div total").as("share_ppm"))
+      .orderBy("event_type", "hod")
+  }
+
+  private val seasonalitySql =
+    "WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, " +
+    "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+    "t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total FROM h GROUP BY 1) " +
+    "SELECT h.event_type, hod, n_events, " +
+    "(n_events * 1000000) // total AS share_ppm " +
+    "FROM h JOIN t ON h.event_type = t.event_type ORDER BY 1, 2"
+
+  /** First-touch attribution — [[attributionOf]]'s mirror: every
+    * purchase credits the EARLIEST click inside the 24 h lookback
+    * (campaign-discovery credit) instead of the latest, and the
+    * rollup is keyed by the CREDITED TOUCH's day — the campaign-
+    * facing view ("which day's clicks drove revenue"), where first-
+    * and last-touch genuinely produce different tables (a purchase-
+    * day rollup of attributed counts is model-invariant: attributed
+    * ⟺ any in-window click, under either rule). The frame is a RANGE
+    * window on the µs event time (`rangeBetween(−24 h, 0)`) — the
+    * min-over-sliding-interval shape ROWS frames can't express;
+    * still one per-user window pass, no self-join. */
+  private def firstTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-86400000000L, 0)
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("first_click_us",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("first_click_us").isNotNull)
+      .groupBy(date_format(timestamp_micros(col("first_click_us")),
+        "yyyy-MM-dd").as("touch_day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("credited_cents"))
+      .orderBy("touch_day")
+  }
+
+  private val firstTouchSql =
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, " +
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+    "WHERE event_type IN ('click', 'purchase')), " +
+    "t AS (SELECT *, min(CASE WHEN event_type = 'click' THEN ts_us END) " +
+    "OVER (PARTITION BY user_id ORDER BY ts_us " +
+    "RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS first_click_us " +
+    "FROM e) " +
+    "SELECT strftime(make_timestamp(first_click_us), '%Y-%m-%d') AS touch_day, " +
+    "count(*) AS n_conversions, " +
+    "CAST(sum(cents) AS BIGINT) AS credited_cents " +
+    "FROM t WHERE event_type = 'purchase' AND first_click_us IS NOT NULL " +
+    "GROUP BY 1 ORDER BY 1"
+
   val all: Seq[Q] = Seq(
+    Q("q_stickiness", stickiness, Some(stickinessSql)),
+    Q("q_seasonality", seasonality, Some(seasonalitySql)),
+    Q("q_first_touch", firstTouch, Some(firstTouchSql)),
     Q("q_lag_features", lagFeatures, Some(lagFeaturesSql)),
     Q("q_decile_lift", decileLift, Some(decileLiftSql)),
     Q("q_cusum_drift", cusumDrift, Some(cusumDriftSql)),

@@ -603,6 +603,88 @@ class RuleBatterySpec extends SparkSpec {
       s"KMV estimate $est too far from exact $exact")
   }
 
+  test("q_first_touch: touch-day credit equals a plain-Scala replay and " +
+      "differs from a last-touch credited rollup") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_first_touch").fn(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, String, Long)].collect()
+    val look = 86400000000L
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd").withZone(java.time.ZoneOffset.UTC)
+    def dayOf(us: Long) =
+      fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
+    def credited(pick: Seq[Long] => Long): Map[String, (Long, Long)] = {
+      val m = scala.collection.mutable.Map
+        .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+      ev.groupBy(_._1).foreach { case (_, rows) =>
+        val clicks = rows.filter(_._3 == "click").map(_._2).sorted
+        rows.filter(_._3 == "purchase").foreach { p =>
+          val inWin = clicks.filter(c => c >= p._2 - look && c <= p._2)
+          if (inWin.nonEmpty) {
+            val day = dayOf(pick(inWin))
+            val (n, c) = m(day)
+            m(day) = (n + 1, c + p._4)
+          }
+        }
+      }
+      m.toMap
+    }
+    val first = credited(_.min)
+    assert(out == first, "first-touch credited rollup mismatch")
+    assert(out.nonEmpty && first != credited(_.max),
+      "fixture degenerate: first- and last-touch credit identically")
+  }
+
+  test("q_stickiness: ratio consistent with q_rolling_distinct and a " +
+      "DAU replay; day-1 ratio is 100%") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_stickiness").fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val wau = Catalog.byName("q_rolling_distinct").fn(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val du = graft.sources.Tables.events(spark, dir)
+      .select(to_date(col("ts")).cast("string"), col("user_id"))
+      .as[(String, Long)].collect().distinct
+    val dau = du.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong)
+    out.foreach { case (day, (d0, w7, ppm)) =>
+      assert(d0 == dau(day) && w7 == wau(day), s"components drifted at $day")
+      assert(ppm == d0 * 1000000L / w7, s"ppm arithmetic at $day")
+      assert(ppm <= 1000000L, s"DAU exceeded trailing actives at $day")
+    }
+    val firstDay = out.keys.min
+    assert(out(firstDay)._3 == 1000000L,
+      "day 1 has no trailing history: stickiness must be exactly 100%")
+    assert(out.values.exists(_._3 < 1000000L),
+      "fixture degenerate: stickiness never drops below 100%")
+  }
+
+  test("q_seasonality: shares regroup q_hourly-style counts; per-type " +
+      "ppm under-sums one million by at most 23") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Catalog.byName("q_seasonality").fn(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val byType = out.groupBy(_._1)
+    byType.foreach { case (t, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { r =>
+        assert(r._4 == r._3 * 1000000L / total, s"share at ($t, ${r._2})")
+      }
+      val sumPpm = rows.map(_._4).sum
+      assert(sumPpm <= 1000000L && sumPpm >= 1000000L - 23,
+        s"$t: floor-division ppm must under-sum by < #buckets, got $sumPpm")
+    }
+    assert(out.map(_._2).forall(h => h >= 0 && h <= 23))
+  }
+
   test("q_cusum_drift: the window identity equals the clamped fold, and " +
       "a synthetic shift trips the flag") {
     import org.apache.spark.sql.functions._
