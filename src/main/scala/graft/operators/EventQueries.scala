@@ -892,14 +892,17 @@ object EventQueries {
     * N = n₁+n₂) — no
     * float proportion or sqrt ever exists, so the verdict is
     * bit-stable under any partitioning. Magnitudes: the worst-case
-    * term 625·Δ²·N with |Δ| ≤ n₁n₂ ≤ (N/2)² is ~625·N⁵/16, which fits
-    * 2⁶³ only through N ≈ 470 users/cohort; realistic near-null
-    * effects sit orders of magnitude lower, Spark's ANSI mode makes
-    * any overflow LOUD (exception, not wraparound), and a production
-    * run at bigger cohorts moves the comparison to 128-bit decimals
-    * or divides both sides by gcd-scale factors first. Per-user state
-    * is one hash aggregate; the cohort table is bounded
-    * (days × 2 arms). */
+    * term 625·Δ²·N with |Δ| ≤ n₁n₂ ≤ (N/2)² is ~625·N⁵/16 — past
+    * 2⁶³ at N ≈ 470 users/cohort, so the quintic products are
+    * evaluated in 128-bit fixed point (Spark DECIMAL(38,0), DuckDB
+    * HUGEINT; the inner Δ = c₁n₂−c₂n₁ stays BIGINT, safe to
+    * N ≈ 3·10⁹), lifting the ceiling to N ≈ 2·10⁷ users/cohort —
+    * a graceful headroom extension, not a cliff at A/B-test sizes
+    * (round-11 advice). Beyond THAT both engines still fail loudly
+    * (ANSI decimal overflow throws, HUGEINT overflow throws); the
+    * next rung is dividing both sides by a shared gcd scale.
+    * Per-user state is one hash aggregate; the cohort table is
+    * bounded (days × 2 arms). */
   private def abSignificance(s: SparkSession, d: String): DataFrame = {
     def wsum(c: org.apache.spark.sql.Column) =
       (1 to 8).map(i => ascii(substring(c, i, 1)) * lit(i)).reduce(_ + _)
@@ -917,11 +920,17 @@ object EventQueries {
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c_b"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
+    // the leading DECIMAL(38,0) literal promotes every subsequent
+    // product to 128-bit BEFORE it can exceed 2⁶³; only the inner
+    // Δ (≤ N²) is computed in BIGINT
+    val big = lit(BigDecimal(1)).cast("decimal(38,0)")
     arms.select(col("cohort"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        (lit(625L) * (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+        (big * lit(625L) *
+          (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
           (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
           (col("n_a") + col("n_b")) >
-         lit(2401L) * col("n_a") * col("n_b") * (col("c_a") + col("c_b")) *
+         big * lit(2401L) * col("n_a") * col("n_b") *
+          (col("c_a") + col("c_b")) *
           (col("n_a") + col("n_b") - col("c_a") - col("c_b")))
           .as("significant"))
       .orderBy("cohort")
@@ -942,9 +951,11 @@ object EventQueries {
     "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
     "CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b " +
     "FROM ua GROUP BY 1 HAVING n_a > 0 AND n_b > 0) " +
+    // CAST(... AS HUGEINT) leads each side so the quintic products run
+    // in 128-bit, mirroring the Spark DECIMAL(38,0) promotion
     "SELECT cohort, n_a, c_a, n_b, c_b, " +
-    "(625 * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
-    "2401 * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) AS significant " +
+    "(CAST(625 AS HUGEINT) * (c_a * n_b - c_b * n_a) * (c_a * n_b - c_b * n_a) * (n_a + n_b) > " +
+    "CAST(2401 AS HUGEINT) * n_a * n_b * (c_a + c_b) * (n_a + n_b - c_a - c_b)) AS significant " +
     "FROM arms ORDER BY cohort"
   }
 

@@ -295,13 +295,21 @@ object GraphQueries {
     * common-neighbor count normalized by neighborhood size:
     * J = |Γa ∩ Γb| / |Γa ∪ Γb| in fixed-point ppm (integer floor
     * division — no float ranking to flip), which stops the predictor
-    * from just ranking hub pairs first. Reuses the SAME
-    * `GraphAlgos.commonNeighbors` wedge pipeline (hub-capped centers,
-    * the Σ deg² guard) plus two equi-joins against the degree table —
-    * the scale shape is unchanged. */
+    * from just ranking hub pairs first. Candidate GENERATION reuses
+    * the `GraphAlgos.commonNeighbors` wedge pipeline (hub-capped
+    * centers, the Σ deg² guard); the surviving pairs are then
+    * RE-SCORED exactly via [[GraphAlgos.exactCommonNeighbors]] — the
+    * capped wedge count undercounts |Γa ∩ Γb| when the cap binds
+    * while the degree denominator stays exact, which would bias J
+    * low on hubby graphs (round-11 advice). With the exact numerator
+    * the emitted score is the TRUE Jaccard of every emitted pair;
+    * the cap only bounds which pairs are discovered (candidate
+    * recall, documented). At gate scale the cap is a no-op (max
+    * degree 13), so the oracle row checks capped ≡ exact too. */
   private def jaccardNeighbors(s: SparkSession, d: String): DataFrame = {
     val e = strongTieEdges(s, d)
-    val cn = GraphAlgos.commonNeighbors(e, degCap = 16, minCn = 2L)
+    val cand = GraphAlgos.commonNeighbors(e, degCap = 16, minCn = 2L)
+    val cn = GraphAlgos.exactCommonNeighbors(e, cand)
     val deg = GraphAlgos.degrees(e)
     cn.join(deg.select(col("u").as("part_a"), col("dg").as("da")), "part_a")
       .join(deg.select(col("u").as("part_b"), col("dg").as("db")), "part_b")
@@ -466,12 +474,18 @@ object GraphQueries {
       "cand AS (SELECT x.v AS part_a, y.v AS part_b FROM capped x " +
       "JOIN capped y ON x.u = y.u AND x.v < y.v), " +
       "cn AS (SELECT part_a, part_b, count(*) AS cn FROM cand GROUP BY 1, 2), " +
-      "pred AS (SELECT cn.part_a, cn.part_b, cn.cn FROM cn " +
+      "pred AS (SELECT cn.part_a, cn.part_b FROM cn " +
       "LEFT JOIN e ON cn.part_a = e.a AND cn.part_b = e.b " +
-      "WHERE e.a IS NULL AND cn.cn >= 2) " +
+      "WHERE e.a IS NULL AND cn.cn >= 2), " +
+      // surviving candidates are RE-SCORED with the exact intersection
+      // (mirrors GraphAlgos.exactCommonNeighbors): the capped wedge
+      // count only gates candidate generation
+      "cnx AS (SELECT p.part_a, p.part_b, count(*) AS cn FROM pred p " +
+      "JOIN ee na ON na.u = p.part_a " +
+      "JOIN ee nb ON nb.u = p.part_b AND nb.v = na.v GROUP BY 1, 2) " +
       "SELECT p.part_a, p.part_b, p.cn, " +
       "(p.cn * 1000000) // (d1.dg + d2.dg - p.cn) AS jaccard_ppm " +
-      "FROM pred p JOIN deg d1 ON p.part_a = d1.u JOIN deg d2 ON p.part_b = d2.u " +
+      "FROM cnx p JOIN deg d1 ON p.part_a = d1.u JOIN deg d2 ON p.part_b = d2.u " +
       "ORDER BY jaccard_ppm DESC, part_a, part_b")),
     Q("q_sssp", sssp, Some(
       strongTieCte + ", " +

@@ -442,7 +442,17 @@ object PipelineQueries {
     * table, so the green row proves the partitioned roundtrip is
     * lossless AND the pruned read is complete for the selected day. */
   val pruneRoot = "/tmp/graft_part_prune"
-  def prunePath(sfDir: String): String = scalePath(pruneRoot, sfDir)
+
+  /** Unlike the roundtrip sinks (whose oracle SQL must read the same
+    * static path), the prune oracle recomputes from the ORIGINAL
+    * events table — so this destination can and does carry a per-run
+    * unique suffix (the Spark application id). Two concurrent runs
+    * (bench racing verify, parallel sbt invocations) write disjoint
+    * directories instead of interleaving `mode(overwrite)` on one
+    * (round-11 advice); a same-JVM reader (the gate row, the spec's
+    * plan pin) derives the identical path from its session. */
+  def prunePath(s: SparkSession, sfDir: String): String =
+    s"${scalePath(pruneRoot, sfDir)}/${s.sparkContext.applicationId}"
 
   /** The pruned day's aggregate, shared by the gate row (post-write
     * read-back) and the spec's plan pin. */
@@ -455,7 +465,7 @@ object PipelineQueries {
       .orderBy("event_type")
 
   private def partitionPrune(s: SparkSession, d: String): DataFrame = {
-    val dest = prunePath(d)
+    val dest = prunePath(s, d)
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"),

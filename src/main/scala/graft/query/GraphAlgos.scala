@@ -104,6 +104,28 @@ object GraphAlgos {
       .orderBy(desc("cn"), col("part_a"), col("part_b"))
   }
 
+  /** Exact |Γa ∩ Γb| for an already-BOUNDED candidate pair set
+    * (part_a, part_b) — the re-scoring stage behind
+    * `q_jaccard_neighbors`: [[commonNeighbors]]' wedge count is
+    * hub-CAPPED (witnesses at centers with deg > degCap are not
+    * enumerated), so dividing it by exact degrees biases a Jaccard
+    * score LOW whenever the cap binds (round-11 advice). Candidate
+    * GENERATION keeps the capped Σ deg² guard; the surviving pairs
+    * are then scored exactly here: two equi-joins against the
+    * undirected adjacency (pair → a's neighbors, matched on b's
+    * neighbor rows) + one partial-aggregating count. Cost is
+    * Σ_pairs deg(a) join rows — linear in the work any exact
+    * set-intersection must do, and driven by the bounded pair set,
+    * never all-pairs. Returns (part_a, part_b, cn). */
+  def exactCommonNeighbors(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val ee = undirect(e)
+    pairs.select("part_a", "part_b")
+      .join(ee.select(col("u").as("part_a"), col("v").as("w")), "part_a")
+      .join(ee.select(col("u").as("part_b"), col("v").as("w")),
+        Seq("part_b", "w"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("cn"))
+  }
+
   /** `rounds` synchronous Bellman-Ford relaxations from the seed set
     * `seedPred(u)` with deterministic integer weights
     * w = 1 + (a+b) mod 9. Returns (u, dist) over the reached set. */

@@ -495,10 +495,24 @@ object EventStreams {
     * one) throws rather than silently contaminating the moments —
     * the upstream windowed aggregation emits closed windows in
     * watermark order, so in the intended composition the check never
-    * fires. `StreamingSpec` pins stream ≡ batch on the fixture. */
+    * fires. `StreamingSpec` pins stream ≡ batch on the fixture.
+    *
+    * Overflow horizon: the moments grow forever (n per hour, S with
+    * Σcnt, SS with Σcnt²), and the verdict terms n·SS and S² grow as
+    * n²·cnt² — at cnt ~ 10⁶/hour they cross 2⁶³ after n ≈ 3·10³
+    * hours (~4 months). Unlike the batch twin (which runs under
+    * Spark ANSI and sizes its history in the scaladoc), plain JVM
+    * Long math wraps SILENTLY, flipping verdicts in exactly the
+    * long-horizon monitor this operator advertises — so every
+    * multiply/add below is `Math.multiplyExact`/`addExact`, making
+    * the horizon a loud ArithmeticException (the same fail-loud
+    * contract as the event-time-regression throw). Past the horizon
+    * the operational fix is a baseline reset or exponentially
+    * decayed moments, not bigger integers. */
   def anomalyStream(counts: Dataset[HourCount],
       warmup: Long = 8): Dataset[AnomalyHit] = {
     import counts.sparkSession.implicits._
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
     counts
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[MomState, AnomalyHit](
@@ -513,13 +527,17 @@ object EventStreams {
                 s"already-folded ${st.maxUs} — prequential moments would " +
                 "use the future; replay closed windows in event-time order")
             if (st.n >= warmup) {
-              val dev = st.n * r.cnt - st.s
-              if (dev * dev > 4L * (st.n * st.ss - st.s * st.s))
+              val dev = subtractExact(multiplyExact(st.n, r.cnt), st.s)
+              val lhs = multiplyExact(dev, dev)
+              val rhs = multiplyExact(4L,
+                subtractExact(multiplyExact(st.n, st.ss),
+                  multiplyExact(st.s, st.s)))
+              if (lhs > rhs)
                 out += AnomalyHit(et, r.hourUs, r.cnt,
                   if (dev > 0) "high" else "low")
             }
-            st = MomState(st.n + 1, st.s + r.cnt,
-              st.ss + r.cnt * r.cnt, r.hourUs)
+            st = MomState(addExact(st.n, 1L), addExact(st.s, r.cnt),
+              addExact(st.ss, multiplyExact(r.cnt, r.cnt)), r.hourUs)
           }
           state.update(st)
           out.result().iterator

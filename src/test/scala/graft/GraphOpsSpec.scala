@@ -132,17 +132,28 @@ class GraphOpsSpec extends SparkSpec {
       .toMap
     assert(out.nonEmpty)
     val adj = strongTieAdj()
-    val expected = (for {
+    // candidate generation is hub-capped (wedges at centers deg ≤ 16);
+    // surviving pairs are re-scored with the EXACT intersection — the
+    // round-11 advice fix (capped numerator over exact denominator
+    // biased J low whenever the cap bound)
+    val capped = (for {
       u <- adj.keysIterator if adj(u).size <= 16
       Seq(p, q) <- adj(u).toSeq.sorted.combinations(2)
     } yield (p, q)).toSeq.groupBy(identity).view
       .mapValues(_.size.toLong)
       .filter { case ((p, q), cn) => cn >= 2 && !adj(p).contains(q) }
-      .map { case ((p, q), cn) =>
-        (p, q) -> (cn,
-          cn * 1000000L / (adj(p).size + adj(q).size - cn)) }
       .toMap
+    val expected = capped.map { case ((p, q), _) =>
+      val cn = (adj(p) & adj(q)).size.toLong
+      (p, q) -> (cn, cn * 1000000L / (adj(p).size + adj(q).size - cn))
+    }
     assert(out == expected, "jaccard scores diverged from the replay")
+    // the fixture must exercise the re-score: at sf0.001 the cap BINDS
+    // (some witness sits at a center with deg > 16), so exact ≠ capped
+    // somewhere — otherwise this spec can't tell the fix from the bug
+    assert(capped.exists { case (pq, c) => expected(pq)._1 != c },
+      "fixture degenerate: capped wedge count equals exact intersection " +
+      "for every surviving pair — the re-score is not exercised")
     // normalization must matter: the cn-ranking and the jaccard-ranking
     // must disagree somewhere, or the operator adds nothing over
     // q_link_predict

@@ -66,7 +66,7 @@ class PipelineSinkSpec extends SparkSpec {
     val sfDir = "/root/testdata/sf0.001"
     // the gate row itself performs the write; re-derive the read side
     Catalog.byName("q_partition_prune").fn(spark, sfDir).collect()
-    val dest = PipelineQueries.prunePath(sfDir)
+    val dest = PipelineQueries.prunePath(spark, sfDir)
     val agg = PipelineQueries.prunedDayAgg(spark, dest)
     agg.collect()
     // find the scan through AQE wrappers: AdaptiveSparkPlanExec and
