@@ -680,6 +680,78 @@ object RelationalQueries {
         coalesce(sum("cents"), lit(0L)).as("rev_cents"))
   }
 
+  /** TPC-H Q1 (pricing summary report) — the pure-scan aggregation
+    * baseline every engine publishes first: one pass over lineitem,
+    * one 6-group hash aggregate, nothing else. All money is EXACT
+    * integer fixed point (the [[tpchQ3]] rule): base price in cents,
+    * discounted price in micro-dollars (cents × (10000 − disc_bp)),
+    * and the charge term cents × (10000 − disc_bp) × (10000 + tax_bp)
+    * at 10⁻⁸-dollar scale — ~10¹³ per item, which a 64-bit sum only
+    * holds for ~10⁶ items/group — so the charge is floored PER ITEM
+    * back to micro-dollars (… div 10000) before summing: a
+    * deterministic integer operation both engines define identically
+    * on each row (partitioning-independent, unlike float rounding),
+    * keeping the sum in BIGINT through ~10⁹ items per group (≈ sf
+    * 10⁴ for this 6-group report) with ANSI failing loudly past it.
+    * The three averages are integer floor divisions of the exact sums
+    * (qty in centi-units, price in cents, discount in basis points) —
+    * no float mean to diverge. Scale shape: the filter and the 7-col
+    * projection push to the parquet scan, partial aggregation
+    * collapses each map partition to ≤ 6 rows before the ONE
+    * exchange — the plan `TpchPlanSpec` pins (single scan, partial
+    * agg, no second shuffle). */
+  private def tpchQ1(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-09-02").cast("timestamp")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= cutoff)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+        round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+      .withColumn("disc_micros", col("cents") * (lit(10000L) - col("disc_bp")))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        sum("cents").as("sum_base_cents"),
+        sum("disc_micros").as("sum_disc_micros"),
+        sum(expr("disc_micros * (10000 + tax_bp) div 10000"))
+          .as("sum_charge_micros"),
+        count(lit(1)).as("count_order"),
+        expr("sum(qty) * 100 div count(1)").as("avg_qty_centi"),
+        expr("sum(cents) div count(1)").as("avg_price_cents"),
+        expr("sum(disc_bp) div count(1)").as("avg_disc_bp"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total line
+    * quantity exceeds a threshold, with their customer and total —
+    * the canonical HAVING-subquery + top-k. The subquery decorrelates
+    * into ONE partial-aggregating groupBy of lineitem on l_orderkey
+    * (the [[tpchQ17]] lesson); qualified orders are a tiny key set,
+    * so both subsequent joins are broadcast-eligible equi-joins of
+    * facts against it, and the final top-100 by order total is a
+    * TakeOrderedAndProject — NO data-sized window, NO global sort
+    * (`TpchPlanSpec` pins both). Money exact in cents; quantity is
+    * integral in the fixture, summed as BIGINT. */
+  private def tpchQ18(s: SparkSession, d: String): DataFrame = {
+    val qual = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_orderkey").agg(sum("qty").as("total_qty"))
+      .filter(col("total_qty") > 300L)
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .join(qual, col("o_orderkey") === col("l_orderkey"))
+    ord.join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("orderdate"), col("total_cents"), col("total_qty"))
+      .orderBy(col("total_cents").desc, col("orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Referential-integrity audit — the data-quality gate every
     * warehouse load runs before publishing: orphan counts for each
     * foreign key (child rows whose parent is missing) plus the
@@ -727,6 +799,34 @@ object RelationalQueries {
       "o_orderpriority FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey " +
       "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
       "WHERE rn = 1 ORDER BY o_custkey")),
+    Q("q_tpch_q1", tpchQ1, Some(
+      "WITH li AS (SELECT l_returnflag, l_linestatus, " +
+      "CAST(l_quantity AS BIGINT) AS qty, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, " +
+      "CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp, " +
+      "CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS disc_micros " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02') " +
+      "SELECT l_returnflag, l_linestatus, " +
+      "CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+      "CAST(sum(cents) AS BIGINT) AS sum_base_cents, " +
+      "CAST(sum(disc_micros) AS BIGINT) AS sum_disc_micros, " +
+      "CAST(sum(disc_micros * (10000 + tax_bp) // 10000) AS BIGINT) AS sum_charge_micros, " +
+      "count(*) AS count_order, " +
+      "CAST(sum(qty) * 100 // count(*) AS BIGINT) AS avg_qty_centi, " +
+      "CAST(sum(cents) // count(*) AS BIGINT) AS avg_price_cents, " +
+      "CAST(sum(disc_bp) // count(*) AS BIGINT) AS avg_disc_bp " +
+      "FROM li GROUP BY 1, 2 ORDER BY 1, 2")),
+    Q("q_tpch_q18", tpchQ18, Some(
+      "WITH qual AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) " +
+      "AS total_qty FROM lineitem GROUP BY 1 HAVING total_qty > 300) " +
+      "SELECT c_name, c_custkey, o_orderkey, " +
+      "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty " +
+      "FROM orders JOIN qual ON o_orderkey = l_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "ORDER BY total_cents DESC, orderdate, o_orderkey LIMIT 100")),
     Q("q_tpch_q17", tpchQ17, Some(
       "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
       "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem), " +

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan,
+  TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+/** Plan pins for the TPC-H headline shapes (`q_tpch_q1`, `q_tpch_q18`)
+  * — the properties that make them the published baselines:
+  * Q1 is ONE scan + ONE hash exchange (partial aggregation collapses
+  * every map partition to ≤ 6 rows before the shuffle; the only other
+  * exchange is the ≤ 6-row presentation sort), and Q18's HAVING
+  * subquery + top-k never materializes a data-sized window or global
+  * sort (TakeOrderedAndProject, partial-aggregated quantity sums).
+  * AQE is disabled inside the pins so the static exchanges are
+  * visible (the ShufflePathPlanSpec convention).
+  */
+class TpchPlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withStaticPlan[A](f: => A): A = {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      f
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => s }
+
+  test("q_tpch_q1: single pruned scan, partial agg, one hash exchange, no window") {
+    withStaticPlan {
+      val plan = Catalog.byName("q_tpch_q1").fn(spark, dir)
+        .queryExecution.executedPlan
+      val sc = scans(plan)
+      assert(sc.size == 1, s"Q1 must scan lineitem exactly once, got ${sc.size}")
+      // the shipdate filter reaches the parquet reader and the scan
+      // reads only the 7 referenced columns
+      assert(sc.head.metadata("PushedFilters").contains("l_shipdate"),
+        s"shipdate filter not pushed: ${sc.head.metadata("PushedFilters")}")
+      val read = sc.head.metadata("ReadSchema")
+      assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+        s"scan reads unreferenced columns: $read")
+      // partial + final aggregate pair around exactly ONE hash exchange
+      assert(plan.collect { case h: HashAggregateExec => h }.size >= 2,
+        "expected partial+final hash aggregates")
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size == 1,
+        s"Q1 must cross exactly one hash exchange, got ${hashEx.size}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "Q1 must not plan a window")
+    }
+  }
+
+  test("q_tpch_q18: top-k is TakeOrderedAndProject, no window, partial qty agg") {
+    withStaticPlan {
+      val plan = Catalog.byName("q_tpch_q18").fn(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        "top-100 must plan as TakeOrderedAndProject, not a global sort")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "Q18 must not plan a data-sized window")
+      assert(plan.collect { case h: HashAggregateExec => h }.size >= 2,
+        "the HAVING subquery must partial-aggregate lineitem quantities")
+    }
+  }
+
+  test("q_tpch_q18: the quantity threshold qualifies a real subset") {
+    // liveness: the fixture must put SOME orders above and below the
+    // threshold or the HAVING shape is untested
+    val out = Catalog.byName("q_tpch_q18").fn(spark, dir).collect()
+    assert(out.nonEmpty, "no qualifying large orders in the fixture")
+    val total = graft.sources.Tables.orders(spark, dir).count()
+    assert(out.length < total, "every order qualified — threshold dead")
+    assert(out.forall(_.getLong(5) > 300L), "non-qualifying order emitted")
+  }
+}
