@@ -285,11 +285,12 @@ object VectorQueries {
 
   /** IVF-style probed search: coarse-quantize by per-label centroid,
     * probe the 2 closest clusters to the query, brute-force only there. */
-  /** Coarse IVF probe: the `nProbe` labels whose per-label centroid
-    * ([[pqCodebook]] — the same mean-vector table) is most
-    * cosine-similar to the broadcast 1-row query. Shared by
-    * `q_ivf_topk` and `q_ivfpq_search` so the probe rule (ranking,
-    * tie-break, width) cannot drift between the two gate rows. */
+  /** Coarse IVF probe over PER-LABEL centroids — the zero-training
+    * baseline `q_ivf_topk` keeps (labels as cells): the `nProbe`
+    * labels whose centroid ([[pqCodebook]] — the same mean-vector
+    * table) is most cosine-similar to the broadcast 1-row query. The
+    * TRAINED quantizer ([[trainedCoarse]]) replaces this in
+    * `q_ivf_trained` and the IVFADC row. */
   private def coarseProbe(emb: DataFrame, q: DataFrame, nProbe: Int): DataFrame =
     pqCodebook(emb).crossJoin(broadcast(q))
       .select(col("c_label").as("label"),
@@ -315,6 +316,116 @@ object VectorQueries {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
   }
+
+  /** TRAINED IVF coarse quantizer — 2 spherical-Lloyd rounds from the
+    * label seed ([[graft.query.KMeans]] primitives), closing the
+    * round-11 residual that the coarse cells were per-label stand-ins:
+    * a real IVF index stores vectors under TRAINED cell centroids and
+    * probes those (Jégou et al. 2011 §III). Returns (centroids
+    * (cluster, cvec) — the LAST round's, the ones the assignment was
+    * made against, which is what probing must rank — and the final
+    * assignment (vec_id, e, cluster, sim)). Scale shape = KMeans.run's:
+    * the corpus persists once; per round only the k×dim centroid
+    * table crosses the cluster (broadcast into the scan-stage argmax);
+    * lineage localCheckpoint-cut. */
+  private def trainedCoarse(s: SparkSession, emb: DataFrame)
+      : (DataFrame, DataFrame) = {
+    VectorFunctions.register(s)
+    import graft.query.KMeans
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
+        col("label").cast("int").as("cluster"))
+      .persist()
+    val cent1 = KMeans.centroids(v).localCheckpoint()
+    val a1 = KMeans.assign(v.select("vec_id", "e"), cent1, "vec_id")
+    val cent2 = KMeans.centroids(a1).localCheckpoint()
+    val a2 = KMeans.assign(v.select("vec_id", "e"), cent2, "vec_id")
+      .localCheckpoint()
+    v.unpersist()
+    (cent2, a2)
+  }
+
+  /** The `nProbe` TRAINED cells ranked by query-centroid cosine
+    * (broadcast k-row centroids × 1-row query; ties to the smaller
+    * cluster id — the [[coarseProbe]] rule over trained cells). */
+  private def trainedProbe(cent: DataFrame, q: DataFrame,
+      nProbe: Int): DataFrame =
+    cent.crossJoin(broadcast(q))
+      .select(col("cluster"),
+        (dot(col("cvec"), col("qe")) /
+          (sqrt(dot(col("cvec"), col("cvec"))) *
+           sqrt(dot(col("qe"), col("qe"))))).as("c"))
+      .orderBy(col("c").desc, col("cluster"))
+      .limit(nProbe)
+      .select("cluster")
+
+  /** IVF search over the TRAINED index: probe the `nProbe` closest
+    * trained cells, exact-cosine-rank only the vectors ASSIGNED to
+    * those cells (the assignment is the index — candidates come from
+    * an equi-join on the trained cluster id, so the scan touches
+    * nProbe/k of the corpus at any scale). Exposed with `nProbe` as a
+    * parameter so `IvfTrainedSpec` can measure the recall/nprobe
+    * trade (docs/ann_recall.md) on the same code the gate row runs. */
+  private[graft] def ivfTrainedSearch(s: SparkSession, d: String,
+      nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cent, asg) = trainedCoarse(s, emb)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    asg.join(broadcast(trainedProbe(cent, q, nProbe)), "cluster")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("e"), col("qe")) /
+          (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qe"), col("qe")))))
+          .as("c"))
+      .select(col("vec_id"), round(col("c"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def ivfTrained(s: SparkSession, d: String): DataFrame =
+    ivfTrainedSearch(s, d)
+
+  /** The 2-round coarse training + probe, unrolled as DuckDB CTEs —
+    * shared by `q_ivf_trained` and `q_ivfpq_search` so the trained
+    * quantizer the oracle replays is ONE definition (CTE names are
+    * k-prefixed to avoid colliding with [[pqTrainSql]]'s when both
+    * appear in the IVFADC oracle). `cand` is the probed candidate id
+    * set: vectors whose TRAINED assignment (ka2) lies in the 2 probed
+    * cells. */
+  // lazy: referenced by ivfPqSearchSql, whose strict-val initializer
+  // runs earlier in the object body
+  private lazy val coarseTrainCte =
+    "kc1 AS (SELECT label AS c, i, avg(embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2), " +
+    "ks1 AS (SELECT e.vec_id, c.c, sum(e.embedding[c.i]::DOUBLE * c.m) / " +
+    "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * " +
+    "sqrt(sum(c.m * c.m))) AS s FROM embeddings e, kc1 c GROUP BY 1, 2), " +
+    "ka1 AS (SELECT vec_id, c AS cluster FROM ks1 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "kc2 AS (SELECT ka1.cluster AS c, i, avg(e.embedding[i]::DOUBLE) AS m " +
+    "FROM embeddings e JOIN ka1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2), " +
+    "ks2 AS (SELECT e.vec_id, c.c, sum(e.embedding[c.i]::DOUBLE * c.m) / " +
+    "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * " +
+    "sqrt(sum(c.m * c.m))) AS s FROM embeddings e, kc2 c GROUP BY 1, 2), " +
+    "ka2 AS (SELECT vec_id, c AS cluster FROM ks2 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
+    "kdist AS (SELECT c AS cluster, sum(m * q.qe[i]::DOUBLE) / " +
+    "(sqrt(sum(m * m)) * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cs " +
+    "FROM kc2, q GROUP BY 1), " +
+    "probe AS (SELECT cluster FROM kdist ORDER BY cs DESC, cluster LIMIT 2), " +
+    "cand AS (SELECT vec_id FROM ka2 JOIN probe USING (cluster))"
+
+  private val ivfTrainedSql =
+    "WITH " + coarseTrainCte + ", " +
+    "sc AS (SELECT e.vec_id, " +
+    "sum(e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE) AS d, " +
+    "sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS na, " +
+    "sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE) AS nb " +
+    "FROM embeddings e JOIN cand USING (vec_id), q, range(1, 65) t(i) " +
+    "GROUP BY 1) " +
+    "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
+    "ORDER BY cos_sim DESC, vec_id LIMIT 5"
 
   /** Scalar int8 quantization round-trip — the embedding-compression
     * operator (4× storage cut at 100 TB): per-vector min/max scale,
@@ -648,18 +759,20 @@ object VectorQueries {
       .limit(topK)
 
   /** IVF + PQ composed search — the IVFADC architecture (Jégou et al.
-    * 2011 §III, the billion-scale FAISS index shape): the coarse
-    * quantizer (per-label centroids, same probe as `q_ivf_topk`)
-    * prunes the corpus to the 2 probed cells, and the fine ranking is
-    * ADC over the TRAINED sub-codebooks ([[pqTrain]]) — the probed
-    * scan touches only the 8 small codes per candidate, never the
-    * floats. Scale shape: probe = broadcast k-row centroid table +
-    * TakeOrdered(2); candidate cut = broadcast semi-join on the probed
-    * labels; ADC = broadcast 8·k lookup + hash aggregate; final top-5
-    * ranks on the ROUNDED distance with id tiebreaks (cross-engine
-    * stable, like `q_pq_adc_topk`). Deterministic given the fixed
-    * seed, so the oracle recomputes identical math and the
-    * approximate search is hash-exact. */
+    * 2011 §III, the billion-scale FAISS index shape), now FULLY
+    * trained (round-11 item 3): the coarse quantizer is the 2-round
+    * Lloyd index of [[trainedCoarse]] — candidates are the vectors
+    * ASSIGNED to the 2 probed trained cells (equi-join on the trained
+    * cluster id) — and the fine ranking is ADC over the TRAINED
+    * sub-codebooks ([[pqTrain]]); the probed scan touches only the 8
+    * small codes per candidate, never the floats. Scale shape: probe
+    * = broadcast k-row trained-centroid table + TakeOrdered(2);
+    * candidate cut = broadcast semi-join on the probed assignment;
+    * ADC = broadcast 8·k lookup + hash aggregate; final top-5 ranks
+    * on the ROUNDED distance with id tiebreaks (cross-engine stable,
+    * like `q_pq_adc_topk`). Deterministic given the fixed seeds, so
+    * the oracle recomputes identical math (both trainings unrolled as
+    * CTEs) and the approximate search is hash-exact. */
   private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -667,7 +780,9 @@ object VectorQueries {
       .select(asDouble(col("embedding")).as("qe"))
     // ONE driver-side row — the user-supplied query vector
     val qArr = q.head.getSeq[Double](0).toArray
-    val candIds = emb.join(broadcast(coarseProbe(emb, q, nProbe = 2)), "label")
+    val (centC, asgC) = trainedCoarse(s, emb)
+    val candIds = asgC
+      .join(broadcast(trainedProbe(centC, q, nProbe = 2)), "cluster")
       .select("vec_id")
     val (centT, codes) = pqTrain(emb, k = 4, iters = 2)
     adcDistances(
@@ -697,14 +812,7 @@ object VectorQueries {
     "FROM pts p JOIN c2 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
     "codes AS (SELECT vec_id, sub, code FROM d2t " +
     "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
-    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
-    "coarse AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
-    "FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2), " +
-    "cdist AS (SELECT label, sum(m * q.qe[i]::DOUBLE) / " +
-    "(sqrt(sum(m * m)) * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS c " +
-    "FROM coarse, q GROUP BY label), " +
-    "probe AS (SELECT label FROM cdist ORDER BY c DESC, label LIMIT 2), " +
-    "cand AS (SELECT vec_id FROM embeddings JOIN probe USING (label)), " +
+    coarseTrainCte + ", " +
     "qd AS (SELECT c2.sub, c2.code, " +
     "sum((q.qe[c2.sub * 8 + c2.j]::DOUBLE - c2.m) * " +
     "(q.qe[c2.sub * 8 + c2.j]::DOUBLE - c2.m)) AS qd2 " +
@@ -867,6 +975,7 @@ object VectorQueries {
       "GROUP BY e.vec_id) " +
       "SELECT vec_id, round(d / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sc " +
       "ORDER BY cos_sim DESC, vec_id LIMIT 5")),
+    Q("q_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Q("q_vec_quantize", vecQuantize, Some(
       "WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings), " +
       "m AS (SELECT vec_id, e, list_min(e) AS lo, list_max(e) - list_min(e) AS span FROM v), " +

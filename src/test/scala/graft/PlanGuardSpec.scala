@@ -34,6 +34,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_pq_adc_topk", // k-row codebook + 1-row query vector broadcasts
     "q_ivfpq_search", // 1-row query vector + 2-row probe (IVFADC coarse
                       // stage; fine stage is equi-join ADC)
+    "q_ivf_trained",  // k-row trained-centroid broadcast (KMeans.assign)
+                      // + 1-row query vector; candidates equi-join the
+                      // trained assignment
     "q_pmi_bigrams", // 1-row (u_tot, b_tot) totals scalar
     "q_dedup_cluster_sizes", // 1-row corpus-total × clustered-total scalars
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
