@@ -383,13 +383,15 @@ object TextQueries {
     val split = docs.agg(max("doc_id")).head.getLong(0) / 2
     val root = s"/tmp/graft_admission_semantic/${new java.io.File(d).getName}"
     graft.pipeline.Admission.reset(s, root)
+    // `emb` passes UNFILTERED both times: it is the feature store
+    // (stable id -> vector lookup) the PQ-compressed state fetches
+    // exact floats from; the increment's own vectors are cut to the
+    // increment inside admitWithEmbeddings via the fresh-key semi-join
     graft.pipeline.Admission.admitWithEmbeddings(
-      docs.filter(col("doc_id") <= split),
-      emb.filter(col("doc_id") <= split), root, "d1",
+      docs.filter(col("doc_id") <= split), emb, root, "d1",
       cosThreshold = 0.45, nTables = 48)
     graft.pipeline.Admission.admitWithEmbeddings(
-      docs.filter(col("doc_id") > split),
-      emb.filter(col("doc_id") > split), root, "d2",
+      docs.filter(col("doc_id") > split), emb, root, "d2",
       cosThreshold = 0.45, nTables = 48)
     graft.pipeline.Admission.corpus(s, root)
       .select(col("doc_id"), col("inc"))

@@ -698,12 +698,14 @@ object VectorQueries {
     * codebook with the argmin a `min(struct(d2, code))` hash aggregate
     * — map-side partial, k-row groups, never a per-key window sort. */
   private[graft] def pqTrain(emb: DataFrame, k: Int, iters: Int,
-      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+      vecCol: String = "embedding", nSub: Int = 8, subDim: Int = 8)
+      : (DataFrame, DataFrame) = {
     val pts = emb
       .select(col("vec_id"), asDouble(col(vecCol)).as("e"))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("e"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("e"))
       .select(col("vec_id"), col("sub"),
-        expr("slice(e, sub * 8 + 1, 8)").as("sv"))
+        expr(s"slice(e, sub * $subDim + 1, $subDim)").as("sv"))
       .localCheckpoint()
     def centOf(asg: DataFrame): DataFrame = pts
       .join(asg.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))

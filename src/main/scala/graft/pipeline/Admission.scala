@@ -87,14 +87,19 @@ object Admission {
     StructField("sig", StringType)))
   private val digestSchema = StructType(Seq(StructField("digest", StringType)))
   // the semantic leg ([[admitWithEmbeddings]]): SRP band signatures of
-  // every seen exact-survivor's embedding + the vectors themselves
-  // (needed for the exact cosine verify of future increments)
+  // every seen exact-survivor's embedding, plus PQ-COMPRESSED vector
+  // state (round-11 item 2): `code` packs nSub 8-bit codewords into
+  // one BIGINT, `n` is the TRUE L2 norm, `r` the reconstruction error
+  // ‖x − x̂‖ — together 32 bytes/doc where the round-11 format stored
+  // the full float64 vector (~528 B/doc at dim 64). Exact floats for
+  // the verify are fetched from the caller's feature-store table by
+  // id, only for ADC-prefilter survivors.
   private def semidxSchema(idCol: String) = StructType(Seq(
     StructField(idCol, LongType), StructField("table", IntegerType),
     StructField("bucket", IntegerType)))
   private def vecsSchema(idCol: String) = StructType(Seq(
-    StructField(idCol, LongType),
-    StructField("e", ArrayType(DoubleType)), StructField("n", DoubleType)))
+    StructField(idCol, LongType), StructField("code", LongType),
+    StructField("n", DoubleType), StructField("r", DoubleType)))
 
   private def schemaOf(kind: String, idCol: String): StructType = kind match {
     case "index" => indexSchema(idCol)
@@ -277,7 +282,7 @@ object Admission {
     case "index" => s"`$idCol` BIGINT, band INT, sig STRING, inc STRING"
     case "digests" => "digest STRING, inc STRING"
     case "semidx" => s"`$idCol` BIGINT, `table` INT, bucket INT, inc STRING"
-    case "vecs" => s"`$idCol` BIGINT, e ARRAY<DOUBLE>, n DOUBLE, inc STRING"
+    case "vecs" => s"`$idCol` BIGINT, code BIGINT, n DOUBLE, r DOUBLE, inc STRING"
     case other => sys.error(s"no DDL for state kind $other")
   }
 
@@ -657,6 +662,82 @@ object Admission {
     s.read.parquet(s"$root/corpus/inc=$incId")
   }
 
+  // ---------------------------------------------------------------------
+  // PQ-compressed semantic vector state (round-11 verdict item 2)
+  // ---------------------------------------------------------------------
+
+  /** Path of the per-root PQ codebook — trained ONCE on the first
+    * semantic increment that carries vectors, then immutable: codes
+    * written across increments must decode against one codebook. */
+  private def pqcbPath(root: String) = s"$root/pqcb"
+
+  private def pqcbCommitted(s: SparkSession, root: String): Boolean =
+    fsOf(s, root).exists(new Path(s"${pqcbPath(root)}/_SUCCESS"))
+
+  /** Encode (id, e, n) rows against codebook `cb` (sub, c_code, cvec):
+    * per subspace argmin-assign (`min(struct(d2, code))` — a hash
+    * aggregate, the [[graft.operators.VectorQueries.pqTrain]] shape),
+    * pack the nSub 8-bit codes into ONE BIGINT lane-wise, and carry
+    * the exact reconstruction error r = ‖x − x̂‖ (the per-doc bound
+    * [[adcPrefilter]]'s pruning guarantee is built from). */
+  private[graft] def pqEncodeVecs(incVecs: DataFrame, cb: DataFrame,
+      idCol: String, nSub: Int, subDim: Int): DataFrame =
+    incVecs
+      .select(col(idCol), col("n"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("e"))
+      .withColumn("sv", expr(s"slice(e, sub * $subDim + 1, $subDim)"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), " +
+        "0D, (acc, v) -> acc + v)"))
+      .groupBy(col(idCol), col("n"), col("sub"))
+      .agg(min(struct(col("d2"), col("c_code"))).as("best"))
+      .groupBy(col(idCol), col("n"))
+      .agg(sum(expr("shiftleft(cast(best.c_code as bigint), 8 * sub)"))
+          .as("code"),
+        sqrt(sum(col("best.d2"))).as("r"))
+      .select(col(idCol), col("code"), col("n"), col("r"))
+
+  /** ADC pre-filter over candidate (inc, seen) pairs — the stage that
+    * lets the seen state hold CODES instead of floats without changing
+    * one admission decision: a pair survives iff its ADC-approximated
+    * dot CAN still reach the threshold given the seen doc's stored
+    * reconstruction error. Provably a SUPERSET of the exact-accept
+    * set (spec-pinned by `AdmissionSemanticSpec`): with x̂ the
+    * reconstruction and r = ‖x − x̂‖, Cauchy–Schwarz gives
+    * |q·x − q·x̂| ≤ ‖q‖·r, so q·x ≥ T·‖q‖·‖x‖ implies
+    * q·x̂ ≥ ‖q‖·(T·‖x‖ − r) — the filter below (minus a 1e-9 float
+    * slack). A poor codebook (large r) degrades PRUNING, never
+    * correctness. Plan: the per-(inc doc, sub, code) dot table is
+    * |inc|·nSub·k rows against the broadcast codebook; the pair side
+    * unpacks 8-bit lanes and equi-joins it — no floats of seen docs
+    * are ever read. Returns (idCol, seen_id, sn). */
+  private[graft] def adcPrefilter(cand: DataFrame, seenVecs: DataFrame,
+      incVecs: DataFrame, cb: DataFrame, idCol: String,
+      cosThreshold: Double, nSub: Int, subDim: Int): DataFrame = {
+    val adcTab = incVecs
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("e"))
+      .withColumn("qsv", expr(s"slice(e, sub * $subDim + 1, $subDim)"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col(idCol), col("sub"), col("c_code"),
+        expr("aggregate(zip_with(qsv, cvec, (a, b) -> a * b), " +
+          "0D, (acc, v) -> acc + v)").as("pdot"))
+    cand
+      .join(seenVecs.select(col(idCol).as("seen_id"), col("code"),
+        col("n").as("sn"), col("r").as("sr")), Seq("seen_id"))
+      .select(col(idCol), col("seen_id"), col("sn"), col("sr"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("code"))
+      .withColumn("c_code", expr("cast(shiftright(code, 8 * sub) & 255 as int)"))
+      .join(adcTab, Seq(idCol, "sub", "c_code"))
+      .groupBy(col(idCol), col("seen_id"), col("sn"), col("sr"))
+      .agg(sum("pdot").as("adot"))
+      .join(incVecs.select(col(idCol), col("n").as("inorm")), Seq(idCol))
+      .filter(col("adot") >=
+        col("inorm") * (lit(cosThreshold) * col("sn") - col("sr")) - lit(1e-9))
+      .select(col(idCol), col("seen_id"), col("sn"))
+  }
+
   /** [[admit]] with a SEMANTIC near-dup leg (round-10 verdict stretch
     * item): alongside the digest and MinHash-LSH matches, each fresh
     * document's embedding is SRP-bucketed
@@ -668,12 +749,28 @@ object Admission {
     * admission shape. Persisted semantic state mirrors the MinHash
     * design: `semidx/` holds (id, table, bucket) rows of EVERY fresh
     * exact-survivor (admitted or not — what makes the loop
-    * compositional), `vecs/` the vectors + norms the exact verify of
-    * FUTURE increments joins back on; both fold into bucketed
-    * segments ((table, bucket) / (id)) through the same [[compact]]
-    * lifecycle, so the steady-state candidate join is exchange-free on
-    * the seen side. Documents without an embedding row skip the
-    * semantic leg (text legs still apply). `admit(A); admit(B)` ≡
+    * compositional); `vecs/` holds PQ-COMPRESSED vector state (codes
+    * packed into one BIGINT + exact norm + reconstruction error —
+    * 32 B/doc instead of the round-11 full-float ~528 B/doc, the
+    * unbounded-bytes residual at 100 TB-years), with the per-root
+    * codebook trained once on the first vector-carrying increment
+    * and persisted at `pqcb/`. Cross verification is three stages,
+    * none of which changes a decision: SRP bucket collision → ADC
+    * pre-filter over the codes ([[adcPrefilter]] — a PROVABLE
+    * superset of the exact-accept pairs via the stored per-doc
+    * reconstruction-error bound) → exact codegen'd cosine on the
+    * survivors, whose seen-side floats are fetched BY ID from `emb`.
+    * That makes `emb` a FEATURE-STORE contract: it must serve a
+    * stable embedding for every id ever indexed through this leg (it
+    * always was the static lookup in [[admitStream]]); exact floats
+    * are otherwise kept only for the current increment. Both state
+    * kinds fold into bucketed segments ((table, bucket) / (id))
+    * through the same [[compact]] lifecycle, so the steady-state
+    * candidate join is exchange-free on the seen side. A root with
+    * round-11 float-format `vecs/` state fails LOUDLY (replay the
+    * increments or stay on the round-11 binary — codes and floats
+    * cannot mix silently). Documents without an embedding row skip
+    * the semantic leg (text legs still apply). `admit(A); admit(B)` ≡
     * `admit(A ∪ B)` parity and compact-invariance are pinned by
     * `AdmissionSemanticSpec` and hash-checked end-to-end by
     * `q_admission_semantic` — which runs cosThreshold = 0.45 with
@@ -687,10 +784,24 @@ object Admission {
       incId: String, idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding", cosThreshold: Double = 0.5,
       dim: Int = 64, nBits: Int = 4, nTables: Int = 24,
-      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+      shingleN: Int = 3, k: Int = 8, rowsPerBand: Int = 2,
+      pqK: Int = 16): DataFrame = {
     val s = newDocs.sparkSession
     val vf = graft.functions.VectorFunctions
     vf.register(s)
+    require(pqK <= 256, s"pqK=$pqK exceeds the 8-bit code lanes")
+    // subspace geometry: the largest nSub <= 8 dividing dim (dim = 64
+    // gives the canonical 8x8; dim = 4 gives 4 one-dim subspaces).
+    // dim must be stable per root, like idCol.
+    val nSub = (8 to 1 by -1).find(dim % _ == 0).get
+    val subDim = dim / nSub
+    val haveCb = pqcbCommitted(s, root)
+    val fs = fsOf(s, root)
+    if (!haveCb && (fs.exists(new Path(s"$root/vecs")) ||
+        fs.exists(new Path(s"$root/vecs_base"))))
+      sys.error(s"$root holds pre-round-12 float-format vecs/ state " +
+        "(no pqcb/ codebook): PQ codes and legacy floats cannot mix — " +
+        "replay the increments with this binary or stay on the old one")
     val seenIndex = readSeen(s, root, "index", idCol, incId)
     val seenDigests = readSeen(s, root, "digests", idCol, incId)
     val seenSem = readSeen(s, root, "semidx", idCol, incId)
@@ -716,16 +827,42 @@ object Admission {
         dim, nBits, nTables)
       .select(col(idCol), col("table"), col("bucket"))
       .localCheckpoint()
-    // cross near-dup: candidates are equi-join bucket collisions (the
-    // seen side a bucketed segment scan post-compact), verified with
-    // the exact codegen'd cosine — never an all-pairs product
+    // the per-root codebook: load, or train on THIS increment's
+    // vectors (the first that carries any) and persist — parquet's
+    // _SUCCESS is the commit marker, and the write precedes every
+    // vecs/ row encoded against it
+    val cbSchema = StructType(Seq(StructField("sub", IntegerType),
+      StructField("c_code", IntegerType),
+      StructField("cvec", ArrayType(DoubleType))))
+    val cb: DataFrame =
+      if (haveCb) s.read.schema(cbSchema).parquet(pqcbPath(root))
+        .localCheckpoint()
+      else if (incVecs.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], cbSchema)
+      else {
+        val (cent, _) = graft.operators.VectorQueries.pqTrain(
+          incVecs.select(col(idCol).as("vec_id"), col("e").as("embedding")),
+          k = pqK, iters = 2, nSub = nSub, subDim = subDim)
+        cent.select(col("sub").cast("int").as("sub"),
+            col("c_code").cast("int").as("c_code"), col("cvec"))
+          .write.mode("overwrite").parquet(pqcbPath(root))
+        s.read.schema(cbSchema).parquet(pqcbPath(root)).localCheckpoint()
+      }
+    // cross near-dup, three stages, decisions EXACT end-to-end:
+    // (1) candidates are equi-join bucket collisions (the seen side a
+    //     bucketed segment scan post-compact) — never all-pairs;
+    // (2) ADC pre-filter over the stored codes — a provable superset
+    //     of the exact accepts (see [[adcPrefilter]]);
+    // (3) exact codegen'd cosine on the survivors, seen floats
+    //     fetched by id from the feature-store table
     val crossCand = incSem
       .join(seenSem.select(col(idCol).as("seen_id"), col("table"), col("bucket")),
         Seq("table", "bucket"))
       .select(col(idCol), col("seen_id")).distinct()
-    val crossSemLosers = crossCand
-      .join(seenVecs.select(col(idCol).as("seen_id"), col("e").as("se"),
-        col("n").as("sn")), Seq("seen_id"))
+    val crossSemLosers = adcPrefilter(crossCand, seenVecs, incVecs, cb,
+        idCol, cosThreshold, nSub, subDim)
+      .join(emb.select(col(idCol).as("seen_id"),
+        col(vecCol).cast("array<double>").as("se")), Seq("seen_id"))
       .join(incVecs.select(col(idCol), col("e").as("ie"), col("n").as("inorm")),
         Seq(idCol))
       .filter(vf.vecDot(col("ie"), col("se")) /
@@ -756,7 +893,7 @@ object Admission {
     newDocs.join(admittedIds, Seq(idCol), "left_semi")
       .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
     incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
-    incVecs.select(col(idCol), col("e"), col("n"))
+    pqEncodeVecs(incVecs, cb, idCol, nSub, subDim)
       .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
     incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
     freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")

@@ -183,6 +183,50 @@ object PipelineScale {
         .select("doc_id").distinct().count()
       val streamParity = streamAdmitted == n1 + n2 + n3
 
+      // ---- PQ-compressed semantic state bytes (round-11 verdict
+      // item 2's "done" bar): one semantic increment over the scaled
+      // corpus with deterministic synthetic embeddings, compacted, then
+      // vecs bytes/doc measured against the round-11 float-format
+      // counterfactual (the same rows written as (id, e, n) parquet).
+      // 16-bit SRP tables keep the within-increment candidate join
+      // sparse at every factor (this measures STATE BYTES, not LSH
+      // constants — those live in the neardup rows above); sin() gives
+      // full-mantissa doubles like real embeddings, so the float
+      // counterfactual cannot cheat via dictionary encoding.
+      val embScaled = docs.select(col("doc_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "sin(doc_id * 31 + i * 17))").as("embedding"))
+      val root4 = s"$work/adm_sem"
+      val (_, semAdmSec) = timed(Admission.admitWithEmbeddings(
+        docs, embScaled, root4, "d1", cosThreshold = 0.9,
+        nBits = 16, nTables = 4).count())
+      Admission.compact(spark, root4)
+      // a second small increment against the compacted codes state —
+      // the steady-state read path (codes scanned, floats fetched only
+      // for ADC survivors)
+      val inc2 = small.head
+      val emb2 = embScaled.unionByName(inc2.select(col("doc_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "sin(doc_id * 31 + i * 17))").as("embedding")))
+      val (_, semAdm2Sec) = timed(Admission.admitWithEmbeddings(
+        inc2, emb2, root4, "d2", cosThreshold = 0.9,
+        nBits = 16, nTables = 4).count())
+      def dirBytes(p: String): Long = {
+        val pp = new org.apache.hadoop.fs.Path(p)
+        val fs2 = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs2.exists(pp)) fs2.getContentSummary(pp).getLength else 0L
+      }
+      val vecsBytes = dirBytes(s"$root4/vecs_base") +
+        dirBytes(s"$root4/vecs") + dirBytes(s"$root4/pqcb")
+      val floatDump = s"$work/float_dump"
+      embScaled.select(col("doc_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("n", sqrt(expr("aggregate(e, 0D, (acc, v) -> acc + v * v)")))
+        .write.mode("overwrite").parquet(floatDump)
+      val floatBytes = dirBytes(floatDump)
+      val vecsPerDoc = vecsBytes.toDouble / nDocs
+      val floatPerDoc = floatBytes.toDouble / nDocs
+
       println(
         s"""{"metric":"pipeline_scale","factor":$factor,"sf":"$sfDir","n_docs":$nDocs,""" +
         s""""gen_sec":${j(genSec)},"neardup_sec":${j(ndSec)},"neardup_pairs":$ndPairs,""" +
@@ -195,12 +239,16 @@ object PipelineScale {
         s""""fold_minor_secs":[${foldMinorSecs.map(j).mkString(",")}],""" +
         s""""fold_minor_rows":$nSmall,"segments_live":${gensState.segments.size},""" +
         s""""stream_phase1_sec":${j(streamP1Sec)},"stream_gen_at_restart":$genAfterP1,""" +
-        s""""stream_phase2_sec":${j(streamP2Sec)},"stream_parity":$streamParity}""")
+        s""""stream_phase2_sec":${j(streamP2Sec)},"stream_parity":$streamParity,""" +
+        s""""sem_admit_sec":${j(semAdmSec)},"sem_adm2_post_compact_sec":${j(semAdm2Sec)},""" +
+        s""""vecs_bytes_per_doc":${j(vecsPerDoc)},"float_bytes_per_doc":${j(floatPerDoc)},""" +
+        s""""vecs_compression":${j(floatPerDoc / vecsPerDoc)}}""")
 
       // cleanup the generated corpus + state
       Admission.reset(spark, root)
       Admission.reset(spark, root2)
       Admission.reset(spark, root3)
+      Admission.reset(spark, root4)
       val fs = new org.apache.hadoop.fs.Path(work)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(work), true)

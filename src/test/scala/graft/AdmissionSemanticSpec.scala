@@ -42,16 +42,24 @@ class AdmissionSemanticSpec extends SparkSpec {
     Admission.admitWithEmbeddings(docs, emb, root, inc,
       dim = 4, nBits = 2, nTables = 4)
 
+  // the feature store every call shares: admitWithEmbeddings fetches
+  // seen docs' exact floats from it by id (the PQ-compressed state
+  // holds only codes), so it must cover every id — its inc-side rows
+  // are cut to the increment internally via the fresh-key semi-join
+  private def toyStore = toyEmb(
+    1L -> Seq(1.0, 0.5, 0.0, 0.0),
+    2L -> Seq(2.0, 1.0, 0.0, 0.0),     // cos = 1 vs doc 1
+    3L -> Seq(0.0, 0.0, 1.0, -0.5))    // cos = 0 vs both
+
   test("an embedding near-dup with distinct text is rejected; orthogonal passes") {
     val root = freshRoot()
     admitToy(
       toyDocs(1L -> "aa bb cc dd ee ff gg"),
-      toyEmb(1L -> Seq(1.0, 0.5, 0.0, 0.0)), root, "d1")
+      toyStore, root, "d1")
     val got = ids(admitToy(
       toyDocs(2L -> "hh ii jj kk ll mm nn",      // text-fresh, embedding-dup
               3L -> "oo pp qq rr ss tt uu"),     // text-fresh, orthogonal
-      toyEmb(2L -> Seq(2.0, 1.0, 0.0, 0.0),      // cos = 1 vs doc 1
-             3L -> Seq(0.0, 0.0, 1.0, -0.5)),    // cos = 0 vs both
+      toyStore,
       root, "d2"))
     assert(got == Seq(3L), s"semantic leg must reject doc 2, admit doc 3: $got")
     assert(ids(Admission.corpus(spark, root)) == Seq(1L, 3L))
@@ -73,10 +81,10 @@ class AdmissionSemanticSpec extends SparkSpec {
     val split = docs.agg(max("doc_id")).head.getLong(0) / 2
     val twoStep = freshRoot()
     Admission.admitWithEmbeddings(docs.filter(col("doc_id") <= split),
-      emb.filter(col("doc_id") <= split), twoStep, "d1",
+      emb, twoStep, "d1",
       cosThreshold = 0.45, nTables = 48)
     Admission.admitWithEmbeddings(docs.filter(col("doc_id") > split),
-      emb.filter(col("doc_id") > split), twoStep, "d2",
+      emb, twoStep, "d2",
       cosThreshold = 0.45, nTables = 48)
     val oneShot = freshRoot()
     Admission.admitWithEmbeddings(docs, emb, oneShot, "all",
@@ -97,7 +105,7 @@ class AdmissionSemanticSpec extends SparkSpec {
     val root = freshRoot()
     admitToy(
       toyDocs(1L -> "aa bb cc dd ee ff gg"),
-      toyEmb(1L -> Seq(1.0, 0.5, 0.0, 0.0)), root, "d1")
+      toyStore, root, "d1")
     assert(Admission.compact(spark, root))
     assert(new java.io.File(s"$root/semidx_base").exists, "semidx must fold")
     assert(new java.io.File(s"$root/vecs_base").exists, "vecs must fold")
@@ -105,7 +113,7 @@ class AdmissionSemanticSpec extends SparkSpec {
       "folded semidx increment must be collected")
     val got = ids(admitToy(
       toyDocs(2L -> "hh ii jj kk ll mm nn", 3L -> "oo pp qq rr ss tt uu"),
-      toyEmb(2L -> Seq(2.0, 1.0, 0.0, 0.0), 3L -> Seq(0.0, 0.0, 1.0, -0.5)),
+      toyStore,
       root, "d2"))
     assert(got == Seq(3L),
       s"the folded semantic segments must still reject doc 2: $got")
@@ -136,6 +144,96 @@ class AdmissionSemanticSpec extends SparkSpec {
     assert(ids(Admission.corpus(spark, root)) == Seq(1L, 3L),
       "the cross-batch embedding dup must be rejected through the " +
         "persisted semantic state")
+  }
+
+  test("ADC prefilter is a superset of the exact-accept pairs — even " +
+      "under a degenerate 1-codeword codebook") {
+    import spark.implicits._
+    import graft.operators.VectorQueries
+    // deterministic 8-dim corpus: 12 seen vectors, 5 inc vectors,
+    // values spread so cosines straddle the 0.6 threshold
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(i => ((seed * 31 + i * 17) % 19 - 9) / 9.0)
+    val seenRows = (101L to 112L).map(i => (i, vec(i)))
+    val incRows = (1L to 5L).map(i => (i, vec(i * 7)))
+    def withN(rows: Seq[(Long, Seq[Double])]) =
+      rows.toDF("doc_id", "e")
+        .withColumn("n", sqrt(expr(
+          "aggregate(e, 0D, (acc, v) -> acc + v * v)")))
+    val incVecs = withN(incRows)
+    val cand = incRows.flatMap { case (i, _) =>
+      seenRows.map { case (s0, _) => (i, s0) } }
+      .toDF("doc_id", "seen_id")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exactAccept = (for {
+      (i, ev) <- incRows; (s0, sv) <- seenRows if cos(ev, sv) >= 0.6
+    } yield (i, s0)).toSet
+    assert(exactAccept.nonEmpty, "fixture must contain accept pairs")
+    assert(exactAccept.size < seenRows.size * incRows.size,
+      "fixture must also contain reject pairs")
+    for (k <- Seq(1, 4)) { // k=1: max reconstruction error — worst case
+      val (cb, _) = VectorQueries.pqTrain(
+        withN(seenRows).select($"doc_id".as("vec_id"), $"e".as("embedding")),
+        k = k, iters = 2, nSub = 4, subDim = 2)
+      val seenVecs = Admission.pqEncodeVecs(withN(seenRows), cb,
+        "doc_id", nSub = 4, subDim = 2)
+      val pre = Admission.adcPrefilter(cand, seenVecs, incVecs, cb,
+          "doc_id", cosThreshold = 0.6, nSub = 4, subDim = 2)
+        .select("doc_id", "seen_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exactAccept.subsetOf(pre),
+        s"k=$k: prefilter dropped exact accepts: ${exactAccept -- pre}")
+      if (k == 4)
+        assert(pre.size < seenRows.size * incRows.size,
+          "a real codebook must prune SOME candidate pairs")
+    }
+  }
+
+  test("vecs state stores packed codes at a fraction of the float bytes") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Admission.admitWithEmbeddings(docs, emb, root, "d1",
+      cosThreshold = 0.45, nTables = 48)
+    val vecs = spark.read.parquet(s"$root/vecs/inc=d1")
+    assert(vecs.columns.sorted.toSeq == Seq("code", "doc_id", "n", "r"),
+      s"vecs rows must be (id, code, n, r): ${vecs.columns.toSeq}")
+    assert(vecs.count() > 0)
+    // counterfactual: the same rows in the round-11 float format
+    val floatDump = freshRoot()
+    emb.join(vecs.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("n", sqrt(expr("aggregate(e, 0D, (acc, v) -> acc + v * v)")))
+      .write.mode("overwrite").parquet(floatDump)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(p))
+    }
+    val (codesB, floatsB) = (bytes(s"$root/vecs/inc=d1"), bytes(floatDump))
+    info(s"vecs codes $codesB B vs floats $floatsB B " +
+      f"(${floatsB.toDouble / codesB}%.1fx)")
+    assert(codesB * 8 <= floatsB,
+      s"PQ state must be >= 8x smaller: codes $codesB vs floats $floatsB")
+  }
+
+  test("a pre-round-12 float-format vecs root fails loudly") {
+    val root = freshRoot()
+    // fabricate legacy state: a vecs/ dir with no pqcb/ codebook
+    val legacy = s"$root/vecs/inc=old"
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 0.0, 0.0, 0.0), 1.0)).toDF("doc_id", "e", "n")
+      .write.mode("overwrite").parquet(legacy)
+    val err = intercept[RuntimeException] {
+      admitToy(toyDocs(2L -> "hh ii jj kk ll mm nn"), toyStore, root, "d2")
+    }
+    assert(err.getMessage.contains("float-format"),
+      s"must name the legacy format: ${err.getMessage}")
   }
 
   test("a text-only root compacts without growing semantic segments") {
