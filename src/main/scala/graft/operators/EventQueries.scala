@@ -609,6 +609,48 @@ object EventQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** The COMPOSED streaming monitor under the oracle gate
+    * ([[graft.streaming.EventStreams.hourlyAnomalyChain]], round-11
+    * verdict item 5): raw events → watermarked hourly windows →
+    * closed-in-order → prequential verdicts, run HERE as a real
+    * Structured Streaming query over a MemoryStream replay of the
+    * events table (event-time-ordered chunks + a flush sentinel 3 h
+    * past the corpus so every real hour closes). Emitted hits are
+    * hash-checked against the SAME DuckDB oracle as
+    * `q_anomaly_prequential` — the composed chain must reproduce the
+    * batch row bit-for-bit, which is the stream ≡ batch contract at
+    * gate strength (the mid-run-restart variant is `StreamingSpec`'s).
+    * The driver-side collect feeds the HARNESS (a memory stream needs
+    * its data on the driver); the operator under test is the
+    * distributed stateful query. */
+  private def anomalyChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .orderBy("tsUs", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)](s)
+    val stream = graft.streaming.EventStreams.hourlyAnomalyChain(
+      in.toDF().select(col("_1").as("event_type"),
+        timestamp_micros(col("_2")).as("ts")))
+    val q = stream.writeStream.format("memory")
+      .queryName("graft_anomaly_chain").outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      in.addData(("~flush", evs.last._2 + 3L * 3600000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_anomaly_chain")
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("hourUs")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("cnt"), col("side"))
+      .orderBy("event_type", "hour")
+  }
+
   /** First-order Markov transition matrix of user behavior: for each
     * user's event sequence (ts, event_id order), count (state → next
     * state) transitions and report the row-normalized probability in
@@ -1367,6 +1409,21 @@ object EventQueries {
       "WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
       "ORDER BY event_type, hour")),
     Q("q_anomaly_prequential", anomalyPrequential, Some(
+      "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+      "r AS (SELECT event_type, h, cnt, " +
+      "CAST(count(*) OVER w AS BIGINT) AS n, " +
+      "CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS s, " +
+      "CAST(coalesce(sum(cnt * cnt) OVER w, 0) AS BIGINT) AS ss " +
+      "FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY h " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cnt, " +
+      "CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side " +
+      "FROM r WHERE n >= 8 AND (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
+      "ORDER BY event_type, hour")),
+    Q("q_anomaly_chain", anomalyChain, Some(
+      // the composed stream must reproduce the batch prequential row
+      // exactly — same oracle as q_anomaly_prequential by design
       "WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
       "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
       "r AS (SELECT event_type, h, cnt, " +

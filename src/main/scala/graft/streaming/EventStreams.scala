@@ -544,6 +544,93 @@ object EventStreams {
       }
   }
 
+  /** One raw event for [[hourlyAnomalyChain]] (µs event time). */
+  final case class RawEv(event_type: String, tsUs: Long)
+  /** [[hourlyAnomalyChain]] state: the OPEN (not yet watermark-closed)
+    * hour counts plus the prequential moments of the closed prefix —
+    * bounded by the watermark horizon (open hours ≤ delay/1h + 1) plus
+    * four longs, per key. */
+  final case class ChainState(open: Map[Long, Long], mom: MomState)
+
+  /** The COMPOSED monitor (round-11 verdict item 5): raw events →
+    * watermarked event-time hourly aggregation → closed windows in
+    * watermark order → prequential anomaly verdicts — as ONE
+    * restartable stateful query, instead of [[anomalyStream]]'s
+    * pre-closed-window input contract. One `flatMapGroupsWithState`
+    * with an EVENT-TIME timeout carries both stages per event type:
+    * arriving events bump their open hour's count; whenever the
+    * watermark passes an open hour's end (on data or on timeout), that
+    * hour CLOSES — in ascending event-time order, so the ordering
+    * contract [[anomalyStream]] makes its caller promise holds here by
+    * construction — is tested against the moments of the hours before
+    * it (same exact-integer 2σ algebra, same overflow-exact math), and
+    * folds in. Events for an already-closed hour (late beyond the
+    * watermark) are dropped, exactly what the windowed aggregation
+    * this fuses would have done. Why fused rather than agg →
+    * flatMapGroupsWithState chained: Spark does not allow arbitrary
+    * stateful ops downstream of a streaming aggregation in append
+    * mode — and the fused form is one state store, one shuffle on the
+    * key, per-key state = open hours (≤ watermark horizon) + 4 longs.
+    * Parity: over an event-time-ordered replay with a final flush
+    * sentinel, emitted hits ≡ the batch `q_anomaly_prequential` row —
+    * `q_anomaly_chain` hash-checks it against that oracle and
+    * `StreamingSpec` pins it across a mid-run stop/restart. */
+  def hourlyAnomalyChain(events: DataFrame, delay: String = "1 second",
+      warmup: Long = 8): Dataset[AnomalyHit] = {
+    import events.sparkSession.implicits._
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    val HourUs = 3600L * 1000000L
+    events
+      .select(col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      // keep the watermarked `ts` attribute in the plan (projecting it
+      // away would strip the event-time watermark the timeout needs);
+      // the encoder binds RawEv's fields by name and ignores it
+      .withColumn("tsUs", unix_micros(col("ts")))
+      .as[RawEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ChainState, AnomalyHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (et: String, rows: Iterator[RawEv], state: GroupState[ChainState]) =>
+          var st = state.getOption.getOrElse(
+            ChainState(Map.empty, MomState(0L, 0L, 0L, Long.MinValue)))
+          var open = st.open
+          rows.foreach { r =>
+            val h = r.tsUs - java.lang.Math.floorMod(r.tsUs, HourUs)
+            // an hour at/before the folded frontier is late beyond the
+            // watermark: the aggregation this operator fuses would have
+            // dropped it, so drop it here (never throw — unlike
+            // anomalyStream, THIS operator owns the window closing)
+            if (h > st.mom.maxUs) open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = Seq.newBuilder[AnomalyHit]
+          var mom = st.mom
+          open.keys.toSeq.sorted
+            .takeWhile(h => h + HourUs <= wmUs)
+            .foreach { h =>
+              val cnt = open(h)
+              if (mom.n >= warmup) {
+                val dev = subtractExact(multiplyExact(mom.n, cnt), mom.s)
+                val rhs = multiplyExact(4L,
+                  subtractExact(multiplyExact(mom.n, mom.ss),
+                    multiplyExact(mom.s, mom.s)))
+                if (multiplyExact(dev, dev) > rhs)
+                  out += AnomalyHit(et, h, cnt, if (dev > 0) "high" else "low")
+              }
+              mom = MomState(addExact(mom.n, 1L), addExact(mom.s, cnt),
+                addExact(mom.ss, multiplyExact(cnt, cnt)), h)
+              open -= h
+            }
+          state.update(ChainState(open, mom))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (open.keys.min + HourUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.result().iterator
+      }
+  }
+
   final case class CusumState(p: Long, minP: Long, maxUs: Long)
   final case class CusumHit(event_type: String, hourUs: Long,
       stat: Long, drifted: Boolean)

@@ -41,6 +41,20 @@ class ImageCodecSpec extends SparkSpec {
     assert(junk.toSeq == Seq.fill(Multimodal.ImageCodec.dim)(0f))
   }
 
+  test("JPEG payloads decode through the same codec (lossy: means within ±2)") {
+    // JPEG quantization shifts solid fills by at most a unit or two —
+    // the gate rows stay on PNG for hash-exactness; this pins that the
+    // codec path handles the other dominant web format end-to-end
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x6496c8)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", out), "no JPEG writer in this JDK")
+    val f = Multimodal.ImageCodec.decode(out.toByteArray)
+    assert(f(0) == 16f && f(1) == 16f, s"dims wrong: ${f.toSeq}")
+    assert(math.abs(f(2) - 0x64) <= 2 && math.abs(f(3) - 0x96) <= 2 &&
+      math.abs(f(4) - 0xc8) <= 2, s"JPEG means drifted: ${f.toSeq}")
+  }
+
   test("real PNGs flow through the distributed mapPartitions pipeline") {
     import spark.implicits._
     val redBytes = png(4, 2, (_, _, _) => 0xff0000)

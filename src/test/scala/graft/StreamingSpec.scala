@@ -272,6 +272,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "no prequential anomaly fired at smoke scale")
   }
 
+  test("composed hourly-anomaly chain (events -> watermarked windows -> " +
+      "monitor) survives a mid-run restart and matches the batch row") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chain_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chain_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_chain_out").toString
+    // event-time-ordered replay, 4 one-file micro-batches + a flush
+    // sentinel that closes every real hour
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .orderBy("tsUs", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chunks = rows.grouped(rows.length / 4 + 1).toSeq
+    def writeChunk(c: Seq[(String, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chain_one").toString
+      c.toDF("event_type", "tsUs").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def startChain() = graft.streaming.EventStreams.hourlyAnomalyChain(
+        spark.readStream.schema("event_type string, tsUs long")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(col("event_type"), timestamp_micros(col("tsUs")).as("ts")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: first half, then STOP mid-run
+    writeChunk(chunks(0), "00_a.parquet")
+    writeChunk(chunks(1), "01_b.parquet")
+    val q1 = startChain()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase1Hits = spark.read.parquet(outDir).count()
+    assert(phase1Hits > 0, "restart must land mid-emission to test anything")
+    // phase 2: restart from the checkpoint, rest of the corpus + flush
+    writeChunk(chunks(2), "02_c.parquet")
+    writeChunk(chunks(3), "03_d.parquet")
+    writeChunk(Seq(("~flush", rows.last._2 + 3L * 3600000000L)), "04_e.parquet")
+    val q2 = startChain()
+    try q2.processAllAvailable() finally q2.stop()
+    val fmt2 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val got = spark.read.parquet(outDir).collect().map(r =>
+      (r.getAs[String]("event_type"),
+        fmt2.format(java.time.Instant.ofEpochSecond(
+          r.getAs[Long]("hourUs") / 1000000L)),
+        r.getAs[Long]("cnt"), r.getAs[String]("side"))).toSet
+    val want = Catalog.byName("q_anomaly_prequential").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet
+    assert(got == want,
+      s"composed chain ${got.size} hits vs batch ${want.size} after restart")
+    assert(got.size > phase1Hits,
+      "phase 2 must add hits — moments carried across the restart")
+  }
+
   test("streaming prequential anomaly throws on an out-of-order closed " +
       "hour instead of contaminating the moments") {
     import spark.implicits._
