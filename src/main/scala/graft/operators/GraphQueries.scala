@@ -160,6 +160,21 @@ object GraphQueries {
   private def triangleCount(s: SparkSession, d: String): DataFrame =
     GraphAlgos.triangleCount(coorderEdges(s, d))
 
+  /** DOULION sampled triangle estimate over the same co-order graph
+    * ([[GraphAlgos.triangleCountDoulion]], p = 1/2): the estimator for
+    * graphs where even the O(m^1.5) exact wedge bound is too expensive
+    * (GRAPH_SCALE_r11 measured the exact wall growing 7 → 64 s at 16× —
+    * fine, but the 100 TB tier wants the sampled path). The edge coin
+    * is the deterministic portable md5 hash, so the DuckDB oracle
+    * replays the identical sparsified graph (naive 3-way-join count)
+    * and the approximate estimate is still hash-EXACT; at p = 1/2 the
+    * scale factor is integer 8, so no float ever appears in the row.
+    * `GraphOpsSpec` pins |estimate − exact| ≤ 3σ with the paper's
+    * variance (shared-edge covariance included, computed exactly on
+    * the fixture). */
+  private def triangleDoulion(s: SparkSession, d: String): DataFrame =
+    GraphAlgos.triangleCountDoulion(coorderEdges(s, d), pInv = 2)
+
   /** Seeded label propagation over the STRONG-TIE co-order graph
     * (part pairs co-ordered in ≥ 2 distinct orders — the full
     * projection is so dense every node labels in one round, which
@@ -401,6 +416,16 @@ object GraphQueries {
       "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
       "SELECT 'edges' AS metric, count(*) AS n FROM e " +
       "UNION ALL SELECT 'triangles' AS metric, n FROM tri ORDER BY metric")),
+    Q("q_triangle_doulion", triangleDoulion, Some(
+      coorderCte + ", kept AS (SELECT a, b FROM e WHERE " +
+      graft.functions.TextFunctions.unitHashSql(
+        "'tri|' || CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)") +
+      " <= 0.5), " +
+      "tri AS (SELECT count(*) AS n FROM kept e1 " +
+      "JOIN kept e2 ON e2.a = e1.b JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+      "SELECT 'edges_kept' AS metric, count(*) AS n FROM kept " +
+      "UNION ALL SELECT 'triangles_estimate', n * 8 FROM tri " +
+      "UNION ALL SELECT 'triangles_sampled', n FROM tri ORDER BY metric")),
     Q("q_label_prop", labelProp, Some(
       strongTieCte + ", " +
       "s0 AS (SELECT p_partkey AS id, p_brand AS label, 0 AS rnd " +

@@ -59,6 +59,35 @@ object GraphAlgos {
       .orderBy("metric")
   }
 
+  /** DOULION sampled triangle estimate (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD'09): keep each edge with probability p = 1/pInv
+    * (here a DETERMINISTIC md5 coin on the canonical edge key, so the
+    * estimate is reproducible and oracle-checkable), count triangles
+    * on the sparsified graph with [[triangleCount]]'s degree-ordered
+    * enumerator, scale by 1/p³. The 100 TB tier of exact counting:
+    * the wedge join runs on ~p·m edges — at p = 1/2 a quarter of the
+    * wedge candidates — with unbiased E[T̂] = t and
+    * Var[T̂] = t(1/p³−1) + 2k(1/p−1) (k = triangle pairs sharing an
+    * edge); `GraphOpsSpec` pins the 3σ bound against the exact count.
+    * Returns (metric ∈ {edges_kept, triangles_estimate,
+    * triangles_sampled}, n) — the estimate exact-integer at integer
+    * pInv (scale = pInv³), so the row hash-checks. */
+  def triangleCountDoulion(e: DataFrame, pInv: Int): DataFrame = {
+    require(pInv >= 1, s"pInv must be a positive integer, got $pInv")
+    val kept = e.filter(
+      graft.functions.TextFunctions.unitHash(
+        concat_ws("|", lit("tri"), col("a"), col("b")))
+        <= lit(1.0) / pInv)
+    val base = triangleCount(kept)
+    base.select(
+        when(col("metric") === "edges", lit("edges_kept"))
+          .otherwise(lit("triangles_sampled")).as("metric"), col("n"))
+      .unionAll(base.filter(col("metric") === "triangles")
+        .select(lit("triangles_estimate").as("metric"),
+          (col("n") * lit(pInv.toLong * pInv * pInv)).as("n")))
+      .orderBy("metric")
+  }
+
   /** k-core peeling (Matula & Beck), `rounds` synchronous rounds:
     * drop vertices with current degree < k, restrict edges to
     * survivor–survivor, repeat. Returns (rnd, survivors) per round. */

@@ -165,6 +165,39 @@ class GraphOpsSpec extends SparkSpec {
       "fixture degenerate: jaccard ranking identical to raw common-neighbor")
   }
 
+  test("q_triangle_doulion: deterministic estimate within 3σ of exact") {
+    import org.apache.spark.sql.functions.col
+    val out = Catalog.byName("q_triangle_doulion").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("triangles_estimate") == out("triangles_sampled") * 8,
+      s"p=1/2 scale must be exactly 8: $out")
+    assert(out("triangles_sampled") > 0, "sampled graph lost every triangle")
+    // exact replay of the co-order graph + the paper's variance terms
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.map(e => (e._1, e._2)) ++
+        edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val perEdge = edges.toSeq.map { case (a, b) => (adj(a) & adj(b)).size.toLong }
+    val t = perEdge.sum / 3
+    assert(Catalog.byName("q_triangle_count").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.apply("triangles") == t,
+      "replay disagrees with the exact catalog row")
+    // Var[T̂] = t(1/p³−1) + 2k(1/p−1); p = 1/2, k = Σ_e C(t_e, 2)
+    // (unordered triangle pairs sharing exactly one edge)
+    val k = perEdge.map(te => te * (te - 1) / 2).sum
+    val sigma = math.sqrt(t.toDouble * 7 + 2.0 * k)
+    val err = math.abs(out("triangles_estimate") - t)
+    info(s"exact=$t estimate=${out("triangles_estimate")} err=$err 3σ=${3 * sigma}")
+    assert(err <= 3 * sigma,
+      s"DOULION estimate $err off exact $t exceeds 3σ=${3 * sigma}")
+  }
+
   test("q_sssp: distances equal a plain-Scala 3-round Bellman-Ford") {
     val out = Catalog.byName("q_sssp").fn(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
