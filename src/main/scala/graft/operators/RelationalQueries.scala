@@ -752,6 +752,50 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders of one quarter
+    * with at least one LATE line item, counted per priority. The
+    * fixture has no commit/receipt dates, so "late" is shipped more
+    * than 90 days after the order date — same correlated-EXISTS
+    * structure, expressed as ONE left-semi equi-join on the order key
+    * with the lateness predicate as a residual (the decorrelation
+    * every engine must do; a per-order probe is a join in disguise).
+    * No window, no second pass over lineitem; the priority rollup is
+    * a bounded hash aggregate. */
+  private def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 (forecasting revenue change) — the minimal
+    * scan-filter-aggregate every engine quotes: one lineitem pass,
+    * three filters, one 1-row sum. The discount band is evaluated in
+    * basis points (round(disc·10⁴) ∈ [500, 700]) so the boundary is
+    * integer-exact on both engines instead of a float BETWEEN, and
+    * revenue = Σ cents·disc_bp is exact integer micro-dollars. Plan:
+    * shipdate/quantity push to the parquet scan, the bp band is the
+    * one residual on the projected column, and the single exchange
+    * carries ≤ one partial-agg row per partition
+    * (`TpchPlanSpec` pins scan count and filter pushdown). */
+  private def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 10000).cast("long").as("disc_bp"))
+      .filter(col("disc_bp").between(500L, 700L))
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("cents") * col("disc_bp")), lit(0L))
+          .as("revenue_micros"))
+
   /** Referential-integrity audit — the data-quality gate every
     * warehouse load runs before publishing: orphan counts for each
     * foreign key (child rows whose parent is missing) plus the
@@ -799,6 +843,20 @@ object RelationalQueries {
       "o_orderpriority FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey " +
       "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
       "WHERE rn = 1 ORDER BY o_custkey")),
+    Q("q_tpch_q4", tpchQ4, Some(
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1996-07-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+      "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
+      "GROUP BY 1 ORDER BY 1")),
+    Q("q_tpch_q6", tpchQ6, Some(
+      "SELECT count(*) AS n_items, " +
+      "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "CAST(round(l_discount * 10000) AS BIGINT)), 0) AS BIGINT) AS revenue_micros " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 24 " +
+      "AND CAST(round(l_discount * 10000) AS BIGINT) BETWEEN 500 AND 700")),
     Q("q_tpch_q1", tpchQ1, Some(
       "WITH li AS (SELECT l_returnflag, l_linestatus, " +
       "CAST(l_quantity AS BIGINT) AS qty, " +

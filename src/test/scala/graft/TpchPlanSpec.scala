@@ -71,6 +71,45 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q6: single pruned scan, pushed filters, no join or window") {
+    withStaticPlan {
+      val plan = Catalog.byName("q_tpch_q6").fn(spark, dir)
+        .queryExecution.executedPlan
+      val sc = scans(plan)
+      assert(sc.size == 1, s"Q6 must scan lineitem exactly once, got ${sc.size}")
+      val pushed = sc.head.metadata("PushedFilters")
+      assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+        s"shipdate/quantity filters not pushed: $pushed")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, "Q6 must not plan any join")
+    }
+  }
+
+  test("q_tpch_q4: the EXISTS decorrelates to one left-semi join") {
+    withStaticPlan {
+      val plan = Catalog.byName("q_tpch_q4").fn(spark, dir)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.size == 1, s"Q4 must plan exactly one join, got ${joins.size}")
+      assert(joins.head.joinType.toString == "LeftSemi",
+        s"the EXISTS must plan as a left-semi join: ${joins.head.joinType}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      // liveness: some orders of the quarter must fail the lateness
+      // probe, or the semi-join is a pass-through
+      val n = Catalog.byName("q_tpch_q4").fn(spark, dir)
+        .collect().map(_.getLong(1)).sum
+      val quarter = graft.sources.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderdate")
+          .between("1996-01-01", "1996-06-30 23:59:59")).count()
+      assert(n > 0 && n < quarter,
+        s"lateness probe dead: $n late of $quarter in-quarter orders")
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
