@@ -651,6 +651,43 @@ object EventQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** The composed CUSUM monitor under the gate
+    * ([[graft.streaming.EventStreams.hourlyCusumChain]]): the same
+    * fused events → watermarked-hourly-windows → closed-in-order
+    * stream as `q_anomaly_chain`, but the monitor LEARNS its baseline
+    * online (each type's first calendar week of closed hours) and
+    * then folds the clamped CUSUM — no pre-trained constants. The
+    * emitted per-hour hits aggregate to exactly the batch
+    * `q_cusum_drift` summary (count / max stat / drift verdict), and
+    * the row hash-checks against that SAME oracle — composed stream ≡
+    * batch at gate strength, for the second monitor shape. */
+  private def cusumChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .orderBy("tsUs", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val in = MemoryStream[(String, Long)](s)
+    val stream = graft.streaming.EventStreams.hourlyCusumChain(
+      in.toDF().select(col("_1").as("event_type"),
+        timestamp_micros(col("_2")).as("ts")))
+    val q = stream.writeStream.format("memory")
+      .queryName("graft_cusum_chain").outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      in.addData(("~flush", evs.last._2 + 3L * 3600000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft_cusum_chain")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test_hours"), max("stat").as("max_cusum"),
+        max("drifted").as("drifted"))
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transition matrix of user behavior: for each
     * user's event sequence (ts, event_id order), count (state → next
     * state) transitions and report the row-normalized probability in
@@ -1421,6 +1458,7 @@ object EventQueries {
       "CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side " +
       "FROM r WHERE n >= 8 AND (n * cnt - s) * (n * cnt - s) > 4 * (n * ss - s * s) " +
       "ORDER BY event_type, hour")),
+    Q("q_cusum_chain", cusumChain, Some(cusumDriftSql)),
     Q("q_anomaly_chain", anomalyChain, Some(
       // the composed stream must reproduce the batch prequential row
       // exactly — same oracle as q_anomaly_prequential by design

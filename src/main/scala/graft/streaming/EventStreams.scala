@@ -631,6 +631,80 @@ object EventStreams {
       }
   }
 
+  /** [[hourlyCusumChain]] state: open hour counts + the baseline
+    * accumulators (first calendar week per key) + the CUSUM fold. */
+  final case class CusumChainState(open: Map[Long, Long], h0: Long,
+      n0: Long, s0: Long, p: Long, minP: Long, maxUs: Long)
+
+  /** The composed CUSUM monitor — [[hourlyAnomalyChain]]'s fused
+    * events → watermarked hourly windows → closed-in-order pattern
+    * feeding the [[cusumStream]] fold, with the BASELINE learned
+    * online: each key's first calendar week of closed hours (hour <
+    * h0 + 168 h, exactly the batch `q_cusum_drift` baseline rule, so
+    * gaps count as missing hours there too) accumulates (n₀, S₀) and
+    * emits nothing; every later closed hour folds the 2n₀-scaled
+    * deviation and emits (stat, drifted) — so a deployed monitor
+    * needs NO pre-trained constants, just the stream. Ordering holds
+    * by construction (hours close in watermark order); state is the
+    * open-hours map (watermark-horizon-bounded) + six longs.
+    * `q_cusum_chain` aggregates the emitted hits to the batch row's
+    * per-type summary and hash-checks it against the SAME oracle. */
+  def hourlyCusumChain(events: DataFrame, delay: String = "1 second",
+      baselineUs: Long = 604800000000L,
+      thresholdNum: Long = 8L): Dataset[CusumHit] = {
+    import events.sparkSession.implicits._
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    val HourUs = 3600L * 1000000L
+    events
+      .select(col("event_type"), col("ts"))
+      .withWatermark("ts", delay)
+      // the watermarked `ts` attribute must stay in the plan (the
+      // hourlyAnomalyChain lesson)
+      .withColumn("tsUs", unix_micros(col("ts")))
+      .as[RawEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumChainState, CusumHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (et: String, rows: Iterator[RawEv], state: GroupState[CusumChainState]) =>
+          var st = state.getOption.getOrElse(CusumChainState(
+            Map.empty, Long.MinValue, 0L, 0L, 0L, 0L, Long.MinValue))
+          var open = st.open
+          rows.foreach { r =>
+            val h = r.tsUs - java.lang.Math.floorMod(r.tsUs, HourUs)
+            if (h > st.maxUs) open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val out = Seq.newBuilder[CusumHit]
+          var (h0, n0, s0, p, minP) = (st.h0, st.n0, st.s0, st.p, st.minP)
+          var maxUs = st.maxUs
+          open.keys.toSeq.sorted
+            .takeWhile(h => h + HourUs <= wmUs)
+            .foreach { h =>
+              val cnt = open(h)
+              if (h0 == Long.MinValue) h0 = h
+              if (h < h0 + baselineUs) {
+                n0 = addExact(n0, 1L); s0 = addExact(s0, cnt)
+              } else {
+                val d = subtractExact(multiplyExact(2L, multiplyExact(n0, cnt)),
+                  multiplyExact(3L, s0))
+                p = addExact(p, d)
+                minP = math.min(minP, p)
+                val stat = subtractExact(p, math.min(0L, minP))
+                out += CusumHit(et, h, stat,
+                  stat > multiplyExact(thresholdNum, s0))
+              }
+              maxUs = h
+              open -= h
+            }
+          state.update(CusumChainState(open, h0, n0, s0, p, minP, maxUs))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (open.keys.min + HourUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          out.result().iterator
+      }
+  }
+
   final case class CusumState(p: Long, minP: Long, maxUs: Long)
   final case class CusumHit(event_type: String, hourUs: Long,
       stat: Long, drifted: Boolean)

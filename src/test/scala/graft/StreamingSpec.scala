@@ -329,6 +329,57 @@ class StreamingSpec extends SparkSpec {
       "phase 2 must add hits — moments carried across the restart")
   }
 
+  test("composed CUSUM chain carries its learned baseline across a " +
+      "mid-run restart and matches the batch summary") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cusum_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cusum_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cusum_out").toString
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .orderBy("tsUs", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chunks = rows.grouped(rows.length / 4 + 1).toSeq
+    def writeChunk(c: Seq[(String, Long)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cusum_one").toString
+      c.toDF("event_type", "tsUs").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def startChain() = graft.streaming.EventStreams.hourlyCusumChain(
+        spark.readStream.schema("event_type string, tsUs long")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(col("event_type"), timestamp_micros(col("tsUs")).as("ts")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // the restart lands with the baseline already learned (chunk 0
+    // spans more than each type's first week at this fixture) — the
+    // recovered (h0, n0, s0, p, minP) must continue the fold exactly
+    writeChunk(chunks(0), "00_a.parquet")
+    writeChunk(chunks(1), "01_b.parquet")
+    val q1 = startChain()
+    try q1.processAllAvailable() finally q1.stop()
+    val phase1 = spark.read.parquet(outDir).count()
+    assert(phase1 > 0, "restart must land after baseline + some test hours")
+    writeChunk(chunks(2), "02_c.parquet")
+    writeChunk(chunks(3), "03_d.parquet")
+    writeChunk(Seq(("~flush", rows.last._2 + 3L * 3600000000L)), "04_e.parquet")
+    val q2 = startChain()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("stat").as("mx"), max("drifted").as("dr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val want = Catalog.byName("q_cusum_drift").fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == want, s"composed CUSUM after restart: $got vs batch $want")
+  }
+
   test("streaming prequential anomaly throws on an out-of-order closed " +
       "hour instead of contaminating the moments") {
     import spark.implicits._
