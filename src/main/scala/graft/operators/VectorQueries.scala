@@ -826,6 +826,93 @@ object VectorQueries {
     "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
     "ORDER BY adc_dist, vec_id LIMIT 5"
 
+  /** RESIDUAL IVFADC — the textbook Jégou et al. 2011 §III encoding
+    * the raw-vector [[ivfPqSearch]] approximates: PQ trains on the
+    * RESIDUALS x − c(x) (each vector minus its trained coarse
+    * centroid), which are what PQ can actually compress well once the
+    * coarse quantizer has absorbed the between-cell variance, and the
+    * ADC lookup table is built per PROBED CELL from the query's own
+    * residual q − c_cell. Scale shape: residuals are one equi-join of
+    * the assignment against the k-row centroid table + scan-stage
+    * zip_with; the per-cell query-residual table is nProbe rows; the
+    * qd lookup is nProbe·8·k values (a bounded broadcast BNLJ of the
+    * 2-row cell table against the 8·k codebook — allowlisted); the
+    * candidate scan still touches only 8 codes per vector. All
+    * trainings deterministic, so the DuckDB oracle unrolls coarse +
+    * residual-PQ training and the row is hash-exact. */
+  private def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qe"))
+    val qArr = q.head.getSeq[Double](0).toArray
+    val (centC, asgC) = trainedCoarse(s, emb)
+    // residuals: x − centroid(assigned cell)
+    val resid = asgC.join(centC, Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(e, cvec, (a, b) -> a - b)").as("embedding"))
+      .localCheckpoint()
+    val (centT, codes) = pqTrain(resid, k = 4, iters = 2)
+    val probed = trainedProbe(centC, q, nProbe = 2)
+    // per-cell query residual (nProbe rows), then the nProbe·8·k
+    // lookup table against the broadcast sub-codebooks
+    val qres = probed.join(centC, Seq("cluster"))
+      .withColumn("qe", typedLit(qArr.toSeq))
+      .select(col("cluster"),
+        expr("zip_with(qe, cvec, (a, b) -> a - b)").as("qr"))
+    val qd = qres.crossJoin(broadcast(centT))
+      .withColumn("qd2", expr(
+        "aggregate(zip_with(slice(qr, sub * 8 + 1, 8), cvec, " +
+        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .select(col("cluster"), col("sub"), col("c_code").as("code"), col("qd2"))
+    codes
+      .join(asgC.select("vec_id", "cluster"), Seq("vec_id"))
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(qd), Seq("cluster", "sub", "code"))
+      .groupBy("vec_id").agg(sum("qd2").as("adc"))
+      .select(col("vec_id"), round(sqrt(col("adc")), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(5)
+  }
+
+  private val ivfPqResidualSql =
+    "WITH " + coarseTrainCte + ", " +
+    // residual points: x − coarse centroid of the assigned cell
+    "rpts AS (SELECT e.vec_id, a.cluster, t.sub, u.j, " +
+    "e.embedding[t.sub * 8 + u.j]::DOUBLE - k.m AS x " +
+    "FROM embeddings e CROSS JOIN range(0, 8) t(sub) CROSS JOIN range(1, 9) u(j) " +
+    "JOIN ka2 a ON a.vec_id = e.vec_id " +
+    "JOIN kc2 k ON k.c = a.cluster AND k.i = t.sub * 8 + u.j), " +
+    // residual-PQ training (2 Lloyd rounds from the vec_id % 4 seed)
+    "rc1 AS (SELECT sub, vec_id % 4 AS code, j, avg(x) AS m " +
+    "FROM rpts GROUP BY 1, 2, 3), " +
+    "rd1 AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM rpts p JOIN rc1 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
+    "ra1 AS (SELECT vec_id, sub, code FROM rd1 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
+    "rc2 AS (SELECT p.sub, a.code, p.j, avg(p.x) AS m " +
+    "FROM rpts p JOIN ra1 a ON a.vec_id = p.vec_id AND a.sub = p.sub " +
+    "GROUP BY 1, 2, 3), " +
+    "rd2 AS (SELECT p.vec_id, p.sub, c.code, " +
+    "sum((p.x - c.m) * (p.x - c.m)) AS d2 " +
+    "FROM rpts p JOIN rc2 c ON c.sub = p.sub AND c.j = p.j GROUP BY 1, 2, 3), " +
+    "rcodes AS (SELECT vec_id, sub, code FROM rd2 " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) = 1), " +
+    // per-probed-cell query-residual-to-codeword lookup
+    "rqd AS (SELECT p.cluster, c.sub, c.code, " +
+    "sum((q.qe[c.sub * 8 + c.j]::DOUBLE - k.m - c.m) * " +
+    "(q.qe[c.sub * 8 + c.j]::DOUBLE - k.m - c.m)) AS qd2 " +
+    "FROM probe p JOIN kc2 k ON k.c = p.cluster " +
+    "JOIN rc2 c ON k.i = c.sub * 8 + c.j, q GROUP BY 1, 2, 3), " +
+    "adc AS (SELECT rc.vec_id, sum(rqd.qd2) AS d2 FROM rcodes rc " +
+    "JOIN ka2 a ON a.vec_id = rc.vec_id " +
+    "JOIN rqd ON rqd.cluster = a.cluster AND rqd.sub = rc.sub " +
+    "AND rqd.code = rc.code " +
+    "WHERE rc.vec_id <> 0 GROUP BY 1) " +
+    "SELECT vec_id, round(sqrt(d2), 4) AS adc_dist FROM adc " +
+    "ORDER BY adc_dist, vec_id LIMIT 5"
+
   /** [[pqTrain]] under the gate: k = 4, 2 Lloyd rounds from the
     * deterministic seed, hash-checked code-by-code against the same
     * computation unrolled as a DuckDB CTE — so the TRAINED quantizer
@@ -1041,6 +1128,7 @@ object VectorQueries {
       "WHERE vec_id <> 0 ORDER BY adc_dist, vec_id LIMIT 5")),
     Q("q_pq_train", pqTrainQ, Some(pqTrainSql)),
     Q("q_ivfpq_search", ivfPqSearch, Some(ivfPqSearchSql)),
+    Q("q_ivfpq_residual", ivfPqResidual, Some(ivfPqResidualSql)),
     Q("q_centroid_norm", centroidNorm, Some(
       "WITH dims AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS m " +
       "FROM embeddings, range(1, 65) t(i) GROUP BY label, i) " +

@@ -35,4 +35,24 @@ class IvfTrainedSpec extends SparkSpec {
     assert(recalls.last._2 == 1.0,
       s"full probe must reproduce the exact top-5: $recalls")
   }
+
+  test("residual vs raw-vector ADC recall@5 (both deterministic)") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = vecs(0L)
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        id -> math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+      .sortBy(t => (t._2, t._1)).take(5).map(_._1).toSet
+    def top5(name: String): Set[Long] =
+      Catalog.byName(name).fn(spark, dir).collect().map(_.getLong(0)).toSet
+    val raw = (top5("q_ivfpq_search") & exact).size
+    val res = (top5("q_ivfpq_residual") & exact).size
+    info(s"recall@5 vs exact L2: raw-ADC $raw/5, residual-ADC $res/5")
+    assert(top5("q_ivfpq_search").size == 5 &&
+      top5("q_ivfpq_residual").size == 5)
+  }
 }

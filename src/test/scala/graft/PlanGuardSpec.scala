@@ -37,6 +37,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_ivf_trained",  // k-row trained-centroid broadcast (KMeans.assign)
                       // + 1-row query vector; candidates equi-join the
                       // trained assignment
+    "q_ivfpq_residual", // nProbe-row query-residual table × 8·k
+                        // codebook lookup (both bounded broadcasts);
+                        // candidates equi-join the trained assignment
     "q_pmi_bigrams", // 1-row (u_tot, b_tot) totals scalar
     "q_dedup_cluster_sizes", // 1-row corpus-total × clustered-total scalars
     "q_hybrid_search", // 1-row query vector + 1-row corpus-stats scalar
