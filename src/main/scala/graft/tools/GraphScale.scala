@@ -97,6 +97,13 @@ object GraphScale {
         GraphAlgos.triangleCount(co).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
+      // DOULION (p = 1/2) on the same dense projection: the sampled
+      // tier's wall-time win over the exact wedge join, plus its
+      // relative error against the exact count just measured
+      val (dl, doulionSec) = timed {
+        GraphAlgos.triangleCountDoulion(co, pInv = 2).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       val (core, coreSec) = timed {
         // k = 2 here: the sf0.1 strong-tie graph's 3-core is EMPTY
         // after one peel (gate-scale k=3 liveness is sf0.01-specific),
@@ -138,7 +145,10 @@ object GraphScale {
       println(
         s"""{"tool":"graph_scale","sf_dir":"$sfDir","factor":$factor,""" +
         s""""build_sec":${j(buildSec)},"co_build_sec":${j(coBuildSec)},""" +
-        s""""triangle_sec":${j(triSec)},""" +
+        s""""triangle_sec":${j(triSec)},"doulion_sec":${j(doulionSec)},""" +
+        s""""doulion_estimate":${dl("triangles_estimate")},""" +
+        s""""doulion_err_pct":${j(math.abs(dl("triangles_estimate") -
+          tri("triangles")).toDouble * 100 / math.max(tri("triangles"), 1L))},""" +
         s""""kcore_sec":${j(coreSec)},"pagerank_sec":${j(prSec)},""" +
         s""""sssp_sec":${j(ssspSec)},"linkpred_sec":${j(lpSec)},""" +
         counts.toSeq.sortBy(_._1)
