@@ -464,6 +464,84 @@ object PipelineQueries {
         sum(col("cents")).as("total_cents"))
       .orderBy("event_type")
 
+  /** Small-file compaction — the table-maintenance job every 100 TB
+    * deployment schedules: a fragmented table (here deliberately
+    * written as 64 splinter files, the shape a trickle of small
+    * appends leaves behind) is rewritten into ⌈bytes / target⌉
+    * right-sized files. At scale the small-files problem is a
+    * listing/scheduling tax — a million 100 KB files means a million
+    * scan tasks and a crawling namenode — and the fix is exactly this
+    * read → coalesce(n) → write (coalesce, not repartition: no
+    * shuffle, each output task concatenates whole input splits). The
+    * hashed row carries the row count plus two verdict booleans
+    * (`files_reduced`, `rows_equal` — the q_approx_distinct contract
+    * pattern: file counts are engine internals no SQL oracle can
+    * recompute, so the oracle asserts the CONTRACT while the spec
+    * pins the physical file counts). Per-run unique destination (the
+    * q_partition_prune race fix). */
+  def compactRoot = "/tmp/graft_compact_files"
+  def compactFilesRun(s: SparkSession, d: String,
+      targetBytes: Long = 8L << 20): (DataFrame, Int, Int) = {
+    val dest = s"${scalePath(compactRoot, d)}/${s.sparkContext.applicationId}"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    ev.repartition(64).write.mode("overwrite").parquet(s"$dest/frag")
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files(p: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+    val frag = files(s"$dest/frag")
+    val nOut = math.max(1L,
+      (frag.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(s"$dest/frag").coalesce(nOut)
+      .write.mode("overwrite").parquet(s"$dest/comp")
+    val comp = files(s"$dest/comp")
+    val out = s.read.parquet(s"$dest/comp")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(comp.size < frag.size).as("files_reduced"),
+        (col("n_rows") === ev.count()).as("rows_equal"))
+    (out, frag.size, comp.size)
+  }
+
+  private def compactFiles(s: SparkSession, d: String): DataFrame =
+    compactFilesRun(s, d)._1
+
+  /** Right-to-be-forgotten delete — the GDPR/CCPA maintenance rewrite:
+    * drop every event of a user cohort (here user_id ≡ 0 mod 97, a
+    * stand-in for the deletion-request key list, which at scale
+    * arrives as a table and anti-joins instead of the predicate) by
+    * rewriting the table WITHOUT them, then prove completeness by
+    * scanning the rewritten files for residual rows. The hashed row
+    * carries (deleted, remaining, residual): deleted/remaining the
+    * oracle recomputes from the original table, and residual is
+    * MEASURED from the rewritten parquet but asserted 0 by the oracle
+    * — so an incomplete delete (a missed file, a stale overwrite)
+    * hash-fails the gate, not just a spec. At 100 TB the same rewrite
+    * runs per partition-pruned slice (`q_partition_prune`'s layout
+    * confines it to the partitions the cohort touches) and the
+    * driver-side audit counts below are exactly the numbers the
+    * compliance log wants. Per-run unique destination. */
+  private def forgetUser(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dest =
+      s"${scalePath("/tmp/graft_forget", d)}/${s.sparkContext.applicationId}"
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+    val total = ev.count()
+    ev.filter(pmod(col("user_id"), lit(97L)) =!= 0)
+      .write.mode("overwrite").parquet(dest)
+    val agg = s.read.parquet(dest)
+      .agg(count(lit(1)),
+        sum(when(pmod(col("user_id"), lit(97L)) === 0, 1L).otherwise(0L)))
+      .head
+    val remaining = agg.getLong(0)
+    val residual = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    Seq((total - remaining, remaining, residual))
+      .toDF("deleted_events", "remaining_events", "residual_rows")
+  }
+
   private def partitionPrune(s: SparkSession, d: String): DataFrame = {
     val dest = prunePath(s, d)
     Tables.events(s, d)
@@ -481,6 +559,13 @@ object PipelineQueries {
     "GROUP BY 1 ORDER BY 1"
 
   val all: Seq[Q] = Seq(
+    Q("q_compact_files", compactFiles, Some(
+      "SELECT count(*) AS n_rows, TRUE AS files_reduced, TRUE AS rows_equal " +
+      "FROM events")),
+    Q("q_forget_user", forgetUser, Some(
+      "SELECT CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS deleted_events, " +
+      "CAST(sum(CASE WHEN user_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining_events, " +
+      "CAST(0 AS BIGINT) AS residual_rows FROM events")),
     Q("q_partition_prune", partitionPrune, Some(partitionPruneSql)),
     Q("q_pit_join", pitJoin, Some(
       "WITH scd AS (SELECT o_custkey AS c, o_orderdate AS vf, " +

@@ -61,6 +61,22 @@ class PipelineSinkSpec extends SparkSpec {
       s"source filter must prune partitions, plan:\n$scanned")
   }
 
+  test("q_compact_files: 64 splinter files compact to the byte-target count") {
+    import graft.operators.PipelineQueries
+    val sfDir = "/root/testdata/sf0.001"
+    // a tiny target forces >1 output file even at smoke scale, so the
+    // ceil(bytes/target) rule is live, not just "coalesce to 1"
+    val (row, before, after) =
+      PipelineQueries.compactFilesRun(spark, sfDir, targetBytes = 16L << 10)
+    assert(before == 64, s"fragmentation fixture must write 64 files: $before")
+    assert(after < before && after >= 1,
+      s"compaction must reduce file count: $before -> $after")
+    val r = row.head
+    assert(r.getBoolean(1) && r.getBoolean(2),
+      s"contract booleans must hold: $r")
+    assert(r.getLong(0) > 0)
+  }
+
   test("q_partition_prune: the day filter reads exactly one partition") {
     import graft.operators.PipelineQueries
     val sfDir = "/root/testdata/sf0.001"
