@@ -1028,6 +1028,44 @@ object TextQueries {
     * the same terms in the same order. Per-doc arrays are bounded by
     * the doc's vocabulary (collect_list here is per-document state,
     * not a global collect). */
+  /** Misra–Gries heavy hitters over corpus words
+    * ([[graft.functions.MisraGries]] — the typed mergeable Aggregator;
+    * see its scaladoc for the PODS'12 merge): the frequent-items
+    * sketch that complements `q_cms_counts` (CMS estimates ANY key's
+    * count but cannot LIST the heavy keys; MG lists them in k−1
+    * counters with the deterministic guarantee that every item above
+    * n/k is present and every estimate sits in [true − n/k, true]).
+    * The candidate set BEYOND the guaranteed items is merge-order-
+    * dependent (partitioning-sensitive), so the hashed row carries
+    * only the theorem: the true heavies (exact·k > n, recomputed
+    * exactly — the join-back a production pipeline also does) with
+    * `captured` and `within_bound` verdict booleans the oracle
+    * asserts TRUE. Scale shape: the sketch is one typed aggregate —
+    * partial ≤ (k−1)-entry maps merge map-side, the full word stream
+    * never centralizes; the exact side is the usual partial-agg
+    * word count. `MisraGriesSpec` pins the bounds under adversarial
+    * partitionings and the classic decrement math. */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+    val n = words.count()
+    val sketch: Map[String, Long] = words.as[String]
+      .select(new graft.functions.MisraGries(k).toColumn)
+      .head()
+    val est = sketch.toSeq.toDF("w", "mg_est")
+    words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") * k > n)
+      .join(est, Seq("w"), "left")
+      .select(col("w"), col("exact_cnt"),
+        col("mg_est").isNotNull.as("captured"),
+        (col("mg_est").isNotNull && col("mg_est") <= col("exact_cnt") &&
+          col("mg_est") * lit(k.toLong) >=
+            col("exact_cnt") * lit(k.toLong) - lit(n)).as("within_bound"))
+      .orderBy("w")
+  }
+
   private def entropyQ(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
@@ -1944,6 +1982,13 @@ object TextQueries {
       "SELECT doc_id, lang, n_chars FROM (SELECT *, " +
       graft.functions.TextFunctions.unitHashSql("'smp|' || CAST(doc_id AS VARCHAR)") +
       " AS u FROM documents) WHERE u < 0.1 ORDER BY doc_id")),
+    Q("q_heavy_hitters", heavyHitters, Some(
+      "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w " +
+      "FROM documents), " +
+      "t AS (SELECT count(*) AS n FROM w), " +
+      "c AS (SELECT w, count(*) AS exact_cnt FROM w GROUP BY 1) " +
+      "SELECT w, exact_cnt, TRUE AS captured, TRUE AS within_bound " +
+      "FROM c, t WHERE exact_cnt * 64 > t.n ORDER BY w")),
     Q("q_entropy", entropyQ, Some(
       "WITH tf AS (SELECT doc_id, word, count(*) AS c FROM " +
       "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word " +

@@ -779,7 +779,19 @@ object Admission {
     * while at the 0.5 × 24-table defaults the corresponding coverage
     * is the one `q_embed_neardup_lsh`'s hash-exactness demonstrates.
     * Raise nTables when lowering the threshold: coverage decays as
-    * (1 − (1 − θ/π)^nBits)^nTables. */
+    * (1 − (1 − θ/π)^nBits)^nTables.
+    *
+    * Sizing nBits to the increment: the WITHIN-increment candidate
+    * self-join grows ~|inc|²·nTables/2^nBits on an unclustered
+    * corpus, so a good operating point is nBits ≈ log₂|inc| + c
+    * (c ≈ 4–6 keeps expected bucket occupancy ~2⁻ᶜ·|inc|^0 pairs per
+    * table) — bits are per-INCREMENT geometry and can differ from
+    * root to root, but must stay FIXED per root (the persisted semidx
+    * keys are (table, bucket) under one projection family). The
+    * PIPELINE_SCALE_r12 one-shot column shows exactly this term when
+    * an entire corpus arrives as one increment at fixed 16-bit
+    * tables; daily-sized increments sit on the flat steady-state
+    * column instead. */
   def admitWithEmbeddings(newDocs: DataFrame, emb: DataFrame, root: String,
       incId: String, idCol: String = "doc_id", textCol: String = "text",
       vecCol: String = "embedding", cosThreshold: Double = 0.5,
