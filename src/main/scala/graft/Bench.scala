@@ -73,9 +73,13 @@ object Bench {
     * contribution. */
   final case class LoadSample(raw: Double, external: Double)
 
-  /** Timing + error + per-run load outcome of one query. */
+  /** Timing + error + per-run load outcome of one query.
+    * `progressTimed` marks rows whose times are the streaming query's
+    * own per-batch `triggerExecution` sums ([[StreamOpTiming]]) rather
+    * than harness wall clock. */
   final case class QResult(name: String, times: Seq[Double],
-      loads: Seq[LoadSample], err: Option[String]) {
+      loads: Seq[LoadSample], err: Option[String],
+      progressTimed: Boolean = false) {
     def ok: Boolean = times.nonEmpty
     def median: Double = times.sorted.apply(times.size / 2)
     def p10: Double = times.sorted.head
@@ -227,9 +231,21 @@ object Bench {
       runs: Int = Runs,
       loadSampler: () => LoadSample = defaultSampler()): Seq[QResult] = {
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val progTimed = scala.collection.mutable.Set[String]()
     def runOne(q: Q): Option[Double] = {
+      StreamOpTiming.take(q.name) // clear any stale deposit (failed run)
       val t0 = System.nanoTime()
-      try { q.fn(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        q.fn(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // a gate-harness streaming row deposits its own per-batch
+        // triggerExecution sum — the operator's cost without the
+        // MemoryStream feed; prefer it and record the provenance
+        StreamOpTiming.take(q.name) match {
+          case Some(op) => progTimed += q.name; Some(op)
+          case None => Some(wall)
+        }
+      }
       catch {
         case e: Throwable =>
           errs.getOrElseUpdate(q.name,
@@ -249,7 +265,8 @@ object Bench {
       }
     }
     queries.map(q =>
-      QResult(q.name, times(q.name).toSeq, loads(q.name).toSeq, errs.get(q.name)))
+      QResult(q.name, times(q.name).toSeq, loads(q.name).toSeq, errs.get(q.name),
+        progressTimed = progTimed(q.name)))
   }
 
   /** Raw loadavg + external residual against `self` (the JVM-wide
@@ -353,9 +370,20 @@ object Bench {
     val extraPart =
       if (extraResults.isEmpty) ""
       else {
-        val body = jmap(extraResults.filter(_.ok).map(r => r.name -> jnum(r.median)))
+        val okX = extraResults.filter(_.ok)
+        val body = jmap(okX.map(r => r.name -> jnum(r.median)))
+        // full per-extras provenance (round-12 verdict item 4): an
+        // extra_noisy flag without the quantiles and external-load
+        // residuals that triggered it was undiagnosable from the
+        // artifact alone
+        val quantX = jmap(okX.map { r =>
+          val ts = r.times.sorted
+          r.name -> jmap(Seq("p10" -> jnum(ts.head), "p50" -> jnum(r.median),
+            "p90" -> jnum(ts.last)))
+        })
+        val xloadX = jmap(okX.map(r => r.name -> jnum(r.xloadMax)))
         val noisy2 = extraResults.filter(_.noisy(loadBound)).map(_.name)
-        s""","extra":$body,"extra_noisy":${jarr(noisy2)}"""
+        s""","extra":$body,"extra_quantiles":$quantX,"extra_xload":$xloadX,"extra_noisy":${jarr(noisy2)}"""
       }
 
     // Second scale point for the scaling slope (best-effort: skip when
@@ -402,6 +430,12 @@ object Bench {
     // drop the crossover evidence with no diagnostic at all. A query
     // broken at BOTH scales reports once (first message wins).
     val allResults = results ++ extraResults ++ sf2Results
+    // provenance: rows timed by their own streaming progress metrics
+    // instead of wall clock (see [[StreamOpTiming]])
+    val progNames = allResults.filter(r => r.ok && r.progressTimed)
+      .map(_.name).distinct
+    val progPart =
+      if (progNames.isEmpty) "" else s""","progress_timed":${jarr(progNames)}"""
     val errors = allResults.flatMap(r => r.err.map(e =>
         r.name -> ("\"" + e.replace("\"", "'").replace("\\", "/") + "\"")))
       .groupBy(_._1).map { case (_, v) => v.head }.toSeq.sortBy(_._1)
@@ -421,7 +455,7 @@ object Bench {
     //    so the stdout form is sized to survive that window while
     //    still carrying everything a cross-round comparison grades.
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part,$loadavgPart}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part$progPart,$loadavgPart}"""
     val compactLine =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$xloadPart$validPart$errPart,$loadavgPart}"""
     println(compactLine)

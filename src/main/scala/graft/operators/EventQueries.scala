@@ -21,6 +21,24 @@ object EventQueries {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Monotone suffix for the chain rows' memory-sink names — two
+    * concurrent invocations in one session (bench racing verify) must
+    * not collide on a fixed queryName (round-12 advice). */
+  private val chainRunId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Deposit the OPERATOR cost of a just-finished chain-harness run:
+    * the sum of the streaming query's per-batch `triggerExecution`
+    * durations — the time Spark spent executing the monitored stateful
+    * query, excluding the MemoryStream feed (driver collect + addData)
+    * that [[graft.StreamOpTiming]]'s scaladoc explains is harness, not
+    * plan. Bench reports this for the chain rows. */
+  private def recordChainSeconds(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ms = q.recentProgress.iterator.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue)).sum
+    graft.StreamOpTiming.record(name, ms / 1e3)
+  }
+
   /** Tumbling-window aggregate (1 hour): the watermark+window shape. */
   private def hourlyEvents(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -634,16 +652,22 @@ object EventQueries {
     val stream = graft.streaming.EventStreams.hourlyAnomalyChain(
       in.toDF().select(col("_1").as("event_type"),
         timestamp_micros(col("_2")).as("ts")))
+    // per-run unique sink name (round-12 advice): a fixed queryName
+    // fails with "query with that name is already active" when bench
+    // races verify in one session — the same race the per-appId sink
+    // paths already guard against
+    val sink = s"graft_anomaly_chain_${chainRunId.incrementAndGet()}"
     val q = stream.writeStream.format("memory")
-      .queryName("graft_anomaly_chain").outputMode("append").start()
+      .queryName(sink).outputMode("append").start()
     try {
       evs.grouped(evs.length / 3 + 1).foreach { c =>
         in.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       in.addData(("~flush", evs.last._2 + 3L * 3600000000L))
       q.processAllAvailable()
+      recordChainSeconds("q_anomaly_chain", q)
     } finally q.stop()
-    s.table("graft_anomaly_chain")
+    s.table(sink)
       .select(col("event_type"),
         date_format(timestamp_micros(col("hourUs")), "yyyy-MM-dd HH:mm:ss")
           .as("hour"),
@@ -672,16 +696,18 @@ object EventQueries {
     val stream = graft.streaming.EventStreams.hourlyCusumChain(
       in.toDF().select(col("_1").as("event_type"),
         timestamp_micros(col("_2")).as("ts")))
+    val sink = s"graft_cusum_chain_${chainRunId.incrementAndGet()}"
     val q = stream.writeStream.format("memory")
-      .queryName("graft_cusum_chain").outputMode("append").start()
+      .queryName(sink).outputMode("append").start()
     try {
       evs.grouped(evs.length / 3 + 1).foreach { c =>
         in.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       in.addData(("~flush", evs.last._2 + 3L * 3600000000L))
       q.processAllAvailable()
+      recordChainSeconds("q_cusum_chain", q)
     } finally q.stop()
-    s.table("graft_cusum_chain")
+    s.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_test_hours"), max("stat").as("max_cusum"),
         max("drifted").as("drifted"))

@@ -493,12 +493,26 @@ object PipelineQueries {
       fs.listStatus(new org.apache.hadoop.fs.Path(p))
         .filter(_.getPath.getName.endsWith(".parquet")).toSeq
     val frag = files(s"$dest/frag")
-    val nOut = math.max(1L,
+    // cap at frag.size - 1 (round-12 advice): once the fragmented
+    // bytes reach 64× the target, the byte-derived count would make
+    // coalesce a no-op and flip the files_reduced contract false at
+    // larger scale factors — when the byte target implies no reduction,
+    // compaction's structural promise (fewer files) still holds, it
+    // just lands one file under the target size instead
+    val byBytes = math.max(1L,
       (frag.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
-    s.read.parquet(s"$dest/frag").coalesce(nOut)
-      .write.mode("overwrite").parquet(s"$dest/comp")
-    val comp = files(s"$dest/comp")
-    val out = s.read.parquet(s"$dest/comp")
+    val nOut = math.min(byBytes, math.max(1, frag.size - 1))
+    if (nOut < byBytes)
+      s.sparkContext.setJobDescription(
+        s"compact_files: byte target implies $byBytes files >= ${frag.size} inputs; capped to $nOut")
+    // the rewrite commits through the manifest protocol: a reader (or
+    // a crash) mid-rewrite sees the PREVIOUS committed generation
+    // whole, never a partial directory — CommittedTableSpec pins it
+    val tbl = s"$dest/comp"
+    graft.pipeline.CommittedTable.commit(s, tbl,
+      s.read.parquet(s"$dest/frag"), _.coalesce(nOut))
+    val comp = files(graft.pipeline.CommittedTable.dataDir(s, tbl))
+    val out = graft.pipeline.CommittedTable.read(s, tbl)
       .agg(count(lit(1)).as("n_rows"))
       .select(col("n_rows"),
         lit(comp.size < frag.size).as("files_reduced"),
@@ -530,9 +544,12 @@ object PipelineQueries {
       s"${scalePath("/tmp/graft_forget", d)}/${s.sparkContext.applicationId}"
     val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
     val total = ev.count()
-    ev.filter(pmod(col("user_id"), lit(97L)) =!= 0)
-      .write.mode("overwrite").parquet(dest)
-    val agg = s.read.parquet(dest)
+    // manifest-committed rewrite (round-12 verdict item 2): the cohort
+    // delete replaces the table generation atomically — a compliance
+    // auditor racing the rewrite reads the old OR the new table whole
+    graft.pipeline.CommittedTable.commit(s, dest,
+      ev.filter(pmod(col("user_id"), lit(97L)) =!= 0))
+    val agg = graft.pipeline.CommittedTable.read(s, dest)
       .agg(count(lit(1)),
         sum(when(pmod(col("user_id"), lit(97L)) === 0, 1L).otherwise(0L)))
       .head

@@ -774,6 +774,59 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q21 (suppliers who kept waiting) — the hardest
+    * decorrelation in the suite: for each supplier of one nation,
+    * count the finished multi-supplier orders where THAT supplier
+    * shipped late and NO OTHER supplier did (EXISTS + NOT EXISTS over
+    * the same fact table, the shape that punishes engines into two
+    * extra lineitem scans for the two correlated probes). Lateness is
+    * the fixture's q_tpch_q4 rule (shipped > 90 days after the order
+    * date — no commit/receipt dates in this schema).
+    *
+    * Decorrelation (the q_tpch_q4 lesson taken to its limit): both
+    * correlated subqueries collapse into ONE per-order aggregate.
+    * After the l_orderkey join against filtered orders, fold to
+    * supplier-level rows (any-late per (order, supplier)), then to
+    * order-level (n_supp, n_late, and — because the qualifying orders
+    * have EXACTLY one late supplier — that supplier's id via
+    * max(case when late)). `n_supp > 1` IS the EXISTS (another
+    * supplier), `n_late = 1` IS the NOT EXISTS (no other late one),
+    * and the kept `late_supp` replaces the re-join against lineitem
+    * entirely: ONE pass over lineitem, not three.
+    *
+    * Plan shape (pinned by `TpchPlanSpec`): lineitem shuffles once on
+    * l_orderkey for the orders join; both group-bys — (orderkey,
+    * suppkey) then (orderkey) — are satisfied by that same hash
+    * partitioning (grouping keys ⊇ partitioning key), so NEITHER adds
+    * an exchange; supplier⋈nation is a broadcast; the final per-name
+    * rollup moves ≤ |suppliers| rows. No data-sized window anywhere. */
+  private def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .cast("int").as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("late"))
+    val perOrder = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val suppDim = Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_19")
+      .select("s_suppkey", "s_name")
+    perOrder.join(broadcast(suppDim), col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** TPC-H Q6 (forecasting revenue change) — the minimal
     * scan-filter-aggregate every engine quotes: one lineitem pass,
     * three filters, one 1-row sum. The discount band is evaluated in
@@ -850,6 +903,19 @@ object RelationalQueries {
       "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
       "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
       "GROUP BY 1 ORDER BY 1")),
+    Q("q_tpch_q21", tpchQ21, Some(
+      "WITH f AS (SELECT l.l_orderkey, l.l_suppkey, " +
+      "CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "WHERE o.o_orderstatus = 'F'), " +
+      "sup AS (SELECT l_orderkey, l_suppkey, max(late) AS late FROM f GROUP BY 1, 2), " +
+      "ordx AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late, " +
+      "max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp FROM sup GROUP BY 1) " +
+      "SELECT s.s_name, count(*) AS numwait " +
+      "FROM ordx JOIN supplier s ON ordx.late_supp = s.s_suppkey " +
+      "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+      "WHERE ordx.n_supp > 1 AND ordx.n_late = 1 AND n.n_name = 'NATION_19' " +
+      "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100")),
     Q("q_tpch_q6", tpchQ6, Some(
       "SELECT count(*) AS n_items, " +
       "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +

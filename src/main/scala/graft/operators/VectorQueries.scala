@@ -335,10 +335,16 @@ object VectorQueries {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
         col("label").cast("int").as("cluster"))
       .persist()
+    // tieDecimals = 9: the gate oracles replay BOTH Lloyd rounds as
+    // DuckDB CTEs, so every argmax must be quantized identically on
+    // both engines or a ~1e-15 summation-order difference can flip a
+    // near-tied assignment nondeterministically as fixtures change
     val cent1 = KMeans.centroids(v).localCheckpoint()
-    val a1 = KMeans.assign(v.select("vec_id", "e"), cent1, "vec_id")
+    val a1 = KMeans.assign(v.select("vec_id", "e"), cent1, "vec_id",
+      tieDecimals = 9)
     val cent2 = KMeans.centroids(a1).localCheckpoint()
-    val a2 = KMeans.assign(v.select("vec_id", "e"), cent2, "vec_id")
+    val a2 = KMeans.assign(v.select("vec_id", "e"), cent2, "vec_id",
+      tieDecimals = 9)
       .localCheckpoint()
     v.unpersist()
     (cent2, a2)
@@ -346,7 +352,9 @@ object VectorQueries {
 
   /** The `nProbe` TRAINED cells ranked by query-centroid cosine
     * (broadcast k-row centroids × 1-row query; ties to the smaller
-    * cluster id — the [[coarseProbe]] rule over trained cells). */
+    * cluster id — the [[coarseProbe]] rule over trained cells). The
+    * ranking key is quantized to 9 decimals, like the training argmax,
+    * so the probe decision is engine-reproducible too. */
   private def trainedProbe(cent: DataFrame, q: DataFrame,
       nProbe: Int): DataFrame =
     cent.crossJoin(broadcast(q))
@@ -354,7 +362,7 @@ object VectorQueries {
         (dot(col("cvec"), col("qe")) /
           (sqrt(dot(col("cvec"), col("cvec"))) *
            sqrt(dot(col("qe"), col("qe"))))).as("c"))
-      .orderBy(col("c").desc, col("cluster"))
+      .orderBy(round(col("c"), 9).desc, col("cluster"))
       .limit(nProbe)
       .select("cluster")
 
@@ -401,19 +409,19 @@ object VectorQueries {
     "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * " +
     "sqrt(sum(c.m * c.m))) AS s FROM embeddings e, kc1 c GROUP BY 1, 2), " +
     "ka1 AS (SELECT vec_id, c AS cluster FROM ks1 " +
-    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 9) DESC, c) = 1), " +
     "kc2 AS (SELECT ka1.cluster AS c, i, avg(e.embedding[i]::DOUBLE) AS m " +
     "FROM embeddings e JOIN ka1 USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2), " +
     "ks2 AS (SELECT e.vec_id, c.c, sum(e.embedding[c.i]::DOUBLE * c.m) / " +
     "(sqrt(sum(e.embedding[c.i]::DOUBLE * e.embedding[c.i]::DOUBLE)) * " +
     "sqrt(sum(c.m * c.m))) AS s FROM embeddings e, kc2 c GROUP BY 1, 2), " +
     "ka2 AS (SELECT vec_id, c AS cluster FROM ks2 " +
-    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) = 1), " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY round(s, 9) DESC, c) = 1), " +
     "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), " +
     "kdist AS (SELECT c AS cluster, sum(m * q.qe[i]::DOUBLE) / " +
     "(sqrt(sum(m * m)) * sqrt(sum(q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) AS cs " +
     "FROM kc2, q GROUP BY 1), " +
-    "probe AS (SELECT cluster FROM kdist ORDER BY cs DESC, cluster LIMIT 2), " +
+    "probe AS (SELECT cluster FROM kdist ORDER BY round(cs, 9) DESC, cluster LIMIT 2), " +
     "cand AS (SELECT vec_id FROM ka2 JOIN probe USING (cluster))"
 
   private val ivfTrainedSql =

@@ -112,6 +112,18 @@ object Admission {
   private def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** First parquet data file under `dir` (recursive), if any — used to
+    * sniff the SCHEMA of stored state without assuming its layout. */
+  private def firstParquetFile(fs: FileSystem, dir: Path): Option[Path] = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+        return Some(f.getPath)
+    }
+    None
+  }
+
   /** Keyed state kinds (bucketed segments). `index`/`digests` exist
     * for every root; `semidx`/`vecs` only where
     * [[admitWithEmbeddings]] runs — every reader/folder below checks
@@ -809,11 +821,23 @@ object Admission {
     val subDim = dim / nSub
     val haveCb = pqcbCommitted(s, root)
     val fs = fsOf(s, root)
-    if (!haveCb && (fs.exists(new Path(s"$root/vecs")) ||
-        fs.exists(new Path(s"$root/vecs_base"))))
-      sys.error(s"$root holds pre-round-12 float-format vecs/ state " +
-        "(no pqcb/ codebook): PQ codes and legacy floats cannot mix — " +
-        "replay the increments with this binary or stay on the old one")
+    // Legacy-format guard (round-13 hardening): key on the SCHEMA of
+    // the stored vecs rows, not on mere directory existence — a root
+    // whose early increments carried zero embedding rows legitimately
+    // has vecs/ state (possibly empty dirs from older binaries) and no
+    // trained codebook yet, and must NOT be bricked. Only rows that
+    // actually store the round-11 float vector column `e` are the
+    // un-mixable legacy state.
+    if (!haveCb) {
+      val legacyFile = Seq(s"$root/vecs", s"$root/vecs_base")
+        .map(new Path(_)).filter(fs.exists)
+        .flatMap(firstParquetFile(fs, _)).headOption
+      if (legacyFile.exists(f =>
+          s.read.parquet(f.toString).schema.fieldNames.contains("e")))
+        sys.error(s"$root holds pre-round-12 float-format vecs/ state " +
+          "(no pqcb/ codebook): PQ codes and legacy floats cannot mix — " +
+          "replay the increments with this binary or stay on the old one")
+    }
     val seenIndex = readSeen(s, root, "index", idCol, incId)
     val seenDigests = readSeen(s, root, "digests", idCol, incId)
     val seenSem = readSeen(s, root, "semidx", idCol, incId)
@@ -846,10 +870,11 @@ object Admission {
     val cbSchema = StructType(Seq(StructField("sub", IntegerType),
       StructField("c_code", IntegerType),
       StructField("cvec", ArrayType(DoubleType))))
+    val incHasVecs = !incVecs.isEmpty
     val cb: DataFrame =
       if (haveCb) s.read.schema(cbSchema).parquet(pqcbPath(root))
         .localCheckpoint()
-      else if (incVecs.isEmpty)
+      else if (!incHasVecs)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], cbSchema)
       else {
         val (cent, _) = graft.operators.VectorQueries.pqTrain(
@@ -904,9 +929,15 @@ object Admission {
     // kind (corpus, semidx, vecs, index) is committed too
     newDocs.join(admittedIds, Seq(idCol), "left_semi")
       .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
-    incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
-    pqEncodeVecs(incVecs, cb, idCol, nSub, subDim)
-      .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
+    // an increment with NO embedding rows writes no semantic state:
+    // an empty vecs/inc from a codebook-less first increment would
+    // otherwise look like (and previously tripped) the legacy guard,
+    // bricking the root before the first real vectors ever arrive
+    if (incHasVecs) {
+      incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
+      pqEncodeVecs(incVecs, cb, idCol, nSub, subDim)
+        .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
+    }
     incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
     freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
     s.read.parquet(s"$root/corpus/inc=$incId")

@@ -41,19 +41,32 @@ object KMeans {
         transform(col("cs"), x => x.getField("m")).as("cvec"))
 
   /** Max-cosine assignment of every vector to a centroid (ties break on
-    * the smallest cluster id): adds/replaces `cluster` and `sim`. */
+    * the smallest cluster id): adds/replaces `cluster` and `sim`.
+    *
+    * `tieDecimals >= 0` QUANTIZES the similarity to that many decimals
+    * before the argmax ordering (the reported `sim` stays raw): callers
+    * whose assignment must be reproducible across ENGINES (the trained
+    * IVF gate rows replay this loop as DuckDB CTEs) round on both sides
+    * so a summation-order difference of ~1e-15 between Spark's
+    * array-order fold and the oracle's unordered SUM can never flip a
+    * near-tied argmax — the same trick the final cos_sim output uses
+    * (round-12 advice). */
   def assign(v: DataFrame, cent: DataFrame, idCol: String,
-      vecCol: String = "e", clusterCol: String = "cluster"): DataFrame = {
+      vecCol: String = "e", clusterCol: String = "cluster",
+      tieDecimals: Int = -1): DataFrame = {
     VectorFunctions.register(v.sparkSession)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       VectorFunctions.vecDot(a, b)
+    val tieKey =
+      if (tieDecimals >= 0) round(col("graft_sim"), tieDecimals)
+      else col("graft_sim")
     v.drop(clusterCol, "sim")
       .crossJoin(broadcast(cent.withColumnRenamed(clusterCol, "graft_c")))
       .withColumn("graft_sim",
         dot(col(vecCol), col("cvec")) /
           (sqrt(dot(col(vecCol), col(vecCol))) * sqrt(dot(col("cvec"), col("cvec")))))
       .withColumn("graft_rn", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("graft_sim").desc, col("graft_c"))))
+        Window.partitionBy(idCol).orderBy(tieKey.desc, col("graft_c"))))
       .filter(col("graft_rn") === 1)
       .drop("cvec", "graft_rn")
       .withColumnRenamed("graft_c", clusterCol)

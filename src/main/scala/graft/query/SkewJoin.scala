@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   * explicit form for when the skew is known ahead of plan time (e.g., a
   * null-heavy or celebrity-key dimension) or AQE is unavailable
   * (broadcast-disabled clusters, non-shuffle joins).
+  *
+  * WHEN to use which — the measured decision rule (full table and
+  * reasoning in `docs/skew_playbook.md`, numbers from
+  * `SKEW_SCALE_r12.jsonl`): default to the plain join with AQE on; it
+  * won 5 of 6 measured skew cells. Salting crossed over only at a
+  * 50%-of-rows hub key at factor 64 (6.4M rows / 32 cores: salted
+  * 1.26 s vs AQE 1.46 s vs plain 1.99 s) — i.e. reach for [[salted]]
+  * only for a PREDICTABLE, dominant (~50%+) hot key at a volume where
+  * one reducer's partition is many multiples of the per-core share,
+  * or where AQE's split cannot apply (skewed aggregation feeding the
+  * join, sort-merge path disabled). Size `salt` ≈ hot-key rows /
+  * median partition rows, never more than the straggler stage's spare
+  * parallelism — the build side replicates `salt`×.
   */
 object SkewJoin {
 

@@ -595,15 +595,21 @@ object EventStreams {
           var st = state.getOption.getOrElse(
             ChainState(Map.empty, MomState(0L, 0L, 0L, Long.MinValue)))
           var open = st.open
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           rows.foreach { r =>
             val h = r.tsUs - java.lang.Math.floorMod(r.tsUs, HourUs)
-            // an hour at/before the folded frontier is late beyond the
-            // watermark: the aggregation this operator fuses would have
-            // dropped it, so drop it here (never throw — unlike
-            // anomalyStream, THIS operator owns the window closing)
-            if (h > st.mom.maxUs) open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+            // late-data rule, BOTH halves of what the fused windowed
+            // aggregation would do (round-12 advice): an hour at/before
+            // the folded frontier is already closed, and an hour whose
+            // END is at/behind the current watermark is already expired
+            // even if never seen (a gap hour arriving late) — admitting
+            // it would close it instantly on a partial count and
+            // contaminate the moments with a window the aggregation
+            // this fuses would have dropped. Drop both, never throw —
+            // unlike anomalyStream, THIS operator owns window closing.
+            if (h > st.mom.maxUs && h + HourUs > wmUs)
+              open = open.updated(h, open.getOrElse(h, 0L) + 1L)
           }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val out = Seq.newBuilder[AnomalyHit]
           var mom = st.mom
           open.keys.toSeq.sorted
@@ -669,11 +675,15 @@ object EventStreams {
           var st = state.getOption.getOrElse(CusumChainState(
             Map.empty, Long.MinValue, 0L, 0L, 0L, 0L, Long.MinValue))
           var open = st.open
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           rows.foreach { r =>
             val h = r.tsUs - java.lang.Math.floorMod(r.tsUs, HourUs)
-            if (h > st.maxUs) open = open.updated(h, open.getOrElse(h, 0L) + 1L)
+            // same two-sided late rule as [[hourlyAnomalyChain]]: drop
+            // hours behind the closed frontier AND hours already
+            // expired per the watermark (never-seen gap hours included)
+            if (h > st.maxUs && h + HourUs > wmUs)
+              open = open.updated(h, open.getOrElse(h, 0L) + 1L)
           }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val out = Seq.newBuilder[CusumHit]
           var (h0, n0, s0, p, minP) = (st.h0, st.n0, st.s0, st.p, st.minP)
           var maxUs = st.maxUs

@@ -222,6 +222,32 @@ class AdmissionSemanticSpec extends SparkSpec {
       s"PQ state must be >= 8x smaller: codes $codesB vs floats $floatsB")
   }
 
+  test("a first increment with zero embedding rows does not brick the root") {
+    val root = freshRoot()
+    // doc 9 has no feature-store row: text legs apply, the semantic leg
+    // is vacuous — and NO semantic state may be written (an empty
+    // vecs/inc from a codebook-less first increment previously tripped
+    // the legacy-format guard on the NEXT increment, round-12 advice)
+    admitToy(toyDocs(9L -> "aa bb cc dd ee ff gg"),
+      toyEmb(9L -> Seq(1.0, 0.0, 0.0, 0.0)).filter(col("doc_id") < 0),
+      root, "d1")
+    assert(!new java.io.File(s"$root/vecs").exists,
+      "an embedding-less increment must write no vecs/ state")
+    assert(ids(Admission.corpus(spark, root)) == Seq(9L))
+    // the next increment carries real vectors: it must train the
+    // codebook and proceed, not die on a misread 'legacy float' guard
+    val got = ids(admitToy(
+      toyDocs(2L -> "hh ii jj kk ll mm nn", 3L -> "oo pp qq rr ss tt uu"),
+      toyStore, root, "d2"))
+    assert(got == Seq(2L, 3L), s"root must stay serviceable: $got")
+    // and the semantic leg is LIVE from d2 on: an embedding near-dup
+    // of doc 3 (scaled copy, fresh text) is rejected in d3
+    val d3 = ids(admitToy(
+      toyDocs(7L -> "vv ww xx yy zz a1 b2"),
+      toyStore.union(toyEmb(7L -> Seq(0.0, 0.0, 2.0, -1.0))), root, "d3"))
+    assert(d3 == Seq.empty, s"post-recovery semantic leg must reject: $d3")
+  }
+
   test("a pre-round-12 float-format vecs root fails loudly") {
     val root = freshRoot()
     // fabricate legacy state: a vecs/ dir with no pqcb/ codebook

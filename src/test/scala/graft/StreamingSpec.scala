@@ -329,6 +329,70 @@ class StreamingSpec extends SparkSpec {
       "phase 2 must add hits — moments carried across the restart")
   }
 
+  test("chains drop a late event for a never-seen hour already expired " +
+      "per the watermark (streaming-aggregation late-data semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val HourUs = 3600L * 1000000L
+    val base = 1700000000000000L - java.lang.Math.floorMod(1700000000000000L, HourUs)
+    def hour(h: Int, n: Int): Seq[(String, Long)] =
+      (0 until n).map(i => ("a", base + h * HourUs + i * 1000000L))
+    // batch 1: hours H0..H7 (10 events each), H8 SKIPPED (the gap),
+    // H9 present — after it the watermark sits inside H9, so H0..H7
+    // close (frontier maxUs = H7) while H8's window is EXPIRED yet
+    // never seen: exactly the hole the round-12 advice found
+    val batch1 = (0 to 7).flatMap(hour(_, 10)) ++ hour(9, 10)
+    // batch 2: one late event for the expired gap hour H8 — a fused
+    // windowed aggregation would drop it; admitting it would close it
+    // instantly on cnt=1 and emit a spurious 'low' (variance-0 moments)
+    val late = hour(8, 1)
+    val flush = Seq(("~flush", base + 13 * HourUs))
+    def run(withLate: Boolean): Seq[(String, Long, Long, String)] = {
+      val in = MemoryStream[(String, Long)](spark)
+      val sink = s"graft_late_chain_${if (withLate) "l" else "c"}"
+      val q = EventStreams.hourlyAnomalyChain(
+          in.toDF().select(col("_1").as("event_type"),
+            timestamp_micros(col("_2")).as("ts")), warmup = 1)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        if (withLate) { in.addData(late); q.processAllAvailable() }
+        in.addData(flush); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq.sorted
+    }
+    val clean = run(withLate = false)
+    val got = run(withLate = true)
+    assert(!got.exists(_._2 == base + 8 * HourUs),
+      s"the expired gap hour must never emit: $got")
+    assert(got == clean,
+      s"late expired event must not contaminate the moments: $got vs $clean")
+    // same two-sided rule on the CUSUM chain (short spec baseline)
+    def runCusum(withLate: Boolean): Seq[(String, Long, Long, Boolean)] = {
+      val in = MemoryStream[(String, Long)](spark)
+      val sink = s"graft_late_cusum_${if (withLate) "l" else "c"}"
+      val q = EventStreams.hourlyCusumChain(
+          in.toDF().select(col("_1").as("event_type"),
+            timestamp_micros(col("_2")).as("ts")),
+          baselineUs = 2 * HourUs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        if (withLate) { in.addData(late); q.processAllAvailable() }
+        in.addData(flush); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getBoolean(3))).toSeq.sorted
+    }
+    val cusumGot = runCusum(withLate = true)
+    assert(!cusumGot.exists(_._2 == base + 8 * HourUs) &&
+      cusumGot == runCusum(withLate = false),
+      s"CUSUM chain must drop the expired gap hour too: $cusumGot")
+  }
+
   test("composed CUSUM chain carries its learned baseline across a " +
       "mid-run restart and matches the batch summary") {
     import spark.implicits._

@@ -110,6 +110,37 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q21: one lineitem pass, agg-decorrelated EXISTS/NOT EXISTS, " +
+      "no window, no added exchange for the two group-bys") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q21").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      // ONE pass over lineitem: the EXISTS and NOT EXISTS both fold
+      // into the per-order aggregate instead of re-probing the fact
+      val liScans = scans(plan).filter(
+        _.metadata("Location").contains("lineitem"))
+      assert(liScans.size == 1,
+        s"Q21 must scan lineitem exactly once, got ${liScans.size}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "Q21 must not plan a data-sized window")
+      // the orderkey join's hash partitioning serves BOTH group-bys:
+      // lineitem-side shuffles = 1 (the join), none added by the aggs.
+      // Static plan has: join exchanges (lineitem + orders) + the
+      // ≤|suppliers|-row rollup exchange — but no exchange between the
+      // (orderkey, suppkey) agg and the (orderkey) agg
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.size <= 3,
+        s"Q21 must add no exchange beyond join sides + final rollup: ${hashEx.size}")
+      // liveness at smoke scale: some suppliers waited, not all orders
+      val out = df.collect()
+      assert(out.nonEmpty, "no waiting suppliers in the fixture")
+      assert(out.map(_.getLong(1)).sum > 0)
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
