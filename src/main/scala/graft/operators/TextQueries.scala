@@ -1066,6 +1066,44 @@ object TextQueries {
       .orderBy("w")
   }
 
+  /** SpaceSaving heavy hitters under the gate — [[heavyHitters]]'s
+    * MG twin with the OVERestimating sketch whose per-item (count,
+    * error) interval is itself reportable
+    * ([[graft.functions.SpaceSaving]]). Hashed-row discipline (the MG
+    * rule): only merge-order-invariant theorems reach the row —
+    * `captured` is the implication "true > absent-bound d ⇒ tracked"
+    * (exact capture whenever the theorem promises it; a sketch that
+    * MISSES such an item hash-fails the gate) and `within_bound` is
+    * the per-item interval `c − e ≤ exact ≤ c` for tracked heavies.
+    * The sharp guarantees (all true heavies tracked, d·k ≤ n) are
+    * partition-sensitive in deep merge trees, so `SpaceSavingSpec`
+    * pins them under adversarial repartitionings instead. Scale
+    * shape: identical to the MG row — one typed aggregate whose
+    * partials are ≤ k-entry maps merging map-side, plus the exact
+    * join-back a production pipeline also does. */
+  private def heavyHittersSS(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+    val n = words.count()
+    val sk: graft.functions.SpaceSavingBuf = words.as[String]
+      .select(new graft.functions.SpaceSaving(k).toColumn)
+      .head()
+    val est = sk.entries.toSeq.map { case (w, (c, e)) => (w, c, e) }
+      .toDF("w", "ss_est", "ss_err")
+    words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") * k > n)
+      .join(est, Seq("w"), "left")
+      .select(col("w"), col("exact_cnt"),
+        (col("ss_est").isNotNull || col("exact_cnt") <= lit(sk.d))
+          .as("captured"),
+        (col("ss_est").isNull || (col("exact_cnt") <= col("ss_est") &&
+          col("ss_est") - col("ss_err") <= col("exact_cnt")))
+          .as("within_bound"))
+      .orderBy("w")
+  }
+
   private def entropyQ(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(words(lower(col("text")))).as("word"))
@@ -1983,6 +2021,13 @@ object TextQueries {
       graft.functions.TextFunctions.unitHashSql("'smp|' || CAST(doc_id AS VARCHAR)") +
       " AS u FROM documents) WHERE u < 0.1 ORDER BY doc_id")),
     Q("q_heavy_hitters", heavyHitters, Some(
+      "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w " +
+      "FROM documents), " +
+      "t AS (SELECT count(*) AS n FROM w), " +
+      "c AS (SELECT w, count(*) AS exact_cnt FROM w GROUP BY 1) " +
+      "SELECT w, exact_cnt, TRUE AS captured, TRUE AS within_bound " +
+      "FROM c, t WHERE exact_cnt * 64 > t.n ORDER BY w")),
+    Q("q_heavy_hitters_ss", heavyHittersSS, Some(
       "WITH w AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w " +
       "FROM documents), " +
       "t AS (SELECT count(*) AS n FROM w), " +

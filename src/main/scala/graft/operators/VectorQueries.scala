@@ -393,6 +393,13 @@ object VectorQueries {
   private def ivfTrained(s: SparkSession, d: String): DataFrame =
     ivfTrainedSearch(s, d)
 
+  /** Trained assignment (vec_id, cluster) of an arbitrary corpus —
+    * spec diagnostic for coarse-cell alignment measurements. */
+  private[graft] def diagTrainedAssign(s: SparkSession,
+      emb: DataFrame): DataFrame =
+    trainedCoarse(s, emb)._2.select(col("vec_id"),
+      col("cluster").cast("int").as("cluster"))
+
   /** The 2-round coarse training + probe, unrolled as DuckDB CTEs —
     * shared by `q_ivf_trained` and `q_ivfpq_search` so the trained
     * quantizer the oracle replays is ONE definition (CTE names are
@@ -783,25 +790,32 @@ object VectorQueries {
     * like `q_pq_adc_topk`). Deterministic given the fixed seeds, so
     * the oracle recomputes identical math (both trainings unrolled as
     * CTEs) and the approximate search is hash-exact. */
-  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame =
+    ivfPqSearchOn(s, Tables.embeddings(s, d))
+
+  /** [[ivfPqSearch]] parameterized over the corpus (needs `vec_id`,
+    * `embedding`, and a `label` seed column) so `IvfTrainedSpec` can
+    * measure raw-vs-residual recall on the CLUSTERED planted fixture
+    * with the identical code the gate row runs. */
+  private[graft] def ivfPqSearchOn(s: SparkSession, emb: DataFrame,
+      nProbe: Int = 2, pqK: Int = 4, topK: Int = 5): DataFrame = {
     VectorFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
     // ONE driver-side row — the user-supplied query vector
     val qArr = q.head.getSeq[Double](0).toArray
     val (centC, asgC) = trainedCoarse(s, emb)
     val candIds = asgC
-      .join(broadcast(trainedProbe(centC, q, nProbe = 2)), "cluster")
+      .join(broadcast(trainedProbe(centC, q, nProbe)), "cluster")
       .select("vec_id")
-    val (centT, codes) = pqTrain(emb, k = 4, iters = 2)
+    val (centT, codes) = pqTrain(emb, k = pqK, iters = 2)
     adcDistances(
         codes.join(candIds, Seq("vec_id"), "left_semi")
           .filter(col("vec_id") =!= 0),
         centT, qArr)
       .select(col("vec_id"), round(col("adc_dist"), 4).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(5)
+      .limit(topK)
   }
 
   private val ivfPqSearchSql =
@@ -848,9 +862,14 @@ object VectorQueries {
     * candidate scan still touches only 8 codes per vector. All
     * trainings deterministic, so the DuckDB oracle unrolls coarse +
     * residual-PQ training and the row is hash-exact. */
-  private def ivfPqResidual(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqResidual(s: SparkSession, d: String): DataFrame =
+    ivfPqResidualOn(s, Tables.embeddings(s, d))
+
+  /** [[ivfPqResidual]] parameterized over the corpus (the
+    * [[ivfPqSearchOn]] twin) for the clustered-recall measurement. */
+  private[graft] def ivfPqResidualOn(s: SparkSession, emb: DataFrame,
+      nProbe: Int = 2, pqK: Int = 4, topK: Int = 5): DataFrame = {
     VectorFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
     val qArr = q.head.getSeq[Double](0).toArray
@@ -860,8 +879,8 @@ object VectorQueries {
       .select(col("vec_id"), col("cluster"),
         expr("zip_with(e, cvec, (a, b) -> a - b)").as("embedding"))
       .localCheckpoint()
-    val (centT, codes) = pqTrain(resid, k = 4, iters = 2)
-    val probed = trainedProbe(centC, q, nProbe = 2)
+    val (centT, codes) = pqTrain(resid, k = pqK, iters = 2)
+    val probed = trainedProbe(centC, q, nProbe)
     // per-cell query residual (nProbe rows), then the nProbe·8·k
     // lookup table against the broadcast sub-codebooks
     val qres = probed.join(centC, Seq("cluster"))
@@ -880,7 +899,7 @@ object VectorQueries {
       .groupBy("vec_id").agg(sum("qd2").as("adc"))
       .select(col("vec_id"), round(sqrt(col("adc")), 4).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(5)
+      .limit(topK)
   }
 
   private val ivfPqResidualSql =
