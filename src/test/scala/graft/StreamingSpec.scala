@@ -329,6 +329,43 @@ class StreamingSpec extends SparkSpec {
       "phase 2 must add hits — moments carried across the restart")
   }
 
+  test("chain state is watermark-bounded: rows stay at #keys and bytes " +
+      "plateau instead of growing with the stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tsUs"))
+      .orderBy("tsUs", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nKeys = rows.map(_._1).distinct.length
+    val in = MemoryStream[(String, Long)](spark)
+    val q = EventStreams.hourlyAnomalyChain(
+        in.toDF().select(col("_1").as("event_type"),
+          timestamp_micros(col("_2")).as("ts")))
+      .writeStream.format("memory").queryName("graft_state_bound")
+      .outputMode("append").start()
+    val series = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    try {
+      rows.grouped(rows.length / 10 + 1).foreach { c =>
+        in.addData(c.toIndexedSeq); q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        if (so.nonEmpty)
+          series += ((so.map(_.numRowsTotal).sum, so.map(_.memoryUsedBytes).sum))
+      }
+    } finally q.stop()
+    info(s"state series (rows, bytes): ${series.toSeq}")
+    assert(series.nonEmpty)
+    // rows = one state entry per KEY, never per event or per hour:
+    // the open-hours map lives inside the value and is horizon-bounded
+    assert(series.forall(_._1 <= nKeys),
+      s"state rows must stay at <= $nKeys keys: $series")
+    // bytes plateau after warm-up — weeks of stream, flat state
+    val warm = series.toSeq.drop(2).map(_._2)
+    assert(warm.nonEmpty &&
+      warm.max <= math.max(1.5 * warm.head, warm.head + (64L << 10)),
+      s"state bytes must plateau, not grow with the stream: $series")
+  }
+
   test("chains drop a late event for a never-seen hour already expired " +
       "per the watermark (streaming-aggregation late-data semantics)") {
     import spark.implicits._
