@@ -33,21 +33,24 @@ import org.apache.spark.sql.SparkSession
   *    sf0.01 directory or `SPARK_GRAFT_SF_DIR2`) keeps each query's
   *    scaling slope visible round over round.
   *
-  * Validity (`docs/bench_protocol.md`): the 1-minute loadavg is
-  * sampled before EVERY measured run and attributed to the query that
-  * ran, so each median carries its own contention context. Raw
-  * loadavg alone cannot ground a verdict — the bench's OWN 32-thread
-  * bursts push it to 3-6 even on an idle box — so [[SelfLoad]]
-  * estimates the JVM's contribution (own R/D-state thread count,
-  * uniformly sampled and smoothed with the kernel's 1-minute
-  * exponential window) and the verdict runs on the EXTERNAL residual
-  * `loadavg - self`. A query is flagged
-  * `noisy` when its worst external estimate exceeds the bound
-  * (`SPARK_GRAFT_LOAD_BOUND`, default 2.0) or its median drifted off
-  * the run floor (p50 > 1.5× p10 AND > 0.25 s over it); the
-  * top-level `valid` flag is the AND over headline queries. An invalid
-  * artifact must not ground a regression verdict — rounds 4 and 5 both
-  * burned a judge-round on exactly that ambiguity.
+  * Validity (`docs/bench_protocol.md`): each measured run is bracketed
+  * by load samples and the recorded sample's `external` covers exactly
+  * the run's own interval. Since round 13 the external estimate is
+  * EXACT CPU accounting ([[CpuExternal]]): average busy cores from
+  * /proc/stat minus this process's own CPU time — loadavg-based
+  * residuals proved un-usable on this box (loadavg reads 13-23 on an
+  * idle machine under bursty micro-batch workloads; the committed
+  * trace is in docs/bench_drift_r13.md), and CPU time integrates
+  * without the sampling aliasing that produced those phantoms. Raw
+  * loadavg stays in the artifact for provenance/continuity, and the
+  * [[SelfLoad]] loadavg residual remains the off-Linux fallback. A
+  * query is flagged `noisy` when its worst external estimate exceeds
+  * the bound (`SPARK_GRAFT_LOAD_BOUND`, default 2.0 — now in busy
+  * CORES of external work) or its median drifted off the run floor
+  * (p50 > 1.5× p10 AND > 0.25 s over it); the top-level `valid` flag
+  * is the AND over headline queries. An invalid artifact must not
+  * ground a regression verdict — rounds 4 and 5 both burned a
+  * judge-round on exactly that ambiguity.
   *
   * Failure handling: a query that throws is recorded under `errors`
   * (first message), its failed runs are EXCLUDED from the median — a
@@ -209,6 +212,81 @@ object Bench {
     def close(): Unit = { running = false; sampler.interrupt() }
   }
 
+  /** EXACT external-CPU residual from kernel CPU accounting — the
+    * round-13 replacement for the loadavg-minus-sampled-threads
+    * residual wherever /proc/stat exists. Why: committed trace
+    * evidence (docs/bench_drift_r13.md) shows this box's loadavg
+    * sitting at 13–23 while the instantaneous system-wide
+    * runnable+D thread count averages ~5 and /proc/stat shows the
+    * CPUs idle — on burst-heavy queries (streaming micro-batches,
+    * thousands of 10 ms tasks) BOTH the kernel's tick-sampled loadavg
+    * and a 500 ms thread-count sampler alias badly, and their
+    * difference is noise that read as phantom "external" load of 6–14
+    * cores on an idle machine (every r12 extras flag). CPU TIME does
+    * not alias: it integrates exactly. External contention =
+    * (system USER+NICE jiffies − this process's utime) over the
+    * interval, in average busy CORES — a real intruding process burns
+    * user-mode CPU and shows up; our own work, however bursty,
+    * subtracts out exactly. User mode ONLY: kernel system time and
+    * steal are excluded because the streaming rows provoke
+    * process-unattributed kernel reclaim + hypervisor steal of 14-18
+    * cores (see the class body) that would re-create the phantom.
+    * Limitation: an intruder's kernel-side time is invisible — its
+    * user-mode compute still flags it. Falls back to the loadavg
+    * residual where /proc is unavailable. */
+  final class CpuExternal {
+    /** System-wide USER+NICE jiffies (USER_HZ = 100). User-mode time
+      * ONLY — deliberately. Measured on this box (trace committed in
+      * docs/bench_drift_r13.md): the streaming-chain rows provoke
+      * 14–18 CORES of kernel SYSTEM time (memory-reclaim storms —
+      * mm_percpu_wq / kvfree_rcu kworkers — plus hypervisor steal)
+      * that is accounted to NO process, so any busy measure including
+      * sys/steal reads self-provoked kernel work as phantom external
+      * load, which is exactly the failure mode this class replaces.
+      * An intruding process's compute is user time and stays visible;
+      * its kernel-side cost is forfeited — acceptable for flagging
+      * CPU contention on a compute bench. */
+    private def userJiffies(): Option[Long] =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        Some(f(1).toLong + f(2).toLong)
+      } catch { case _: Exception => None }
+    /** This process's own utime jiffies (/proc/self/stat field 14 —
+      * same clock and mode as [[userJiffies]], so the subtraction is
+      * exact; comm may contain ')', parse from the LAST one). */
+    private def ownUtime(): Option[Long] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")), "US-ASCII")
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        Some(rest(11).toLong) // state=0 ... utime=11 within the tail
+      } catch { case _: Exception => None }
+    private var lastUser = userJiffies()
+    private var lastOwn = ownUtime()
+    private var lastT = System.nanoTime()
+
+    private val debug = sys.env.contains("SPARK_GRAFT_LOAD_DEBUG")
+
+    /** Average EXTERNAL user-mode busy cores since the last call, or
+      * None where /proc is unavailable. */
+    def sinceLast(): Option[Double] = synchronized {
+      val t = System.nanoTime()
+      val dt = (t - lastT) / 1e9
+      (userJiffies(), ownUtime()) match {
+        case (Some(u), Some(o)) if dt > 1e-3 =>
+          val userCores = (u - lastUser.getOrElse(u)) / 100.0 / dt
+          val ownCores = (o - lastOwn.getOrElse(o)) / 100.0 / dt
+          if (debug)
+            System.err.println(
+              f"[cpuext] dt=$dt%.2f user=$userCores%.2f own=$ownCores%.2f ext=${userCores - ownCores}%.2f")
+          lastUser = Some(u); lastOwn = Some(o); lastT = t
+          Some(math.max(0.0, userCores - ownCores))
+        case _ => None
+      }
+    }
+  }
+
   /** The ONE estimator every default-sampled [[measure]] pass shares.
     * A fresh SelfLoad per pass has no memory of the load the JVM
     * generated before its construction — right after a heavy pass the
@@ -221,12 +299,18 @@ object Bench {
     * thread total instead of one leaked per pass. */
   lazy val sharedSelfLoad: SelfLoad = new SelfLoad
 
+  /** The shared exact-CPU residual estimator ([[CpuExternal]]). */
+  lazy val sharedCpuExternal: CpuExternal = new CpuExternal
+
   /** Run `queries` against `dir`: one untimed warm-up each, then
     * `runs` round-robin measurement passes. Failed runs record the
-    * error and contribute no time. `loadSampler` is read immediately
-    * before each measured run (injectable for the spec; the default
-    * reads [[sharedSelfLoad]] so every pass in the JVM subtracts the
-    * same continuously-running estimate). */
+    * error and contribute no time. `loadSampler` is called once
+    * immediately before each measured run (resetting the default
+    * sampler's interval — the reading is discarded) and once after it,
+    * so the recorded sample's `external` covers exactly the run's own
+    * interval (injectable for the spec; the default reads
+    * [[sharedCpuExternal]], falling back to [[sharedSelfLoad]]'s
+    * loadavg residual off-Linux). */
   def measure(spark: SparkSession, dir: String, queries: Seq[Q],
       runs: Int = Runs,
       loadSampler: () => LoadSample = defaultSampler()): Seq[QResult] = {
@@ -260,8 +344,10 @@ object Bench {
       scala.collection.mutable.ArrayBuffer[LoadSample]()).toMap
     (1 to runs).foreach { _ =>
       queries.foreach { q =>
-        val l = loadSampler()
-        runOne(q).foreach { t => times(q.name) += t; loads(q.name) += l }
+        loadSampler() // reset the interval at run start (reading unused)
+        runOne(q).foreach { t =>
+          times(q.name) += t; loads(q.name) += loadSampler()
+        }
       }
     }
     queries.map(q =>
@@ -269,12 +355,15 @@ object Bench {
         progressTimed = progTimed(q.name)))
   }
 
-  /** Raw loadavg + external residual against `self` (the JVM-wide
-    * [[sharedSelfLoad]] unless a test injects its own). */
-  def defaultSampler(self: SelfLoad = sharedSelfLoad): () => LoadSample =
+  /** Raw loadavg (provenance/continuity) + the exact external-CPU
+    * residual in busy cores ([[CpuExternal]]); where /proc/stat is
+    * unavailable, the pre-round-13 loadavg-minus-self residual. */
+  def defaultSampler(self: SelfLoad = sharedSelfLoad,
+      cpu: CpuExternal = sharedCpuExternal): () => LoadSample =
     () => {
       val raw = loadAvg
-      LoadSample(raw, math.max(0.0, raw - self.current))
+      LoadSample(raw, cpu.sinceLast()
+        .getOrElse(math.max(0.0, raw - self.current)))
     }
 
   private def loadAvg: Double =

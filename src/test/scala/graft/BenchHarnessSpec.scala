@@ -111,12 +111,44 @@ class BenchHarnessSpec extends SparkSpec {
     assert(e.current == before)
   }
 
+  test("CpuExternal: own burst subtracts out exactly; an external " +
+      "process's burn is attributed as external") {
+    assume(new java.io.File("/proc/stat").exists, "/proc/stat required")
+    val cpu = new Bench.CpuExternal
+    Thread.sleep(300)
+    cpu.sinceLast() // reset after construction noise
+    // OWN 8-thread spin for ~1.5 s: the residual must stay near zero —
+    // this is exactly the case the loadavg estimator got wrong (own
+    // bursty work read as phantom external load, docs/bench_drift_r13.md)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to 8).map { _ =>
+      val th = new Thread(() => { var x = 0L; while (!stop.get()) { x += 1 } })
+      th.setDaemon(true); th.start(); th
+    }
+    Thread.sleep(1500)
+    val ownBurst = cpu.sinceLast()
+    stop.set(true); spinners.foreach(_.join(1000))
+    assert(ownBurst.exists(_ < 1.5),
+      s"own 8-core spin must subtract out (< 1.5 external cores): $ownBurst")
+    // EXTERNAL burn: a child process (not this JVM) spinning ~1.5 s
+    // must show up as roughly one external core
+    cpu.sinceLast()
+    // fixed-iteration arithmetic loop: POSIX sh (no bash $SECONDS),
+    // burns ~1-3 s of pure user-mode CPU
+    val p = new ProcessBuilder("sh", "-c",
+      "i=0; while [ $i -lt 20000000 ]; do i=$((i+1)); done").start()
+    p.waitFor()
+    val ext = cpu.sinceLast()
+    assert(ext.exists(_ > 0.4),
+      s"a full-core external spin must register (> 0.4 cores): $ext")
+  }
+
   test("default sampler yields non-negative external residuals and " +
       "SelfLoad sees this JVM's own spin") {
     val s = Bench.defaultSampler()
     val l = s()
     assert(l.raw >= 0.0)
-    assert(l.external >= 0.0 && l.external <= l.raw + 1e-9)
+    assert(l.external >= 0.0)
 
     // live estimator: spin 4 threads, THEN construct the SelfLoad so
     // its priming observation already sees R-state spinners — priming
