@@ -827,6 +827,74 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral revenue between two
+    * nations by ship year — the two-fact, two-dimension-chain join
+    * with a DISJUNCTIVE nation predicate ((A,B) or (B,A)). The OR is
+    * decomposed structurally: both dimension chains filter to the
+    * two-nation set BEFORE their joins (so each fact prunes against a
+    * 2-nation broadcast, not post-join), and the residual
+    * `supp_nation ≠ cust_nation` is exactly the OR given both sides ∈
+    * {A, B}. Plan: lineitem ⋈ broadcast(2-nation suppliers) and
+    * orders ⋈ broadcast(2-nation customers) prune BOTH facts before
+    * the single orderkey shuffle join; revenue in exact integer
+    * micro-dollars. */
+  private def tpchQ7(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(nat.withColumnRenamed("n_name", "supp_nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(nat.withColumnRenamed("n_name", "cust_nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"),
+        lit("1997-12-31").cast("timestamp")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("vol_micros"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(count(lit(1)).as("n_items"), sum("vol_micros").as("revenue_micros"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14 (promotion effect): the promo share of one quarter's
+    * discounted revenue — scan-filter + ONE broadcast part join + a
+    * 1-row aggregate. The ratio is emitted as exact integer ppm
+    * through DECIMAL(38,0) intermediate math (sum of micro-dollar
+    * volumes × 10⁶ overflows BIGINT once item counts pass ~10⁴, and a
+    * float ratio would re-fight the last-bit war): floor((promo ×
+    * 10⁶) / total) is bit-identical to DuckDB's HUGEINT `//`. Only
+    * BIGINTs reach the hashed row. */
+  private def tpchQ14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("vol"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("vol")).otherwise(0L))
+          .as("promo_micros"),
+        sum(col("vol")).as("total_micros"))
+      .select(col("promo_micros"), col("total_micros"),
+        expr("CAST(floor(CAST(promo_micros AS DECIMAL(38,0)) * 1000000 " +
+          "/ total_micros) AS BIGINT)").as("promo_ppm"))
+
   /** TPC-H Q6 (forecasting revenue change) — the minimal
     * scan-filter-aggregate every engine quotes: one lineitem pass,
     * three filters, one 1-row sum. The discount band is evaluated in
@@ -916,6 +984,31 @@ object RelationalQueries {
       "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
       "WHERE ordx.n_supp > 1 AND ordx.n_late = 1 AND n.n_name = 'NATION_19' " +
       "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100")),
+    Q("q_tpch_q7", tpchQ7, Some(
+      "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+      "CAST(year(l.l_shipdate) AS INT) AS l_year, count(*) AS n_items, " +
+      "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_micros " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey " +
+      "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+      "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR " +
+      "(n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) " +
+      "AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' " +
+      "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3")),
+    Q("q_tpch_q14", tpchQ14, Some(
+      "WITH li AS (SELECT l_partkey, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS vol " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01') " +
+      "SELECT CAST(promo_micros AS BIGINT) AS promo_micros, " +
+      "CAST(total_micros AS BIGINT) AS total_micros, " +
+      "CAST(promo_micros * 1000000 // total_micros AS BIGINT) AS promo_ppm " +
+      "FROM (SELECT sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS promo_micros, " +
+      "sum(vol) AS total_micros FROM li JOIN part ON l_partkey = p_partkey)")),
     Q("q_tpch_q6", tpchQ6, Some(
       "SELECT count(*) AS n_items, " +
       "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +

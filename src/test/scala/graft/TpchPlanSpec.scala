@@ -141,6 +141,43 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q7: dimension chains broadcast, no window, bilateral result") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q7").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "Q7 must not plan a window")
+      // the nation disjunction decomposes into pre-join dimension
+      // filters: the supplier and customer chains reach the facts as
+      // broadcasts, never as shuffles
+      val bj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bj.size >= 2, s"dimension chains must broadcast, got ${bj.size}")
+      val out = df.collect()
+      assert(out.nonEmpty, "no bilateral volume in the fixture")
+      // both directions and at least one year present; counts positive
+      assert(out.forall(_.getLong(3) > 0))
+    }
+  }
+
+  test("q_tpch_q14: one pruned lineitem scan, 1-row exact-ppm result") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q14").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val sc = scans(plan).filter(_.metadata("Location").contains("lineitem"))
+      assert(sc.size == 1, s"Q14 must scan lineitem once, got ${sc.size}")
+      assert(sc.head.metadata("PushedFilters").contains("l_shipdate"),
+        s"shipdate not pushed: ${sc.head.metadata("PushedFilters")}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val out = df.collect()
+      assert(out.length == 1)
+      val ppm = out.head.getLong(2)
+      assert(ppm > 0 && ppm < 1000000L,
+        s"promo share must be a real fraction in ppm: $ppm")
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
