@@ -895,6 +895,90 @@ object RelationalQueries {
         expr("CAST(floor(CAST(promo_micros AS DECIMAL(38,0)) * 1000000 " +
           "/ total_micros) AS BIGINT)").as("promo_ppm"))
 
+  /** TPC-H Q10 (returned items): the revenue-at-risk report —
+    * customers whose returned ('R') line items against one quarter's
+    * orders cost the most revenue. Both FACTS pre-filter before the
+    * orderkey equi-join (the date window pushes to the orders scan,
+    * the returnflag to the lineitem scan); the per-customer rollup
+    * happens BEFORE the customer/nation dimension join (aggregate
+    * first, widen later — the ≤|customers| aggregated rows join the
+    * dims, never the raw fact); top-20 is a TakeOrderedAndProject on
+    * exact micro-dollar revenue. */
+  private def tpchQ10(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("vol_micros"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("vol_micros").as("revenue_micros"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_micros"),
+        col("acctbal_cents"), col("n_name"))
+      .orderBy(col("revenue_micros").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 (customer distribution): the orders-per-customer
+    * histogram INCLUDING zero-order customers — the canonical LEFT
+    * OUTER join with a RESIDUAL ON-condition (the urgent-priority
+    * restriction plays Q13's comment filter: it must live in the ON
+    * clause, not a WHERE, or zero-match customers vanish — and the
+    * fixture's zero bucket is live only under a selective residual,
+    * which is the pattern's whole point), then two aggregations:
+    * per-customer count(o_orderkey) (counts only matches — NULLs from
+    * the outer side contribute zero), then the ≤max-count-sized
+    * histogram rollup. */
+  private def tpchQ13(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") === "1-URGENT", "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 (top supplier): the revenue view + scalar-max filter,
+    * WINDOW-FREE: per-supplier quarterly revenue (one lineitem scan,
+    * partial agg), the max folded to a 1-row aggregate and joined
+    * back as an EQUI condition — `revenue = max_rev` plans as a
+    * BroadcastHashJoin on the broadcast 1-row max, never a nested
+    * loop or a data-sized window (plan-pinned). Ties: every max
+    * supplier returns, ordered by key — deterministic on both
+    * engines, the exact-integer money making float-equality a
+    * non-issue. */
+  private def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .as("total_revenue_micros"))
+    val mx = rev.agg(max("total_revenue_micros").as("graft_max_rev"))
+    rev.join(broadcast(mx),
+        col("total_revenue_micros") === col("graft_max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_micros"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q6 (forecasting revenue change) — the minimal
     * scan-filter-aggregate every engine quotes: one lineitem pass,
     * three filters, one 1-row sum. The discount band is evaluated in
@@ -1009,6 +1093,37 @@ object RelationalQueries {
       "CAST(promo_micros * 1000000 // total_micros AS BIGINT) AS promo_ppm " +
       "FROM (SELECT sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS promo_micros, " +
       "sum(vol) AS total_micros FROM li JOIN part ON l_partkey = p_partkey)")),
+    Q("q_tpch_q10", tpchQ10, Some(
+      "WITH li AS (SELECT l_orderkey, " +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS vol " +
+      "FROM lineitem WHERE l_returnflag = 'R'), " +
+      "agg AS (SELECT o.o_custkey, CAST(sum(vol) AS BIGINT) AS revenue_micros " +
+      "FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey " +
+      "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o.o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1) " +
+      "SELECT c.c_custkey, c.c_name, a.revenue_micros, " +
+      "CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents, n.n_name " +
+      "FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey " +
+      "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+      "ORDER BY revenue_micros DESC, c_custkey LIMIT 20")),
+    Q("q_tpch_q13", tpchQ13, Some(
+      "SELECT c_count, count(*) AS custdist FROM (" +
+      "SELECT c.c_custkey, count(o.o_orderkey) AS c_count FROM customer c " +
+      "LEFT JOIN orders o ON c.c_custkey = o.o_custkey " +
+      "AND o.o_orderpriority = '1-URGENT' GROUP BY 1) " +
+      "GROUP BY 1 ORDER BY custdist DESC, c_count DESC")),
+    Q("q_tpch_q15", tpchQ15, Some(
+      "WITH r AS (SELECT l_suppkey, CAST(sum(" +
+      "CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT) " +
+      "AS total_revenue_micros FROM lineitem " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+      "SELECT s.s_suppkey, s.s_name, r.total_revenue_micros " +
+      "FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey " +
+      "WHERE r.total_revenue_micros = (SELECT max(total_revenue_micros) FROM r) " +
+      "ORDER BY s_suppkey")),
     Q("q_tpch_q6", tpchQ6, Some(
       "SELECT count(*) AS n_items, " +
       "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +

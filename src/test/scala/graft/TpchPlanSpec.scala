@@ -178,6 +178,62 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q10: pushed filters on both facts, aggregate-then-widen, " +
+      "top-20 as TakeOrderedAndProject") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q10").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val li = scans(plan).filter(_.metadata("Location").contains("lineitem"))
+      assert(li.size == 1 &&
+        li.head.metadata("PushedFilters").contains("l_returnflag"),
+        s"returnflag must push to the lineitem scan: ${li.map(_.metadata("PushedFilters"))}")
+      val ord = scans(plan).filter(_.metadata("Location").contains("orders"))
+      assert(ord.nonEmpty &&
+        ord.head.metadata("PushedFilters").contains("o_orderdate"),
+        "date window must push to the orders scan")
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        "top-20 must plan as TakeOrderedAndProject")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      assert(df.collect().nonEmpty)
+    }
+  }
+
+  test("q_tpch_q13: outer join preserved (zero-order customers counted), " +
+      "no window") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q13").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.exists(_.joinType.toString == "LeftOuter"),
+        s"the residual ON-condition must stay on a LEFT join: ${joins.map(_.joinType)}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      // liveness: the zero-orders bucket must exist (customers without
+      // qualifying orders), or the outer semantics are untested
+      val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.contains(0L),
+        s"fixture must have zero-order customers: ${out.keys.toSeq.sorted}")
+    }
+  }
+
+  test("q_tpch_q15: the scalar max joins back as a broadcast EQUI join — " +
+      "no window, no nested loop") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q15").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "Q15 must not plan a window")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, "the max filter must be an equi join, not a nested loop")
+      val out = df.collect()
+      assert(out.nonEmpty, "a top supplier must exist")
+      assert(out.map(_.getLong(2)).distinct.length == 1,
+        "every returned supplier carries the same (max) revenue")
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
