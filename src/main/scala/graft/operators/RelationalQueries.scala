@@ -979,6 +979,85 @@ object RelationalQueries {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q8 (national market share): one nation's share of a
+    * region's PROMO-part order volume by year — the deepest dimension
+    * composition in the suite's feasible subset here: part filter on
+    * one side of lineitem, a supplier→nation chain tagging each line's
+    * supplier nation, and an orders→customer→nation→region chain
+    * restricting to the target region. Every dimension chain
+    * broadcasts (part/supplier/customer/nation/region are all
+    * bounded); lineitem⋈orders is the single fact-fact shuffle. The
+    * share is exact integer ppm per year through the q_tpch_q14
+    * DECIMAL(38,0) floor-division. */
+  private def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val vol = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+    val suppNat = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val regionCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), vol.as("vol"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_13", col("vol"))
+          .otherwise(0L)).as("nation_micros"),
+        sum(col("vol")).as("total_micros"))
+      .select(col("o_year"), col("nation_micros"), col("total_micros"),
+        expr("CAST(floor(CAST(nation_micros AS DECIMAL(38,0)) * 1000000 " +
+          "/ total_micros) AS BIGINT)").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * the OR-of-ANDs join — three (brand, size-band, quantity-band)
+    * branches where each conjunct mixes columns from BOTH relations,
+    * so the disjunction cannot fully push to either scan and must
+    * evaluate as a join residual. The join itself stays a BROADCAST
+    * HASH join on p_partkey (the equi core of every branch factored
+    * out — the optimization Q19 exists to test; a naive engine plans
+    * a nested loop); per-relation prunable parts of the OR
+    * (brand ∈ {...}, quantity ∈ total band) still push down. The
+    * fixture has no p_container, so size bands stand in (same
+    * two-sided structure). */
+  private def tpchQ19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .as("vol"))
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 10) && col("qty").between(5L, 30L)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(11, 25) && col("qty").between(10L, 40L)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(26, 50) && col("qty").between(20L, 50L)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(col("vol")), lit(0L)).as("revenue_micros"))
+  }
+
   /** TPC-H Q6 (forecasting revenue change) — the minimal
     * scan-filter-aggregate every engine quotes: one lineitem pass,
     * three filters, one 1-row sum. The discount band is evaluated in
@@ -1093,6 +1172,37 @@ object RelationalQueries {
       "CAST(promo_micros * 1000000 // total_micros AS BIGINT) AS promo_ppm " +
       "FROM (SELECT sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS promo_micros, " +
       "sum(vol) AS total_micros FROM li JOIN part ON l_partkey = p_partkey)")),
+    Q("q_tpch_q8", tpchQ8, Some(
+      "WITH f AS (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation, " +
+      "CAST(round(l.l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) AS vol " +
+      "FROM lineitem l " +
+      "JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO' " +
+      "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+      "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey " +
+      "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey " +
+      "JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA' " +
+      "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o.o_orderdate < TIMESTAMP '1998-01-01') " +
+      "SELECT o_year, CAST(nation_micros AS BIGINT) AS nation_micros, " +
+      "CAST(total_micros AS BIGINT) AS total_micros, " +
+      "CAST(nation_micros * 1000000 // total_micros AS BIGINT) AS share_ppm " +
+      "FROM (SELECT o_year, " +
+      "sum(CASE WHEN supp_nation = 'NATION_13' THEN vol ELSE 0 END) AS nation_micros, " +
+      "sum(vol) AS total_micros FROM f GROUP BY 1) ORDER BY o_year")),
+    Q("q_tpch_q19", tpchQ19, Some(
+      "SELECT count(*) AS n_items, " +
+      "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))), 0) AS BIGINT) AS revenue_micros " +
+      "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+      "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 " +
+      "AND CAST(l.l_quantity AS BIGINT) BETWEEN 5 AND 30) " +
+      "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 25 " +
+      "AND CAST(l.l_quantity AS BIGINT) BETWEEN 10 AND 40) " +
+      "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 26 AND 50 " +
+      "AND CAST(l.l_quantity AS BIGINT) BETWEEN 20 AND 50)")),
     Q("q_tpch_q10", tpchQ10, Some(
       "WITH li AS (SELECT l_orderkey, " +
       "CAST(round(l_extendedprice * 100) AS BIGINT) * " +

@@ -234,6 +234,45 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q8: all dimension chains broadcast around ONE fact-fact " +
+      "shuffle join; exact-ppm share") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q8").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(smj.size <= 1,
+        s"only lineitem-orders may shuffle; got ${smj.size} shuffled joins")
+      val out = df.collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val (nat, tot, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(tot > 0 && ppm >= 0 && ppm <= 1000000L && nat <= tot,
+          s"share sanity: $r")
+      }
+    }
+  }
+
+  test("q_tpch_q19: the OR-of-ANDs keeps a broadcast HASH join on the " +
+      "factored equi core — never a nested loop") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q19").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, "the disjunction must not degrade the join to a nested loop")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, "expected a broadcast hash join on p_partkey")
+      val out = df.collect()
+      assert(out.length == 1 && out.head.getLong(0) > 0,
+        s"disjunctive branches must match real rows: ${out.toSeq}")
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
