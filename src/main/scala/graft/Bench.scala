@@ -73,8 +73,15 @@ object Bench {
 
   /** One loadavg observation: the raw 1-minute system value and the
     * external residual after subtracting this JVM's own estimated
-    * contribution. */
-  final case class LoadSample(raw: Double, external: Double)
+    * contribution. `externalSys` is the external KERNEL-side residual
+    * (system-wide sys jiffies minus own stime) — RECORDED, never
+    * gated on (round-13 verdict item 6): the chain rows provoke
+    * self-caused but process-unattributed kernel reclaim that would
+    * re-create the phantom flags if sys time gated, yet a sys-heavy
+    * intruder (an I/O storm from another process) should at least be
+    * visible in the artifact. Zero where /proc is unavailable. */
+  final case class LoadSample(raw: Double, external: Double,
+      externalSys: Double = 0.0)
 
   /** Timing + error + per-run load outcome of one query.
     * `progressTimed` marks rows whose times are the streaming query's
@@ -89,6 +96,9 @@ object Bench {
     def p90: Double = times.sorted.last
     def loadMax: Double = if (loads.isEmpty) 0.0 else loads.map(_.raw).max
     def xloadMax: Double = if (loads.isEmpty) 0.0 else loads.map(_.external).max
+    /** Worst external KERNEL-side residual (reported, never gating —
+      * see [[LoadSample.externalSys]]). */
+    def xsysMax: Double = if (loads.isEmpty) 0.0 else loads.map(_.externalSys).max
     /** Contention verdict per docs/bench_protocol.md: the box was
       * measurably busy with OTHER work during a run, or the MEDIAN
       * itself drifted well above the run floor (p50 > 1.5×p10 and
@@ -235,53 +245,69 @@ object Bench {
     * user-mode compute still flags it. Falls back to the loadavg
     * residual where /proc is unavailable. */
   final class CpuExternal {
-    /** System-wide USER+NICE jiffies (USER_HZ = 100). User-mode time
-      * ONLY — deliberately. Measured on this box (trace committed in
-      * docs/bench_drift_r13.md): the streaming-chain rows provoke
-      * 14–18 CORES of kernel SYSTEM time (memory-reclaim storms —
-      * mm_percpu_wq / kvfree_rcu kworkers — plus hypervisor steal)
-      * that is accounted to NO process, so any busy measure including
-      * sys/steal reads self-provoked kernel work as phantom external
-      * load, which is exactly the failure mode this class replaces.
-      * An intruding process's compute is user time and stays visible;
-      * its kernel-side cost is forfeited — acceptable for flagging
-      * CPU contention on a compute bench. */
-    private def userJiffies(): Option[Long] =
+    /** System-wide (USER+NICE, SYSTEM) jiffies (USER_HZ = 100). Only
+      * the USER component ever gates — deliberately. Measured on this
+      * box (trace committed in docs/bench_drift_r13.md): the
+      * streaming-chain rows provoke 14–18 CORES of kernel SYSTEM time
+      * (memory-reclaim storms — mm_percpu_wq / kvfree_rcu kworkers —
+      * plus hypervisor steal) that is accounted to NO process, so any
+      * busy measure including sys/steal reads self-provoked kernel
+      * work as phantom external load, which is exactly the failure
+      * mode this class replaces. An intruding process's compute is
+      * user time and stays visible. Its kernel-side cost is tracked
+      * SEPARATELY as `sys` (system jiffies minus own stime — still
+      * polluted by self-provoked unattributed reclaim, which is why it
+      * is reported in the artifact but never part of the validity
+      * verdict; round-13 verdict item 6 closed the blind spot where a
+      * mostly-in-kernel intruder was invisible entirely). */
+    private def sysJiffies(): Option[(Long, Long)] =
       try {
         val f = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        Some(f(1).toLong + f(2).toLong)
+        Some((f(1).toLong + f(2).toLong, f(3).toLong))
       } catch { case _: Exception => None }
-    /** This process's own utime jiffies (/proc/self/stat field 14 —
-      * same clock and mode as [[userJiffies]], so the subtraction is
-      * exact; comm may contain ')', parse from the LAST one). */
-    private def ownUtime(): Option[Long] =
+    /** This process's own (utime, stime) jiffies (/proc/self/stat
+      * fields 14/15 — same clock and mode split as [[sysJiffies]], so
+      * both subtractions are exact; comm may contain ')', parse from
+      * the LAST one). */
+    private def ownTimes(): Option[(Long, Long)] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/self/stat")), "US-ASCII")
         val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
-        Some(rest(11).toLong) // state=0 ... utime=11 within the tail
+        Some((rest(11).toLong, rest(12).toLong)) // utime=11, stime=12 in the tail
       } catch { case _: Exception => None }
-    private var lastUser = userJiffies()
-    private var lastOwn = ownUtime()
+    private var lastSys = sysJiffies()
+    private var lastOwn = ownTimes()
     private var lastT = System.nanoTime()
 
     private val debug = sys.env.contains("SPARK_GRAFT_LOAD_DEBUG")
 
-    /** Average EXTERNAL user-mode busy cores since the last call, or
-      * None where /proc is unavailable. */
-    def sinceLast(): Option[Double] = synchronized {
+    /** One interval's external residuals, in average busy CORES:
+      * `user` is the gating figure (exact, alias-free); `sys` is the
+      * recorded-only kernel-side residual. */
+    final case class CpuSample(user: Double, sys: Double)
+
+    /** Average EXTERNAL busy cores since the last call, or None where
+      * /proc is unavailable or the interval is degenerate (< 50 ms:
+      * jiffy granularity is 10 ms, so over a few-ms interval a single
+      * tick aliases to 5+ phantom cores — measured runs are seconds,
+      * so the floor only suppresses meaningless samples). */
+    def sinceLast(): Option[CpuSample] = synchronized {
       val t = System.nanoTime()
       val dt = (t - lastT) / 1e9
-      (userJiffies(), ownUtime()) match {
-        case (Some(u), Some(o)) if dt > 1e-3 =>
-          val userCores = (u - lastUser.getOrElse(u)) / 100.0 / dt
-          val ownCores = (o - lastOwn.getOrElse(o)) / 100.0 / dt
+      (sysJiffies(), ownTimes()) match {
+        case (Some((u, sy)), Some((ou, os))) if dt > 0.05 =>
+          val userCores = (u - lastSys.map(_._1).getOrElse(u)) / 100.0 / dt
+          val sysCores = (sy - lastSys.map(_._2).getOrElse(sy)) / 100.0 / dt
+          val ownCores = (ou - lastOwn.map(_._1).getOrElse(ou)) / 100.0 / dt
+          val ownSys = (os - lastOwn.map(_._2).getOrElse(os)) / 100.0 / dt
           if (debug)
             System.err.println(
-              f"[cpuext] dt=$dt%.2f user=$userCores%.2f own=$ownCores%.2f ext=${userCores - ownCores}%.2f")
-          lastUser = Some(u); lastOwn = Some(o); lastT = t
-          Some(math.max(0.0, userCores - ownCores))
+              f"[cpuext] dt=$dt%.2f user=$userCores%.2f own=$ownCores%.2f ext=${userCores - ownCores}%.2f sys=$sysCores%.2f ownsys=$ownSys%.2f extsys=${sysCores - ownSys}%.2f")
+          lastSys = Some((u, sy)); lastOwn = Some((ou, os)); lastT = t
+          Some(CpuSample(math.max(0.0, userCores - ownCores),
+            math.max(0.0, sysCores - ownSys)))
         case _ => None
       }
     }
@@ -357,14 +383,31 @@ object Bench {
 
   /** Raw loadavg (provenance/continuity) + the exact external-CPU
     * residual in busy cores ([[CpuExternal]]); where /proc/stat is
-    * unavailable, the pre-round-13 loadavg-minus-self residual. */
+    * unavailable, the pre-round-13 loadavg-minus-self residual.
+    *
+    * The estimator choice is LATCHED once at sampler construction
+    * (round-13 advice): the previous per-sample fallback could mix
+    * busy-core units with loadavg units inside one artifact whenever a
+    * single /proc read transiently failed or an interval degenerated —
+    * and on this box (loadavg 13–23 idle) one loadavg-unit sample
+    * spuriously flags the query. With /proc latched in, a transient
+    * miss records 0.0 in the SAME units (an unmeasurable interval,
+    * not a phantom intruder). */
   def defaultSampler(self: SelfLoad = sharedSelfLoad,
-      cpu: CpuExternal = sharedCpuExternal): () => LoadSample =
+      cpu: CpuExternal = sharedCpuExternal): () => LoadSample = {
+    // probe once; also primes cpu's interval so the first real sample
+    // doesn't span from construction time
+    val exact = cpu.sinceLast().isDefined ||
+      new java.io.File("/proc/stat").exists
     () => {
       val raw = loadAvg
-      LoadSample(raw, cpu.sinceLast()
-        .getOrElse(math.max(0.0, raw - self.current)))
+      if (exact) {
+        val s = cpu.sinceLast()
+        LoadSample(raw, s.map(_.user).getOrElse(0.0),
+          s.map(_.sys).getOrElse(0.0))
+      } else LoadSample(raw, math.max(0.0, raw - self.current))
     }
+  }
 
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
@@ -440,8 +483,14 @@ object Bench {
     // analysis must check first.
     val xloadPart =
       s""","xload":${jmap(ok.map(r => r.name -> jnum(r.xloadMax)))}"""
+    // kernel-side external residual: RECORDED for intruder visibility,
+    // never part of the validity verdict (docs/bench_protocol.md —
+    // self-provoked unattributed reclaim would re-create the r12
+    // phantom flags if it gated)
+    val xsysPart =
+      s""","xsysload":${jmap(ok.map(r => r.name -> jnum(r.xsysMax)))}"""
     val loadPart =
-      s""","load":${jmap(ok.map(r => r.name -> jnum(r.loadMax)))}""" + xloadPart
+      s""","load":${jmap(ok.map(r => r.name -> jnum(r.loadMax)))}""" + xloadPart + xsysPart
     val noisyNames = ok.filter(_.noisy(loadBound)).map(_.name)
     val validPart =
       s""","load_bound":${jnum(loadBound)},"noisy":${jarr(noisyNames)},"valid":${noisyNames.isEmpty}"""
@@ -471,8 +520,9 @@ object Bench {
             "p90" -> jnum(ts.last)))
         })
         val xloadX = jmap(okX.map(r => r.name -> jnum(r.xloadMax)))
+        val xsysX = jmap(okX.map(r => r.name -> jnum(r.xsysMax)))
         val noisy2 = extraResults.filter(_.noisy(loadBound)).map(_.name)
-        s""","extra":$body,"extra_quantiles":$quantX,"extra_xload":$xloadX,"extra_noisy":${jarr(noisy2)}"""
+        s""","extra":$body,"extra_quantiles":$quantX,"extra_xload":$xloadX,"extra_xsysload":$xsysX,"extra_noisy":${jarr(noisy2)}"""
       }
 
     // Second scale point for the scaling slope (best-effort: skip when

@@ -22,17 +22,28 @@ package graft
   * row under `progress_timed` in the full artifact so the provenance
   * of the number is explicit (docs/bench_protocol.md).
   *
+  * Deposits are THREAD-scoped (round-13 advice): the harness run
+  * deposits on the same thread that invoked the catalog fn, and Bench
+  * takes on that same thread — so a concurrent invocation of the same
+  * catalog row elsewhere in the session (bench racing verify; the race
+  * the chain rows' unique memory-sink names already exist for) can
+  * never deposit between this run's clear and take and get its
+  * `triggerExecution` sum recorded as this run's figure.
+  *
   * Take-and-clear semantics keep a failed run from serving a stale
   * deposit: Bench clears before each run and takes after it, so a
   * deposit is only ever consumed by the run that produced it.
   */
 object StreamOpTiming {
-  private val last = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private val local =
+    ThreadLocal.withInitial[scala.collection.mutable.Map[String, Double]](
+      () => scala.collection.mutable.Map.empty)
 
-  /** Deposit the operator seconds for catalog row `name`. */
-  def record(name: String, seconds: Double): Unit = last.put(name, seconds)
+  /** Deposit the operator seconds for catalog row `name` (visible only
+    * to [[take]] calls on this same thread). */
+  def record(name: String, seconds: Double): Unit =
+    local.get.put(name, seconds)
 
-  /** Remove and return the most recent deposit for `name`, if any. */
-  def take(name: String): Option[Double] =
-    Option(last.remove(name)).map(_.doubleValue)
+  /** Remove and return this thread's most recent deposit for `name`. */
+  def take(name: String): Option[Double] = local.get.remove(name)
 }

@@ -667,12 +667,19 @@ object EventQueries {
       q.processAllAvailable()
       recordChainSeconds("q_anomaly_chain", q)
     } finally q.stop()
-    s.table(sink)
+    val out = s.table(sink)
       .select(col("event_type"),
         date_format(timestamp_micros(col("hourUs")), "yyyy-MM-dd HH:mm:ss")
           .as("hour"),
         col("cnt"), col("side"))
       .orderBy("event_type", "hour")
+    // drop the per-run view NOW (round-13 advice: a long session —
+    // bench warmup + runs + extras across scale points — accumulated
+    // unbounded memory-sink views holding result rows on the driver).
+    // `table()` analyzed the plan eagerly, so `out` keeps executing
+    // against the resolved sink relation after the name is gone.
+    s.catalog.dropTempView(sink)
+    out
   }
 
   /** The composed CUSUM monitor under the gate
@@ -707,11 +714,14 @@ object EventQueries {
       q.processAllAvailable()
       recordChainSeconds("q_cusum_chain", q)
     } finally q.stop()
-    s.table(sink)
+    val out = s.table(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_test_hours"), max("stat").as("max_cusum"),
         max("drifted").as("drifted"))
       .orderBy("event_type")
+    // per-run view dropped once resolved (see anomalyChain)
+    s.catalog.dropTempView(sink)
+    out
   }
 
   /** First-order Markov transition matrix of user behavior: for each

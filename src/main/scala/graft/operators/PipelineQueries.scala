@@ -512,10 +512,16 @@ object PipelineQueries {
     graft.pipeline.CommittedTable.commit(s, tbl,
       s.read.parquet(s"$dest/frag"), _.coalesce(nOut))
     val comp = files(graft.pipeline.CommittedTable.dataDir(s, tbl))
+    // degenerate single-fragment input (round-13 advice): with one
+    // input file the nOut cap yields nOut = 1, so "fewer files" is
+    // unattainable — the structural contract there is "no worse"
+    // (comp.size <= frag.size), not strictly fewer
+    val reduced =
+      if (frag.size <= 1) comp.size <= frag.size else comp.size < frag.size
     val out = graft.pipeline.CommittedTable.read(s, tbl)
       .agg(count(lit(1)).as("n_rows"))
       .select(col("n_rows"),
-        lit(comp.size < frag.size).as("files_reduced"),
+        lit(reduced).as("files_reduced"),
         (col("n_rows") === ev.count()).as("rows_equal"))
     (out, frag.size, comp.size)
   }

@@ -128,7 +128,7 @@ class BenchHarnessSpec extends SparkSpec {
     Thread.sleep(1500)
     val ownBurst = cpu.sinceLast()
     stop.set(true); spinners.foreach(_.join(1000))
-    assert(ownBurst.exists(_ < 1.5),
+    assert(ownBurst.exists(_.user < 1.5),
       s"own 8-core spin must subtract out (< 1.5 external cores): $ownBurst")
     // EXTERNAL burn: a child process (not this JVM) spinning ~1.5 s
     // must show up as roughly one external core
@@ -139,8 +139,45 @@ class BenchHarnessSpec extends SparkSpec {
       "i=0; while [ $i -lt 20000000 ]; do i=$((i+1)); done").start()
     p.waitFor()
     val ext = cpu.sinceLast()
-    assert(ext.exists(_ > 0.4),
+    assert(ext.exists(_.user > 0.4),
       s"a full-core external spin must register (> 0.4 cores): $ext")
+  }
+
+  test("CpuExternal: a SYS-heavy external process registers in the " +
+      "recorded-only kernel residual (round-13 verdict item 6)") {
+    assume(new java.io.File("/proc/stat").exists, "/proc/stat required")
+    val cpu = new Bench.CpuExternal
+    Thread.sleep(300)
+    cpu.sinceLast() // reset after construction noise
+    // an I/O spinner: byte-at-a-time dd is almost pure syscall time —
+    // the intruder shape the user-mode residual is blind to
+    val p = new ProcessBuilder("sh", "-c",
+      "dd if=/dev/zero of=/dev/null bs=1 count=2000000 2>/dev/null").start()
+    p.waitFor()
+    val ext = cpu.sinceLast()
+    assert(ext.exists(_.sys > 0.15),
+      s"a sys-heavy external process must register in the sys residual: $ext")
+    // ...and must NOT leak into the gating user residual at full-core
+    // strength (dd's user-mode share is small)
+    assert(ext.exists(_.user < 0.5),
+      s"dd's user-mode share should stay small: $ext")
+  }
+
+  test("default sampler latches the exact estimator: units never mix " +
+      "within one sampler (round-13 advice)") {
+    assume(new java.io.File("/proc/stat").exists, "/proc/stat required")
+    val s = Bench.defaultSampler()
+    // rapid-fire samples: intervals under CpuExternal's 50 ms floor
+    // make the exact estimator return None — the latched sampler must
+    // record 0.0 in busy-core units for those, NEVER fall back to the
+    // loadavg residual (13-23 on this box while idle, which would
+    // spuriously flag). At least one of 10 back-to-back pairs lands
+    // under the floor unless the box is pathologically stalled.
+    val samples = (1 to 10).map(_ => s())
+    assert(samples.exists(_.external == 0.0),
+      s"no degenerate-interval sample recorded 0.0 busy cores — " +
+        s"per-sample fallback units leak suspected: $samples")
+    samples.foreach(l => assert(l.externalSys >= 0.0))
   }
 
   test("default sampler yields non-negative external residuals and " +
