@@ -780,10 +780,10 @@ object RelationalQueries {
     * shipped late and NO OTHER supplier did (EXISTS + NOT EXISTS over
     * the same fact table, the shape that punishes engines into two
     * extra lineitem scans for the two correlated probes). Lateness is
-    * the fixture's q_tpch_q4 rule (shipped > 90 days after the order
+    * the fixture's q_tpch_q4_shape rule (shipped > 90 days after the order
     * date — no commit/receipt dates in this schema).
     *
-    * Decorrelation (the q_tpch_q4 lesson taken to its limit): both
+    * Decorrelation (the q_tpch_q4_shape lesson taken to its limit): both
     * correlated subqueries collapse into ONE per-order aggregate.
     * After the l_orderkey join against filtered orders, fold to
     * supplier-level rows (any-late per (order, supplier)), then to
@@ -1080,6 +1080,176 @@ object RelationalQueries {
         coalesce(sum(col("cents") * col("disc_bp")), lit(0L))
           .as("revenue_micros"))
 
+  /** Derived `partsupp` dimension (round-13 verdict item 2): the
+    * fixture ships no partsupp table, so the TPC-H partsupp family
+    * (Q9/Q11/Q16/Q20) runs over a DETERMINISTIC derivation both
+    * engines compute identically — dbgen's own supplier-assignment
+    * rule adapted to the fixture's 0-based keys: part `p` is supplied
+    * by suppliers `(p + i·(S div 4 + p div S)) mod S` for i ∈ 0..3
+    * (S = supplier count; DISTINCT because small-S fixtures can cycle),
+    * with supplycost/availqty as integer hash formulas of the key pair.
+    * The oracle side is the same rule as a CTE ([[psCte]]), so the
+    * derivation itself is hash-checked through every query that uses
+    * it. Scale note: partsupp is 4×|part| rows — a bounded dimension
+    * relative to lineitem at any scale factor, so the family's plans
+    * broadcast it like any other dim. One honest fixture consequence,
+    * documented in docs/catalog.md: lineitem's (partkey, suppkey)
+    * pairs were generated independently of this rule, so the
+    * partsupp equi-join also acts as a deterministic pair filter —
+    * the JOIN TREE is the textbook one, the row coverage is not. */
+  private[graft] def partsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    Tables.part(s, d).select("p_partkey")
+      .crossJoin(broadcast(nSupp)) // 1-row scalar (allowlisted BNLJ shape)
+      .select(col("p_partkey").as("ps_partkey"),
+        explode(sequence(lit(0L), lit(3L))).as("i"), col("n_supp"))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") + col("i") *
+          (expr("n_supp DIV 4") + expr("ps_partkey DIV n_supp")))
+          % col("n_supp")).as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        (lit(10000L) + (col("ps_partkey") * 7 + col("ps_suppkey") * 3)
+          % 90000L).as("ps_supplycost_cents"),
+        ((col("ps_partkey") * 13 + col("ps_suppkey") * 17) % 9999L + 1L)
+          .as("ps_availqty"))
+  }
+
+  /** The DuckDB twin of [[partsupp]] — prefix every partsupp-family
+    * oracle with this CTE. */
+  private val psCte: String =
+    "WITH psk AS (SELECT DISTINCT p_partkey AS ps_partkey, " +
+    "(p_partkey + i * (n_supp // 4 + p_partkey // n_supp)) % n_supp AS ps_suppkey " +
+    "FROM part, (SELECT count(*) AS n_supp FROM supplier), range(4) t(i)), " +
+    "ps AS (SELECT ps_partkey, ps_suppkey, " +
+    "10000 + (ps_partkey * 7 + ps_suppkey * 3) % 90000 AS ps_supplycost_cents, " +
+    "(ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty FROM psk)"
+
+  /** TPC-H Q9 (product-type profit) — the most-quoted join tree in the
+    * suite: lineitem against part, partsupp, supplier, nation and
+    * orders, profit = revenue − supplycost·qty rolled up by supplier
+    * nation and order year. Every dimension chain BROADCASTS (part
+    * filter → partsupp pair set → supplier→nation tag); the single
+    * fact-fact shuffle is lineitem ⋈ orders on orderkey, and the
+    * nation×year rollup is bounded. Profit in exact integer
+    * micro-dollars (vol_micros − cents·qty·10⁴) so the hashed sum is
+    * engine-exact. Plan pinned in `TpchPlanSpec` (≤ the one fact
+    * shuffle + agg exchanges, no window, partsupp broadcast). */
+  private def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val vol = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+    val pt = Tables.part(s, d)
+      .filter(col("p_name").like("%bolt%")).select("p_partkey")
+    val ps = partsupp(s, d)
+      .join(broadcast(pt), col("ps_partkey") === col("p_partkey"))
+      .select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    val suppNat = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), vol.as("vol"))
+      .join(broadcast(ps), col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("nation"),
+        (col("vol") - col("ps_supplycost_cents") * col("qty") * 10000L)
+          .as("amount_micros"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(count(lit(1)).as("n_items"), sum("amount_micros").as("profit_micros"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock identification): per-part inventory
+    * value held by one nation's suppliers, kept where it exceeds a
+    * fixed multiple of the nation's MEAN per-part value — the classic
+    * aggregate-vs-global-scalar HAVING. Window-free (the q_tpch_q15
+    * pattern): the (total, count) pair folds to ONE row and joins back
+    * as a broadcast theta condition; the per-part values are one
+    * bounded hash aggregate over the broadcast-joined partsupp
+    * dimension. The textbook's `fraction of total` cut is
+    * scale-DEPENDENT (TPC-H itself scales it as 0.0001/SF — a fixed
+    * divisor goes empty at 10× the parts), so the fixture-stable
+    * equivalent `value > 2 × mean` is used, cross-multiplied to pure
+    * integers (`value·n > total·2`) so both engines cut at the
+    * identical cent. */
+  private def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    val suppN = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = partsupp(s, d)
+      .join(broadcast(suppN), col("ps_suppkey") === col("s_suppkey"))
+      .groupBy("ps_partkey")
+      .agg(sum(col("ps_supplycost_cents") * col("ps_availqty")).as("value_cents"))
+    val tot = v.agg(sum("value_cents").as("graft_total_cents"),
+      count(lit(1)).as("graft_n_parts"))
+    v.join(broadcast(tot),
+        col("value_cents") * col("graft_n_parts") > col("graft_total_cents") * 2)
+      .select("ps_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    * suppliers can provide each qualifying (brand, type, size) bucket,
+    * excluding blacklisted suppliers — the count-distinct-over-
+    * excluded-dimension report. The complaint predicate is the
+    * fixture's `s_acctbal < 0` (no s_comment column); exclusion is a
+    * broadcast LEFT ANTI join (the NOT IN that stays an equi-join at
+    * scale), and the distinct count shuffles once on the bounded
+    * bucket keys. */
+  private def tpchQ16(s: SparkSession, d: String): DataFrame = {
+    val complainers = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsupp(s, d)
+      .join(broadcast(pt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(complainers), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): suppliers of one
+    * nation whose stock of a part family exceeds half of what they
+    * actually shipped of it in a year. The correlated scalar subquery
+    * decorrelates to ONE lineitem pass: aggregate shipped qty per
+    * (partkey, suppkey), inner-join it to the partsupp pairs (textbook
+    * NULL semantics: a pair that never shipped does not qualify), and
+    * keep `2·availqty > qty` in exact integers. The supplier
+    * restriction is a broadcast semi-join — no per-supplier re-probe
+    * of lineitem anywhere. */
+  private def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    val pt = Tables.part(s, d)
+      .filter(col("p_name").like("%bolt%")).select("p_partkey")
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val candidates = partsupp(s, d)
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty") * 2 > col("qty"))
+      .select("ps_suppkey").distinct()
+    Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(candidates, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name").orderBy("s_suppkey")
+  }
+
   /** Referential-integrity audit — the data-quality gate every
     * warehouse load runs before publishing: orphan counts for each
     * foreign key (child rows whose parent is missing) plus the
@@ -1127,14 +1297,14 @@ object RelationalQueries {
       "o_orderpriority FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey " +
       "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) " +
       "WHERE rn = 1 ORDER BY o_custkey")),
-    Q("q_tpch_q4", tpchQ4, Some(
+    Q("q_tpch_q4_shape", tpchQ4, Some(
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
       "AND o_orderdate < TIMESTAMP '1996-07-01' " +
       "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
       "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
       "GROUP BY 1 ORDER BY 1")),
-    Q("q_tpch_q21", tpchQ21, Some(
+    Q("q_tpch_q21_shape", tpchQ21, Some(
       "WITH f AS (SELECT l.l_orderkey, l.l_suppkey, " +
       "CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late " +
       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
@@ -1192,7 +1362,54 @@ object RelationalQueries {
       "FROM (SELECT o_year, " +
       "sum(CASE WHEN supp_nation = 'NATION_13' THEN vol ELSE 0 END) AS nation_micros, " +
       "sum(vol) AS total_micros FROM f GROUP BY 1) ORDER BY o_year")),
-    Q("q_tpch_q19", tpchQ19, Some(
+    Q("q_tpch_q9", tpchQ9, Some(
+      psCte + ", prof AS (SELECT n.n_name AS nation, " +
+      "CAST(year(o.o_orderdate) AS INT) AS o_year, " +
+      "CAST(round(l.l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) - " +
+      "ps.ps_supplycost_cents * CAST(l.l_quantity AS BIGINT) * 10000 AS amount_micros " +
+      "FROM lineitem l " +
+      "JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%' " +
+      "JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey " +
+      "JOIN supplier s ON s.s_suppkey = l.l_suppkey " +
+      "JOIN nation n ON n.n_nationkey = s.s_nationkey " +
+      "JOIN orders o ON o.o_orderkey = l.l_orderkey) " +
+      "SELECT nation, o_year, count(*) AS n_items, " +
+      "CAST(sum(amount_micros) AS BIGINT) AS profit_micros " +
+      "FROM prof GROUP BY 1, 2 ORDER BY nation, o_year DESC")),
+    Q("q_tpch_q11", tpchQ11, Some(
+      psCte + ", v AS (SELECT ps_partkey, " +
+      "CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents " +
+      "FROM ps JOIN supplier s ON ps.ps_suppkey = s.s_suppkey " +
+      "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+      "WHERE n.n_name = 'NATION_3' GROUP BY 1) " +
+      "SELECT ps_partkey, value_cents FROM v " +
+      "WHERE value_cents * (SELECT count(*) FROM v) > " +
+      "(SELECT sum(value_cents) FROM v) * 2 " +
+      "ORDER BY value_cents DESC, ps_partkey")),
+    Q("q_tpch_q16_shape", tpchQ16, Some(
+      psCte + " SELECT p.p_brand, p.p_type, p.p_size, " +
+      "count(DISTINCT ps.ps_suppkey) AS supplier_cnt " +
+      "FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey " +
+      "WHERE p.p_brand <> 'Brand#1' " +
+      "AND p.p_size IN (1, 4, 7, 10, 15, 20, 25, 30) " +
+      "AND ps.ps_suppkey NOT IN " +
+      "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+      "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size")),
+    Q("q_tpch_q20_shape", tpchQ20, Some(
+      psCte + ", shipped AS (SELECT l_partkey, l_suppkey, " +
+      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem " +
+      "JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%' " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1, 2) " +
+      "SELECT s.s_suppkey, s.s_name FROM supplier s " +
+      "JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3' " +
+      "WHERE s.s_suppkey IN (SELECT ps.ps_suppkey FROM ps " +
+      "JOIN shipped sh ON sh.l_partkey = ps.ps_partkey " +
+      "AND sh.l_suppkey = ps.ps_suppkey " +
+      "WHERE ps.ps_availqty * 2 > sh.qty) " +
+      "ORDER BY s_suppkey")),
+    Q("q_tpch_q19_shape", tpchQ19, Some(
       "SELECT count(*) AS n_items, " +
       "CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
       "(10000 - CAST(round(l_discount * 10000) AS BIGINT))), 0) AS BIGINT) AS revenue_micros " +

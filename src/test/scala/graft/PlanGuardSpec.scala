@@ -57,7 +57,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_rfm_segments", // 1-row anchor-day + 1-row user-count scalars
     "q_int8_topk",   // 1-row quantized query vector
     "q_kmv_intersect", // 1-row (tau, k_u) + 1-row exact-count scalars
-    "q_decile_lift"  // 1-row user-count + 1-row total-conversions scalars
+    "q_decile_lift", // 1-row user-count + 1-row total-conversions scalars
+    "q_tpch_q9",     // 1-row supplier-count scalar (partsupp derivation)
+    "q_tpch_q11",    // partsupp scalar + 1-row (total, n) HAVING threshold
+    "q_tpch_q16_shape",    // 1-row supplier-count scalar (partsupp derivation)
+    "q_tpch_q20_shape"     // 1-row supplier-count scalar (partsupp derivation)
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -87,9 +87,9 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
-  test("q_tpch_q4: the EXISTS decorrelates to one left-semi join") {
+  test("q_tpch_q4_shape: the EXISTS decorrelates to one left-semi join") {
     withStaticPlan {
-      val plan = Catalog.byName("q_tpch_q4").fn(spark, dir)
+      val plan = Catalog.byName("q_tpch_q4_shape").fn(spark, dir)
         .queryExecution.executedPlan
       val joins = plan.collect {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
@@ -100,7 +100,7 @@ class TpchPlanSpec extends SparkSpec {
       assert(plan.collect { case w: WindowExec => w }.isEmpty)
       // liveness: some orders of the quarter must fail the lateness
       // probe, or the semi-join is a pass-through
-      val n = Catalog.byName("q_tpch_q4").fn(spark, dir)
+      val n = Catalog.byName("q_tpch_q4_shape").fn(spark, dir)
         .collect().map(_.getLong(1)).sum
       val quarter = graft.sources.Tables.orders(spark, dir)
         .filter(org.apache.spark.sql.functions.col("o_orderdate")
@@ -110,10 +110,10 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
-  test("q_tpch_q21: one lineitem pass, agg-decorrelated EXISTS/NOT EXISTS, " +
+  test("q_tpch_q21_shape: one lineitem pass, agg-decorrelated EXISTS/NOT EXISTS, " +
       "no window, no added exchange for the two group-bys") {
     withStaticPlan {
-      val df = Catalog.byName("q_tpch_q21").fn(spark, dir)
+      val df = Catalog.byName("q_tpch_q21_shape").fn(spark, dir)
       val plan = df.queryExecution.executedPlan
       // ONE pass over lineitem: the EXISTS and NOT EXISTS both fold
       // into the per-order aggregate instead of re-probing the fact
@@ -256,10 +256,10 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
-  test("q_tpch_q19: the OR-of-ANDs keeps a broadcast HASH join on the " +
+  test("q_tpch_q19_shape: the OR-of-ANDs keeps a broadcast HASH join on the " +
       "factored equi core — never a nested loop") {
     withStaticPlan {
-      val df = Catalog.byName("q_tpch_q19").fn(spark, dir)
+      val df = Catalog.byName("q_tpch_q19_shape").fn(spark, dir)
       val plan = df.queryExecution.executedPlan
       assert(plan.collect {
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
@@ -270,6 +270,81 @@ class TpchPlanSpec extends SparkSpec {
       val out = df.collect()
       assert(out.length == 1 && out.head.getLong(0) > 0,
         s"disjunctive branches must match real rows: ${out.toSeq}")
+    }
+  }
+
+  test("q_tpch_q9: every dimension chain broadcasts; at most the one " +
+      "fact-fact join shuffles; profit in exact micros") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q9").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val shuffledJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shuffledJoins.size <= 1,
+        s"only lineitem-orders may shuffle; got ${shuffledJoins.size}")
+      // the only nested loop is the 1-row supplier-count scalar of the
+      // partsupp derivation — its build side must be a broadcast of a
+      // global aggregate, never a data-sized relation
+      val bnlj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      bnlj.foreach { b =>
+        assert(b.buildSide.toString.contains("Right") &&
+          b.right.collectFirst { case h: HashAggregateExec => h }.isDefined,
+          s"BNLJ build side must be the 1-row scalar aggregate: $b")
+      }
+      val out = df.collect()
+      assert(out.nonEmpty, "q9 must produce nation-year profit rows")
+      assert(out.forall(_.getLong(2) > 0), "n_items must be positive")
+    }
+  }
+
+  test("q_tpch_q11: window-free global-scalar HAVING — every kept part " +
+      "exceeds twice the mean value") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q11").fn(spark, dir)
+      assert(df.queryExecution.executedPlan
+        .collect { case w: WindowExec => w }.isEmpty,
+        "the HAVING threshold must not plan a window")
+      val out = df.collect()
+      assert(out.nonEmpty, "fixture must yield above-threshold parts")
+      val values = out.map(_.getLong(1))
+      // recompute the contract against the full value set
+      val suppN = graft.sources.Tables.supplier(spark, dir)
+      val all = graft.operators.RelationalQueries.partsupp(spark, dir)
+        .join(suppN, org.apache.spark.sql.functions.col("ps_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+        .join(graft.sources.Tables.nation(spark, dir)
+            .filter(org.apache.spark.sql.functions.col("n_name") === "NATION_3"),
+          org.apache.spark.sql.functions.col("s_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("ps_supplycost_cents") *
+          org.apache.spark.sql.functions.col("ps_availqty")).as("v"))
+        .collect().map(_.getLong(1))
+      val (tot, n) = (all.sum, all.length.toLong)
+      assert(values.forall(v => v * n > tot * 2),
+        "a kept part fails the 2x-mean contract")
+      assert(values.length == all.count(v => v * n > tot * 2),
+        "a qualifying part was dropped")
+    }
+  }
+
+  test("q_tpch_q20_shape: the correlated availability subquery decorrelates " +
+      "to ONE lineitem pass") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q20_shape").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val liScans = scans(plan).count(_.toString.contains("lineitem"))
+      assert(liScans == 1,
+        s"the shipped-qty probe must be a single lineitem pass: $liScans scans")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val out = df.collect()
+      assert(out.nonEmpty, "fixture must qualify at least one supplier")
     }
   }
 
