@@ -22,42 +22,46 @@ object MultimodalQueries {
         col("meta.height").as("height"))
       .orderBy("doc_id")
 
-  /** Decode + feature extraction through the partition-batched stub
-    * codec, semantically checked (the `q_approx_distinct` pattern from
-    * [[RelationalQueries]]): the feature-vector BYTES are
-    * codec-specific and not SQL-expressible, but the pipeline's
-    * CONTRACT is — so the hashed row carries verdict booleans computed
-    * against an independent re-derivation of the ground truth from the
-    * raw payload bytes (byte sum and checksum fold, computed outside
-    * [[Multimodal.extractFeatures]]):
-    *  - `dim_ok`    — every vector has exactly `FakeCodec.dim` slots;
-    *  - `sum_ok`    — the vector's component sum equals the payload's
-    *    byte sum / 255 within float-accumulation tolerance (the codec
-    *    folds every byte exactly once);
-    *  - `nonneg_ok` — all components ≥ 0 (sums of non-negative terms);
-    *  - `checksum_ok` — the pipeline checksum equals the independent
-    *    fold (catches any dropped/reordered byte exactly).
+  /** Feature-extraction CONTRACT over the REAL decode path (round-13
+    * verdict item 3 — the last stand-in codec is out of the gate):
+    * executor-encoded PNGs ([[Multimodal.syntheticPngs]]) through
+    * [[Multimodal.ImageCodec]] via the same partition-batched
+    * `extractFeatures` plumbing, semantically checked (the
+    * `q_approx_distinct` pattern): where `q_media_decode` hash-checks
+    * the decoded VALUES, this row hash-checks the pipeline's
+    * INVARIANTS, each recomputed independently of the codec:
+    *  - `width`/`height` — oracle-exact integer functions of doc_id
+    *    (zero for the planted corrupt blobs);
+    *  - `dim_ok`      — every vector has exactly `ImageCodec.dim` slots;
+    *  - `luma_ok`     — feature 6 equals BT.601 luma recomputed from
+    *    the decoded channel means (float-rounding tolerance);
+    *  - `aspect_ok`   — feature 7 equals width/height (0 for the zero
+    *    vector of a corrupt blob);
+    *  - `alpha_ok`    — TYPE_INT_RGB payloads never report alpha;
+    *  - `checksum_ok` — the pipeline checksum equals an independent
+    *    byte fold over the raw payload (catches any dropped byte).
     * The DuckDB oracle asserts the contract (literal TRUEs) alongside
-    * its own `n_bytes`, so the gate fails if ANY invariant breaks. */
+    * the arithmetic dims, so the gate fails if ANY invariant breaks. */
   private def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rows = Multimodal.fromDocuments(s, d)
+    val rows = Multimodal.syntheticPngs(s, d)
     val truth = rows.map { r =>
-      var sum = 0L
       var ck = 1125899906842597L
-      r.payload.foreach { b => sum += (b & 0xff); ck = 31 * ck + b }
-      (r.doc_id, sum, ck)
-    }.toDF("doc_id", "byte_sum", "ck")
-    val fsum = aggregate(
-      transform(col("features"), x => x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val expected = col("byte_sum").cast("double") / lit(255.0)
-    Multimodal.features(s, d)
-      .join(truth, Seq("doc_id"))
-      .select(col("doc_id"), col("n_bytes"),
-        (size(col("features")) === Multimodal.FakeCodec.dim).as("dim_ok"),
-        (abs(fsum - expected) <= lit(5e-5) * expected + lit(0.005)).as("sum_ok"),
-        forall(col("features"), x => x >= 0f).as("nonneg_ok"),
+      r.payload.foreach { b => ck = 31 * ck + b }
+      (r.doc_id, ck)
+    }.toDF("t_id", "ck")
+    def el(i: Int) = element_at(col("features"), i).cast("double")
+    val luma = lit(0.299) * el(3) + lit(0.587) * el(4) + lit(0.114) * el(5)
+    Multimodal.extractFeatures(rows, codec = Multimodal.ImageCodec).toDF()
+      .join(truth, col("doc_id") === col("t_id"))
+      .select(col("doc_id"),
+        el(1).cast("int").as("width"),
+        el(2).cast("int").as("height"),
+        (size(col("features")) === Multimodal.ImageCodec.dim).as("dim_ok"),
+        (abs(el(6) - luma) <= lit(1e-3)).as("luma_ok"),
+        when(el(2) === 0.0, el(7) === 0.0)
+          .otherwise(abs(el(7) - el(1) / el(2)) <= lit(1e-4)).as("aspect_ok"),
+        (el(8) === 0.0).as("alpha_ok"),
         (col("checksum") === col("ck")).as("checksum_ok"))
       .orderBy("doc_id")
   }
@@ -210,8 +214,13 @@ object MultimodalQueries {
       "CAST(doc_id % 48 + 1 AS INT) AS height " +
       "FROM documents ORDER BY doc_id")),
     Q("q_media_features", mediaFeatures, Some(
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-      "TRUE AS dim_ok, TRUE AS sum_ok, TRUE AS nonneg_ok, TRUE AS checksum_ok " +
-      "FROM documents ORDER BY doc_id")),
+      "WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 200), " +
+      "d AS (SELECT doc_id, doc_id % 50 = 49 AS corrupt FROM ids) " +
+      "SELECT doc_id, " +
+      "CAST(CASE WHEN corrupt THEN 0 ELSE doc_id % 16 + 1 END AS INT) AS width, " +
+      "CAST(CASE WHEN corrupt THEN 0 ELSE doc_id % 8 + 1 END AS INT) AS height, " +
+      "TRUE AS dim_ok, TRUE AS luma_ok, TRUE AS aspect_ok, " +
+      "TRUE AS alpha_ok, TRUE AS checksum_ok " +
+      "FROM d ORDER BY doc_id")),
   )
 }

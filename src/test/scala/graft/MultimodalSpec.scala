@@ -14,9 +14,13 @@ class MultimodalSpec extends SparkSpec {
     assert(r.meta.width == 1 && r.meta.height == 1)
   }
 
-  test("feature extraction is deterministic and batch-shaped") {
-    val f1 = Multimodal.features(spark, dir).orderBy("doc_id").collect()
-    val f2 = Multimodal.features(spark, dir).orderBy("doc_id").collect()
+  test("feature extraction is deterministic and batch-shaped " +
+      "(FakeCodec is spec-only since round 14)") {
+    def run() = Multimodal.extractFeatures(
+        Multimodal.fromDocuments(spark, dir), codec = Multimodal.FakeCodec)
+      .toDF().orderBy("doc_id").collect()
+    val f1 = run()
+    val f2 = run()
     assert(f1.length == 500)
     assert(f1.map(_.getLong(2)).toSeq == f2.map(_.getLong(2)).toSeq)
     val feats = f1(0).getSeq[Float](3)
@@ -26,9 +30,11 @@ class MultimodalSpec extends SparkSpec {
 
   test("metadata filter prunes before decode") {
     val all = Multimodal.extractFeatures(
-      Multimodal.fromDocuments(spark, dir), minBytes = 0L).count()
+      Multimodal.fromDocuments(spark, dir), Multimodal.FakeCodec,
+      minBytes = 0L).count()
     val some = Multimodal.extractFeatures(
-      Multimodal.fromDocuments(spark, dir), minBytes = 300L).count()
+      Multimodal.fromDocuments(spark, dir), Multimodal.FakeCodec,
+      minBytes = 300L).count()
     assert(some < all && some > 0)
   }
 }
