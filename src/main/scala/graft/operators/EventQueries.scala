@@ -245,6 +245,34 @@ object EventQueries {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Click→purchase conversion with the NO-conversion rows — the
+    * batch twin of the stream-stream LEFT OUTER interval join
+    * ([[graft.streaming.EventStreams.clickPurchaseLeftOuter]], round-13
+    * verdict item 5): every click appears, matched purchases attached,
+    * unmatched clicks with null purchase columns (the rows the
+    * streaming form emits on watermark eviction). Same shared build as
+    * `q_click_purchase_join`; NULL ordering pinned explicitly on both
+    * engines (Spark defaults nulls-first ASC, DuckDB nulls-last). */
+  private def clickPurchaseOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .select(col("user_id"), col("click_id"),
+        fmt(col("click_ts")).as("click_ts"),
+        col("purchase_id"), round(col("value"), 2).as("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
   /** Backward as-of join: each view event enriched with the user's
     * most recent prior (or simultaneous) purchase —
     * [[graft.query.AsOfJoin]]'s union+window composition (ONE shuffle,
@@ -1390,6 +1418,15 @@ object EventQueries {
       "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
       "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
       "ORDER BY 1, 2, 3")),
+    Q("q_click_purchase_outer", clickPurchaseOuter, Some(
+      "SELECT c.user_id, c.event_id AS click_id, " +
+      "strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts, " +
+      "p.event_id AS purchase_id, round(p.value, 2) AS purchase_value " +
+      "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+      "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+      "ON p.user_id = c.user_id " +
+      "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE " +
+      "ORDER BY c.user_id, click_id, purchase_id NULLS FIRST")),
     Q("q_asof_join", asofJoin, Some(
       "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, " +
       "strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, round(p.value, 2) AS last_purchase_value " +

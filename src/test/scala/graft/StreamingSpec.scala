@@ -95,6 +95,85 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched clicks emit " +
+      "null rows exactly once on watermark eviction, survive a mid-run " +
+      "restart, and match the batch q_click_purchase_outer") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cpo_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cpo_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cpo_out").toString
+    // event-time-ordered replay in 4 one-file micro-batches so the
+    // watermark ADVANCES between triggers (outer rows only emit when
+    // the watermark passes click_ts + 30 min + 1 h)
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsUs"), col("value"))
+      .orderBy("tsUs", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val chunks = rows.grouped(rows.length / 4 + 1).toSeq
+    def writeChunk(c: Seq[(Long, Long, String, Long, Double)],
+        name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cpo_one").toString
+      c.toDF("event_id", "user_id", "event_type", "tsUs", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def startJoin() = graft.streaming.EventStreams.clickPurchaseLeftOuter(
+        spark.readStream
+          .schema("event_id long, user_id long, event_type string, " +
+            "tsUs long, value double")
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            timestamp_micros(col("tsUs")).as("ts"), col("value")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // phase 1: first half, then STOP mid-run
+    writeChunk(chunks(0), "00_a.parquet")
+    writeChunk(chunks(1), "01_b.parquet")
+    val q1 = startJoin()
+    try q1.processAllAvailable() finally q1.stop()
+    val p1 = spark.read.parquet(outDir)
+    val phase1Total = p1.count()
+    val phase1Nulls = p1.filter(col("purchase_id").isNull).count()
+    assert(phase1Total > 0, "restart must land mid-emission")
+    // phase 2: rest of the corpus, then a flush sentinel on BOTH sides
+    // (the global watermark is the MIN across the click and purchase
+    // branches, so each needs a late event) 3 h past the corpus — every
+    // real click's eviction horizon closes
+    writeChunk(chunks(2), "02_c.parquet")
+    writeChunk(chunks(3), "03_d.parquet")
+    val flushUs = rows.last._4 + 3L * 3600000000L
+    writeChunk(Seq((-1L, -1L, "click", flushUs, 0.0),
+      (-2L, -1L, "purchase", flushUs, 0.0)), "04_e.parquet")
+    val q2 = startJoin()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L) // drop the sentinel pair
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val want = Catalog.byName("q_click_purchase_outer").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got.sorted == want.sorted,
+      s"stream ${got.size} rows vs batch ${want.size}")
+    // the semantics under test: unmatched clicks DID emit null rows,
+    // exactly once each (exactly-once across the restart: no click_id
+    // may appear as unmatched twice)
+    val unmatched = got.filter(_._3.isEmpty)
+    assert(unmatched.nonEmpty, "no unmatched clicks in the fixture")
+    assert(unmatched.map(x => (x._1, x._2)).distinct.size == unmatched.size,
+      "an evicted click emitted more than once across the restart")
+    assert(got.size > phase1Total - phase1Nulls,
+      "phase 2 must add rows — eviction state carried across the restart")
+  }
+
   test("checkpointed query restarts without reprocessing or duplicating") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src").toString
