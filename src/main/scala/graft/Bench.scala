@@ -31,7 +31,14 @@ import org.apache.spark.sql.SparkSession
   *    context proved unattributable in round 2;
   *  - a second scale point (`sf2`/`queries_sf2`, medians at the sibling
   *    sf0.01 directory or `SPARK_GRAFT_SF_DIR2`) keeps each query's
-  *    scaling slope visible round over round.
+  *    scaling slope visible round over round;
+  *  - a PREV-HEAD A/B (`ab` in the full artifact, `ab_ratio` compact):
+  *    alternating child JVMs measure sentinel queries against the
+  *    previous round's committed binary and the current classes in the
+  *    same session, so the cross-round ±15-25% environment term
+  *    (docs/bench_drift_r13.md) cancels out of the ratio — the one
+  *    number that answers "did this round's code get slower?"
+  *    ([[AbRunner]]; docs/bench_protocol.md "Prev-HEAD A/B").
   *
   * Validity (`docs/bench_protocol.md`): each measured run is bracketed
   * by load samples and the recorded sample's `external` covers exactly
@@ -562,6 +569,116 @@ object Bench {
         s""","slope_skipped":true"""
     }
 
+    // ---- Prev-HEAD A/B (round-13 verdict item 1, docs/bench_protocol.md
+    // "Prev-HEAD A/B") -------------------------------------------------
+    // Cross-round medians carry a ±15-25% environment term on sub-2 s
+    // queries (docs/bench_drift_r13.md), so the per-round artifact now
+    // self-calibrates: alternating child JVMs run a sentinel query set
+    // against the PREVIOUS round's committed binary
+    // (tools/ab/graft-prev.jar, refreshed at each round start) and the
+    // current classes — same box, same minutes, so the environment term
+    // cancels out of the ratio and `ab.ratio_median` answers "did THIS
+    // round's code get slower?" directly. ABBA launch order cancels
+    // linear drift within the A/B window itself. Any failure records
+    // ab_error and never fails the bench.
+    val abPart: String = {
+      val abJar = sys.env.getOrElse("SPARK_GRAFT_AB_JAR", "tools/ab/graft-prev.jar")
+      val enabled = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0" &&
+        new java.io.File(abJar).isFile
+      if (!enabled) {
+        System.err.println(s"bench: prev-HEAD A/B skipped (${
+          if (new java.io.File(abJar).isFile) "SPARK_GRAFT_AB=0" else s"no $abJar"})")
+        s""","ab_skipped":true"""
+      } else try {
+        val abQueries = sys.env.getOrElse("SPARK_GRAFT_AB_QUERIES",
+          "q_embed_neardup_lsh,q_graph_level3,q_shuffle_join_agg")
+        val launches = sys.env.getOrElse("SPARK_GRAFT_AB_LAUNCHES", "2").toInt
+        val abRuns = sys.env.getOrElse("SPARK_GRAFT_AB_RUNS", "3").toInt
+        val names = abQueries.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val ownCp = System.getProperty("java.class.path")
+        val sep = java.io.File.pathSeparator
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        // children inherit this JVM's exact flags (add-opens, -Xmx, -D)
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+          .toArray(Array.empty[String]).toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+        def launch(cp: String): Map[String, Seq[Double]] = {
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", cp, "graft.AbRunner", names.mkString(","), sfDir,
+              abRuns.toString)
+          val pb = new ProcessBuilder(cmd: _*)
+          // child stderr flows through to ours (kept out of the result
+          // pipe, can never back-pressure the child the way an undrained
+          // pipe buffer would)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          if (!p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+            p.destroyForcibly(); sys.error("A/B launch timed out")
+          }
+          val line = out.linesIterator.toSeq.reverse
+            .find(l => l.contains("\"ab_times\"") || l.contains("\"ab_error\""))
+            .getOrElse(sys.error(s"A/B launch produced no result line " +
+              s"(exit ${p.exitValue()})"))
+          if (line.contains("ab_error"))
+            sys.error(s"A/B child failed: ${line.take(200)}")
+          names.map { n =>
+            val key = "\"" + n + "\":["
+            val i = line.indexOf(key)
+            require(i >= 0, s"A/B line missing $n: ${line.take(200)}")
+            val j = line.indexOf("]", i)
+            n -> line.substring(i + key.length, j).split(",")
+              .map(_.trim.toDouble).toSeq
+          }.toMap
+        }
+        val prevCp = new java.io.File(abJar).getAbsolutePath + sep + ownCp
+        // ABBA ordering per round trip: prev,cur then cur,prev
+        val order = (1 to launches).flatMap(i =>
+          if (i % 2 == 1) Seq(("prev", prevCp), ("cur", ownCp))
+          else Seq(("cur", ownCp), ("prev", prevCp)))
+        val acc = scala.collection.mutable.Map[(String, String), Vector[Double]]()
+          .withDefaultValue(Vector.empty)
+        order.foreach { case (side, cp) =>
+          val r = launch(cp)
+          names.foreach(n => acc((side, n)) = acc((side, n)) ++ r(n))
+        }
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+        val perQ = names.map { n =>
+          val pm = med(acc(("prev", n))); val cm = med(acc(("cur", n)))
+          (n, pm, cm, cm / pm)
+        }
+        val ratioMed = med(perQ.map(_._4))
+        val prevRef = {
+          val f = new java.io.File(new java.io.File(abJar).getParent, "PREV.txt")
+          if (f.isFile) scala.io.Source.fromFile(f, "UTF-8").getLines()
+            .nextOption().getOrElse("?").replace("\"", "'")
+          else "?"
+        }
+        val qjson = jmap(perQ.map { case (n, pm, cm, r) =>
+          n -> jmap(Seq(
+            "prev" -> ("[" + acc(("prev", n)).map(jnum).mkString(",") + "]"),
+            "cur" -> ("[" + acc(("cur", n)).map(jnum).mkString(",") + "]"),
+            "prev_med" -> jnum(pm), "cur_med" -> jnum(cm),
+            "ratio" -> jnum(r)))
+        })
+        s""","ab":{"prev_ref":"$prevRef","launches":${launches * 2},"runs_per_launch":$abRuns,"queries":$qjson,"ratio_median":${jnum(ratioMed)}}"""
+      } catch {
+        case e: Exception =>
+          System.err.println(s"bench: prev-HEAD A/B failed: $e")
+          s""","ab_error":"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").replace("\"", "'").take(160)}""""
+      }
+    }
+    // compact form: just the verdict ratio (or the error/skip marker)
+    val abCompact =
+      if (abPart.contains("\"ab\":")) {
+        val k = "\"ratio_median\":"
+        val i = abPart.indexOf(k)
+        val j = abPart.indexOf("}", i)
+        s""","ab_ratio":${abPart.substring(i + k.length, j)}"""
+      } else abPart
+
     // Errors from EVERY pass — headline, extra AND the sf2 slope pass —
     // reach the errors map and the nonzero exit below. The slope tier
     // made sf2 the ONLY pass for the exact-baseline queries, so an sf2
@@ -594,9 +711,9 @@ object Bench {
     //    so the stdout form is sized to survive that window while
     //    still carrying everything a cross-round comparison grades.
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part$progPart,$loadavgPart}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"quantiles":$quant$loadPart$validPart$errPart$extraPart$sf2Part$progPart$abPart,$loadavgPart}"""
     val compactLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$xloadPart$validPart$errPart,$loadavgPart}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$xloadPart$validPart$errPart$abCompact,$loadavgPart}"""
     println(compactLine)
     // Best-effort: an unwritable path must not mask the error summary
     // and nonzero exit below (stdout already carries the compact line).

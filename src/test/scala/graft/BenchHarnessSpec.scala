@@ -180,6 +180,22 @@ class BenchHarnessSpec extends SparkSpec {
     samples.foreach(l => assert(l.externalSys >= 0.0))
   }
 
+  test("AbRunner resolves the catalog reflectively and times real runs") {
+    // the reflection path is what lets the SAME runner class execute
+    // against a round-old binary (no compile-time linkage) — pin that
+    // it resolves Catalog.byName, runs the query, and returns `runs`
+    // positive wall times
+    val times = AbRunner.run(spark, Seq("q_distinct"),
+      "/root/testdata/sf0.001", runs = 2)
+    assert(times.keySet == Set("q_distinct"))
+    assert(times("q_distinct").size == 2)
+    assert(times("q_distinct").forall(_ > 0.0))
+    // an unknown query fails loudly (the parent records ab_error)
+    intercept[RuntimeException] {
+      AbRunner.run(spark, Seq("q_no_such"), "/root/testdata/sf0.001", 1)
+    }
+  }
+
   test("default sampler yields non-negative external residuals and " +
       "SelfLoad sees this JVM's own spin") {
     val s = Bench.defaultSampler()
