@@ -89,6 +89,29 @@ object RelationalQueries {
         count(lit(1)).as("n_rows"))
       .orderBy("o_orderpriority")
 
+  /** The ADVISED join path ([[graft.query.SkewJoin.adviseAndJoin]] —
+    * round-13 verdict item 8, `docs/skew_playbook.md` mechanized):
+    * the advisor samples the probe side's key histogram and picks
+    * plain-with-AQE vs salted from the measured decision rule. On
+    * this fixture l_orderkey is uniform, so the advisor must pick
+    * PLAIN (the spec pins that, plus the salting verdict on a 50%-hub
+    * fixture); either verdict is row-identical, so the same oracle as
+    * [[shuffleJoinAgg]] hash-checks whichever plan the rule selects. */
+  private def skewAdvisedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val (joined, _) = graft.query.SkewJoin.adviseAndJoin(
+      Tables.lineitem(s, d),
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "l_orderkey", parallelism = s.sparkContext.defaultParallelism)
+    joined
+      .groupBy("o_orderpriority")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+  }
+
   /** The bucketed-table co-located join ([[graft.sources.Bucketing]],
     * SURVEY §4: the reference's phash2 co-partitioning done the Spark
     * way) under the gate: both fact projections are written bucketed
@@ -1610,6 +1633,9 @@ object RelationalQueries {
       "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     Q("q_salted_join_agg", saltedJoinAgg, Some(
+      "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+    Q("q_skew_advised_join", skewAdvisedJoinAgg, Some(
       "SELECT o_orderpriority, sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority")),
     Q("q_left_join_count", leftJoinCount, Some(
