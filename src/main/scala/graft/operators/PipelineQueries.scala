@@ -581,7 +581,44 @@ object PipelineQueries {
     "FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15' " +
     "GROUP BY 1 ORDER BY 1"
 
+  /** Per-invocation suffix for [[tableTimeTravel]]'s table root: two
+    * concurrent invocations in one session (bench racing verify) must
+    * not interleave generations under one root, or "previous
+    * generation" stops being THIS run's before-image. */
+  private val ttRunId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Generation time travel UNDER THE GATE (round-13 verdict item 7,
+    * the oracle-checked face of [[graft.pipeline.CommittedTable]]'s
+    * snapshot reads): commit the events projection as generation N,
+    * commit the GDPR-style cohort delete as N+1, then read BOTH — the
+    * live table via `read(root)` and the before-image via
+    * `read(root, N)` — and emit (n_before, n_after, deleted). The
+    * oracle recomputes all three from the source table, so a time
+    * travel that resolves the wrong directory (e.g. serving the new
+    * generation for the old manifest) hash-fails, not just
+    * spec-fails. `retain = 3` keeps the before-image inside the GC
+    * window while the next commit lands. */
+  private def tableTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dest = s"${scalePath("/tmp/graft_ttravel", d)}/" +
+      s"${s.sparkContext.applicationId}/run-${ttRunId.incrementAndGet()}"
+    val ev = Tables.events(s, d).select("event_id", "user_id")
+    val gBefore = graft.pipeline.CommittedTable.commit(s, dest, ev, retain = 3)
+    graft.pipeline.CommittedTable.commit(s, dest,
+      ev.filter(pmod(col("user_id"), lit(97L)) =!= 0), retain = 3)
+    val before = graft.pipeline.CommittedTable.read(s, dest, gBefore)
+      .agg(count(lit(1)).as("n_before"))
+    val after = graft.pipeline.CommittedTable.read(s, dest)
+      .agg(count(lit(1)).as("n_after"))
+    before.crossJoin(broadcast(after)) // 1-row x 1-row (allowlisted)
+      .select(col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("deleted"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_table_time_travel", tableTimeTravel, Some(
+      "SELECT (SELECT count(*) FROM events) AS n_before, " +
+      "(SELECT count(*) FROM events WHERE user_id % 97 <> 0) AS n_after, " +
+      "(SELECT count(*) FROM events WHERE user_id % 97 = 0) AS deleted")),
     Q("q_compact_files", compactFiles, Some(
       "SELECT count(*) AS n_rows, TRUE AS files_reduced, TRUE AS rows_equal " +
       "FROM events")),

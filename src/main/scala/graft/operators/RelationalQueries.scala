@@ -1273,6 +1273,75 @@ object RelationalQueries {
       .select("s_suppkey", "s_name").orderBy("s_suppkey")
   }
 
+  /** TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    * region's suppliers offering it at the REGION-WIDE minimum cost —
+    * the correlated min subquery decorrelated the q_tpch_q15 way: one
+    * bounded per-part min aggregate over the candidate set, joined
+    * back as an equality on (partkey, cost); ties return every
+    * min-cost supplier. Runs entirely on the derived partsupp and the
+    * dimension chains (no fact table), so unlike Q9 there is no
+    * pair-filter caveat — the structure is the textbook one on fully
+    * deterministic data. All money integer cents; top-100 by account
+    * balance is a TakeOrderedAndProject. */
+  private def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    val regionSupp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"),
+        col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "acctbal_cents", "n_name")
+    val pt = Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey")
+    val cand = partsupp(s, d)
+      .join(broadcast(pt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select("ps_partkey", "ps_supplycost_cents", "s_name",
+        "acctbal_cents", "n_name")
+    val mn = cand.groupBy("ps_partkey")
+      .agg(min("ps_supplycost_cents").as("min_cost"))
+      .withColumnRenamed("ps_partkey", "mn_partkey")
+    cand.join(broadcast(mn), col("ps_partkey") === col("mn_partkey") &&
+        col("ps_supplycost_cents") === col("min_cost"))
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("ps_partkey"), col("ps_supplycost_cents").as("cost_cents"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+        col("ps_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): high-balance
+    * customers of selected country codes with NO recent orders. Two
+    * fixture adaptations, both structure-preserving: the country code
+    * is `c_nationkey mod 7` (no c_phone column), and the anti-join is
+    * against RECENT orders (the fixture gives every customer at least
+    * one order ever, so the textbook's all-time NOT EXISTS is
+    * structurally dead here — "no activity in the current era" keeps
+    * the anti-join live and is the report's actual intent). The
+    * above-average balance cut is the 1-row (total, count) broadcast
+    * theta join, cross-multiplied to integer cents. */
+  private def tpchQ22(s: SparkSession, d: String): DataFrame = {
+    val cand = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        pmod(col("c_nationkey"), lit(7)).as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .filter(col("cntrycode").isin(0, 1, 2, 3))
+    val pos = cand.filter(col("bal") > 0)
+      .agg(sum("bal").as("graft_tot"), count(lit(1)).as("graft_n"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cand.join(broadcast(pos), col("bal") * col("graft_n") > col("graft_tot"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum("bal").as("total_cents"))
+      .orderBy("cntrycode")
+  }
+
   /** Referential-integrity audit — the data-quality gate every
     * warehouse load runs before publishing: orphan counts for each
     * foreign key (child rows whose parent is missing) plus the
@@ -1385,6 +1454,34 @@ object RelationalQueries {
       "FROM (SELECT o_year, " +
       "sum(CASE WHEN supp_nation = 'NATION_13' THEN vol ELSE 0 END) AS nation_micros, " +
       "sum(vol) AS total_micros FROM f GROUP BY 1) ORDER BY o_year")),
+    Q("q_tpch_q2", tpchQ2, Some(
+      psCte + ", cand AS (SELECT ps.ps_partkey, ps.ps_supplycost_cents, " +
+      "s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents, " +
+      "n.n_name FROM ps " +
+      "JOIN supplier s ON s.s_suppkey = ps.ps_suppkey " +
+      "JOIN nation n ON n.n_nationkey = s.s_nationkey " +
+      "JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA' " +
+      "JOIN part p ON p.p_partkey = ps.ps_partkey " +
+      "AND p.p_type = 'LARGE' AND p.p_size <= 10), " +
+      "mn AS (SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost " +
+      "FROM cand GROUP BY 1) " +
+      "SELECT c.acctbal_cents, c.s_name, c.n_name, " +
+      "c.ps_partkey AS ps_partkey, c.ps_supplycost_cents AS cost_cents " +
+      "FROM cand c JOIN mn ON mn.ps_partkey = c.ps_partkey " +
+      "AND c.ps_supplycost_cents = mn.min_cost " +
+      "ORDER BY acctbal_cents DESC, n_name, s_name, ps_partkey LIMIT 100")),
+    Q("q_tpch_q22_shape", tpchQ22, Some(
+      "WITH cand AS (SELECT c_custkey, c_nationkey % 7 AS cntrycode, " +
+      "CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer " +
+      "WHERE c_nationkey % 7 IN (0, 1, 2, 3)), " +
+      "pos AS (SELECT CAST(sum(bal) AS BIGINT) AS tot, count(*) AS n " +
+      "FROM cand WHERE bal > 0) " +
+      "SELECT cntrycode, count(*) AS numcust, " +
+      "CAST(sum(bal) AS BIGINT) AS total_cents FROM cand, pos " +
+      "WHERE bal * n > tot AND NOT EXISTS (SELECT 1 FROM orders " +
+      "WHERE o_custkey = c_custkey " +
+      "AND o_orderdate >= TIMESTAMP '1998-01-01') " +
+      "GROUP BY 1 ORDER BY 1")),
     Q("q_tpch_q9", tpchQ9, Some(
       psCte + ", prof AS (SELECT n.n_name AS nation, " +
       "CAST(year(o.o_orderdate) AS INT) AS o_year, " +

@@ -61,7 +61,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_tpch_q9",     // 1-row supplier-count scalar (partsupp derivation)
     "q_tpch_q11",    // partsupp scalar + 1-row (total, n) HAVING threshold
     "q_tpch_q16_shape",    // 1-row supplier-count scalar (partsupp derivation)
-    "q_tpch_q20_shape"     // 1-row supplier-count scalar (partsupp derivation)
+    "q_tpch_q20_shape",    // 1-row supplier-count scalar (partsupp derivation)
+    "q_tpch_q2",     // 1-row supplier-count scalar (partsupp derivation)
+    "q_tpch_q22_shape",    // 1-row (total, n) above-mean threshold scalar
+    "q_table_time_travel"  // 1-row x 1-row snapshot-count cross join
   )
 
   test("no catalog query plans an unintended cartesian or nested-loop join") {

@@ -23,7 +23,7 @@ class SparkEntrySpec extends SparkSpec {
   test("every query runs and is non-empty at smoke scale except known-empty ones") {
     // queries whose correct sf0.001 result can be empty (dup/near-dup
     // detectors on a corpus with no duplicates)
-    val mayBeEmpty = Set("q_dedup_groups", "q_ngram_jaccard", "q_lsh_pairs",
+    val mayBeEmpty = Set("q_dedup_groups", "q_ngram_jaccard", "q_lsh_pairs", "q_tpch_q22_shape",
       "q_embed_neardup", "q_embed_neardup_lsh", "q_dedup_clusters",
       "q_anti_join", "q_intersect", "q_except")
     val dir = "/root/testdata/sf0.001"
