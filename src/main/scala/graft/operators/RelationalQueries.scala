@@ -1273,6 +1273,72 @@ object RelationalQueries {
       .select("s_suppkey", "s_name").orderBy("s_suppkey")
   }
 
+  /** TPC-H Q5 (local supplier volume) — the VERBATIM form (the older
+    * `q_regional_volume` row is the relaxed shape that predates this):
+    * revenue per nation of a region where the supplier and the
+    * customer are the SAME nation. The same-nation constraint is the
+    * query's whole point — it forces nation tags onto BOTH fact
+    * chains and an equality residual on the orderkey join. Plan:
+    * lineitem ⋈ broadcast(region suppliers + nation tag), orders ⋈
+    * customer (dimension join, strategy left to Catalyst/AQE — at
+    * real scale customer outgrows broadcast and this becomes the
+    * second shuffle TPC-H intends), then ONE orderkey join carrying
+    * the `supp_nat = cust_nat` residual; bounded per-nation rollup in
+    * exact integer micro-dollars. */
+  private def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val vol = (round(col("l_extendedprice") * 100).cast("long") *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+    val regionNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nat"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("cust_nat")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nat")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), vol.as("vol"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("supp_nat") === col("cust_nat"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"), sum("vol").as("revenue_micros"))
+      .orderBy(col("revenue_micros").desc, col("n_name"))
+  }
+
+  /** TPC-H Q12 shape (shipping modes and order priority): late line
+    * items bucketed by a line-level category, split urgent vs
+    * non-urgent — the join + two-way conditional aggregation every
+    * warehouse report uses. Fixture adaptations, documented in the
+    * fidelity table: `l_returnflag` plays the missing `l_shipmode`
+    * category, and lateness is the fixture's shipdate rule (as
+    * Q4/Q21 — no commit/receipt dates in this schema). The lateness
+    * predicate lives in the JOIN residual + a pushed shipdate window;
+    * the rollup is a 3-row hash aggregate. */
+  private def tpchQ12(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("ship_class")
+
   /** TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
     * region's suppliers offering it at the REGION-WIDE minimum cost —
     * the correlated min subquery decorrelated the q_tpch_q15 way: one
@@ -1454,6 +1520,31 @@ object RelationalQueries {
       "FROM (SELECT o_year, " +
       "sum(CASE WHEN supp_nation = 'NATION_13' THEN vol ELSE 0 END) AS nation_micros, " +
       "sum(vol) AS total_micros FROM f GROUP BY 1) ORDER BY o_year")),
+    Q("q_tpch_q5", tpchQ5, Some(
+      "SELECT n.n_name, count(*) AS n_items, " +
+      "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * " +
+      "(10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) AS BIGINT) " +
+      "AS revenue_micros " +
+      "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+      "JOIN customer c ON o.o_custkey = c.c_custkey " +
+      "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+      "AND c.c_nationkey = s.s_nationkey " +
+      "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+      "JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA' " +
+      "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o.o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY 1 ORDER BY revenue_micros DESC, n_name")),
+    Q("q_tpch_q12_shape", tpchQ12, Some(
+      "SELECT l_returnflag AS ship_class, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+      "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY " +
+      "AND l_shipdate >= TIMESTAMP '1996-01-01' " +
+      "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY 1 ORDER BY 1")),
     Q("q_tpch_q2", tpchQ2, Some(
       psCte + ", cand AS (SELECT ps.ps_partkey, ps.ps_supplycost_cents, " +
       "s.s_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents, " +

@@ -348,6 +348,42 @@ class TpchPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q5: same-nation residual rides the orderkey join; at " +
+      "most the two fact joins shuffle; no window") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q5").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val shuffledJoins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shuffledJoins.size <= 2,
+        s"only lineitem-orders and orders-customer may shuffle: ${shuffledJoins.size}")
+      val out = df.collect()
+      assert(out.nonEmpty, "same-nation pairs must exist in the fixture")
+      assert(out.forall(_.getLong(1) > 0))
+    }
+  }
+
+  test("q_tpch_q12_shape: shipdate window pushed to the scan, lateness " +
+      "in the join residual, no window") {
+    withStaticPlan {
+      val df = Catalog.byName("q_tpch_q12_shape").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val li = scans(plan).filter(_.metadata("Location").contains("lineitem"))
+      assert(li.size == 1 &&
+        li.head.metadata("PushedFilters").contains("l_shipdate"),
+        s"shipdate window must reach the lineitem scan: ${li.map(_.metadata("PushedFilters"))}")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+      val out = df.collect()
+      assert(out.nonEmpty, "no late lines at smoke scale")
+      // the split is live: both priority classes appear somewhere
+      assert(out.map(_.getLong(1)).sum > 0 && out.map(_.getLong(2)).sum > 0,
+        s"both urgency classes must be populated: ${out.toSeq}")
+    }
+  }
+
   test("q_tpch_q18: the quantity threshold qualifies a real subset") {
     // liveness: the fixture must put SOME orders above and below the
     // threshold or the HAVING shape is untested
