@@ -643,7 +643,16 @@ object TextQueries {
     * over per-word integer hashes) — the k-gram hash sequence feeding
     * both [[rollingFingerprint]] and [[winnow]]. Pure integer
     * arithmetic end to end, so engine-exact. */
-  def windowHashesOf(docs: DataFrame): DataFrame = {
+  def windowHashesOf(docs: DataFrame): DataFrame =
+    windowHashesOf(docs, Nil)
+
+  /** As [[windowHashesOf]], additionally carrying `keep` columns
+    * through the projection — so a consumer that needs per-doc
+    * metadata next to the hash sequence (e.g. the curation
+    * decontamination stage's `split`) gets it IN-ROW instead of
+    * re-joining the corpus, which would force the whole
+    * tokenize+hash pass to run once per join branch. */
+  def windowHashesOf(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val B1 = 131L; val B2 = 17161L; val B3 = 2248091L  // 131^1..131^3
     // nested transform: md5 once per word, then fold its hex head —
     // as a single lambda the 8 substring terms would each hold their
@@ -653,7 +662,7 @@ object TextQueries {
       (1 to 8).map(j => ascii(substring(h, j, 1)) * lit(j)).reduce(_ + _)
         .cast("long")
     docs
-      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id") +: keep.map(col) :+ words(col("text")).as("w"): _*)
       .filter(size(col("w")) >= 4)
       .withColumn("us", transform(transform(col("w"), md5(_)), hexFold(_)))
       .withColumn("whs", transform(
@@ -662,7 +671,7 @@ object TextQueries {
              element_at(col("us"), i + 1) * B2 +
              element_at(col("us"), i + 2) * B1 +
              element_at(col("us"), i + 3)))
-      .select(col("doc_id"), col("whs"))
+      .select(col("doc_id") +: keep.map(col) :+ col("whs"): _*)
   }
 
   private def windowHashes(s: SparkSession, d: String): DataFrame =

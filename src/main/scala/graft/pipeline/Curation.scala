@@ -128,10 +128,23 @@ object Curation {
     // below the projection (scan-level predicate on the boundary
     // table), so the trim survives plan optimization.
     val tt = docsWithSplit.filter(col("split").isin("train", "test"))
-    val fps = TextQueries.windowHashesOf(tt)
-      .select(col("doc_id"),
+    // `split` rides IN-ROW through the tokenize+hash projection
+    // (windowHashesOf keep-columns) instead of being re-joined: with
+    // the join, the split filters of the two consumers below could not
+    // push into the fingerprint side, so the full train+test corpus
+    // was tokenized + winnowed TWICE — once per branch (measured as
+    // the two dominant jobs of the composed pipeline,
+    // OPTIMIZATION_r14.md). The fingerprint table is additionally
+    // materialized once (narrow: id, split, fp-long) under the same
+    // boundary flag as the stage cuts, so both branches SCAN one
+    // fingerprint pass; lazy mode keeps the single-plan form.
+    val fpsLazy = TextQueries.windowHashesOf(tt, keep = Seq("split"))
+      .select(col("doc_id"), col("split"),
         explode(TextFunctions.winnowMins(col("whs"), cfg.winnowW)).as("fp"))
-      .join(tt.select("doc_id", "split"), "doc_id")
+    val fps =
+      if (cfg.materializeBoundaries)
+        graft.query.Checkpoints.cut(fpsLazy, cfg.checkpointDir)
+      else fpsLazy
     val testFp = fps.filter(col("split") === "test").select("fp").distinct()
     val contaminated = fps.filter(col("split") === "train")
       .join(testFp, "fp").select("doc_id").distinct()
@@ -234,8 +247,37 @@ object Curation {
   /** The full chain: packed training chunks from a raw document table.
     * Output: (source, bin, doc_id, chunk_id, n_tokens, chunk_md5). */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // Boundary cuts inherit whatever post-AQE partitioning the stage
+    // upstream ended with — at small scale AQE coalesces those tiny
+    // aggregates to ONE partition, and every scan-fused heavy consumer
+    // of the boundary (shingle md5, winnowing hashes) then runs
+    // single-task (measured: three 0.75 s single-task jobs inside the
+    // composed run, OPTIMIZATION_r14.md). Re-widen small boundaries to
+    // the session parallelism BEFORE materializing, keyed by doc_id so
+    // the exchange is deterministic; a boundary already at ≥ cores
+    // partitions (the 100 TB case) passes through untouched — the same
+    // scale-adaptive rule as [[graft.sources.Tables]]'s scan fan-out.
+    // The width probe runs on the ALREADY-materialized checkpoint (its
+    // partition count is a free metadata read), never on the lazy
+    // plan — probing an unexecuted AQE plan would execute it once just
+    // to count partitions and then a second time for real. A narrow
+    // boundary is re-materialized WIDE (one extra cut of a by-
+    // definition-small table) rather than wrapped in a lazy
+    // repartition: the optimizer pushes the downstream heavy FILTERS
+    // (quality regexes, token counts) through a lazy exchange back
+    // into the single-task checkpoint scan — measured as a 1.1 s
+    // serial stage — while a wide materialized boundary gives every
+    // consumer pushdown AND parallelism at once.
+    def widen(df: DataFrame): DataFrame = {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p)
+        graft.query.Checkpoints.cut(
+          df.repartition(p, col("doc_id")), cfg.checkpointDir)
+      else df
+    }
     def cut(df: DataFrame): DataFrame =
-      if (cfg.materializeBoundaries) graft.query.Checkpoints.cut(df, cfg.checkpointDir)
+      if (cfg.materializeBoundaries)
+        widen(graft.query.Checkpoints.cut(df, cfg.checkpointDir))
       else df
     val s1 = cut(exactDedup(docs))
     val s2 = nearDedupClusters(s1, cfg)

@@ -18,6 +18,55 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Planned scan parallelism of `dir/name`, memoized per path: the
+    * number of partitions the file source actually splits the table
+    * into (file count, `maxPartitionBytes`, `openCostInBytes` — and,
+    * effectively, row-group layout). Ground truth for [[fanout]]'s
+    * decision; memoized because the fixture layout cannot change
+    * mid-session and the probe costs a plan. */
+  private val scanParts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private def plannedParts(s: SparkSession, dir: String, name: String): Int =
+    scanParts.computeIfAbsent(s"$dir/$name",
+      _ => load(s, dir, name).rdd.getNumPartitions)
+
+  /** Scale-adaptive scan fan-out (optimization guide §1.2 step 1 /
+    * §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read").
+    *
+    * The text/vector operators fuse heavy per-row work — regexp
+    * tokenization, shingle md5, SRP bit hashing — into the scan
+    * stage via whole-stage codegen. When the table is a handful of
+    * single-row-group files (every local sf tier), that scan stage
+    * plans at 1-3 tasks and the fused work runs nearly serially on a
+    * 32-core box, while every post-exchange stage parallelizes fine
+    * (measured: the five dominant jobs of `q_pipeline_e2e` were
+    * single-task scan stages of 0.7-1.2 s each, OPTIMIZATION_r14.md).
+    *
+    * Fix: when the PLANNED scan parallelism is below the session's
+    * default parallelism, redistribute by a deterministic hash of the
+    * table's primary key before the heavy consumers. The trigger
+    * condition is derived from the input itself, not a local constant:
+    * a table big enough to split into ≥ cores scan partitions (the
+    * 100 TB case — thousands of files/row groups) passes through
+    * UNTOUCHED, so no corpus-sized shuffle is ever introduced; a table
+    * below that bound costs at most one sub-(cores × split-size)
+    * exchange, which is exactly the regime where the exchange is
+    * cheaper than the serialized scan it replaces. Hash-by-key (not
+    * round-robin) keeps the row→partition assignment deterministic
+    * under retries (guide §2.5's SPARK-38388 note) and reusable by
+    * downstream operators keyed the same way. The explicit partition
+    * count pins the exchange against AQE re-coalescing it back to one
+    * task (coalescing would undo precisely the parallelism the
+    * exchange exists to buy). */
+  private def fanout(s: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = load(s, dir, name)
+    val target = s.sparkContext.defaultParallelism
+    if (plannedParts(s, dir, name) < target) df.repartition(target, col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
@@ -57,8 +106,18 @@ object Tables {
           s"events.ts: unsupported parquet type $other — fixture drifted again?")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Documents and embeddings read through [[fanout]]: their consumers
+    * (tokenize/shingle/md5, SRP hashing, chunking) are the operators
+    * whose per-row cost dominates their scan stage — the measured
+    * single-task bottleneck of the text/vector headline queries. The
+    * star-schema fact tables deliberately do NOT fan out: their
+    * consumers are cheap partial-aggregating scans where an extra
+    * exchange costs more than the serial scan it would replace
+    * (measured both ways, OPTIMIZATION_r14.md). */
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanout(s, d, "documents", "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanout(s, d, "embeddings", "vec_id")
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
