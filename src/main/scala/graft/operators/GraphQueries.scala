@@ -131,14 +131,36 @@ object GraphQueries {
     * bounded, so the projection stays linear in the fact table at any
     * scale, unlike a projection through a hub-prone shared-attribute
     * key. */
-  private def coorderEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  /** One row per unordered part pair per order — (a, b, ok) with
+    * a < b and (a, b, ok) distinct. The pair generator behind BOTH
+    * co-order graphs ([[coorderEdges]], [[strongTieEdges]]).
+    *
+    * Shape (optimization round 14): group lineitem by order and
+    * collect the sorted distinct part list, then explode the i<j
+    * pairs from the array. The previous within-order SELF-JOIN was
+    * semantically identical (the per-order pair set is the same set)
+    * but generated the ~1M pair rows INSIDE the lineitem scan stage —
+    * a 17 MB serial shuffle write measured at 1.6 s, paid again by
+    * every one of the eight graph-analytics rows built on these
+    * graphs. Here only the raw (ok, pk) longs cross one exchange and
+    * pair generation runs post-shuffle at full width. The per-order
+    * work is O(k²) with k = distinct parts per order — bounded by the
+    * same lines-per-order bound the self-join form relied on (see the
+    * scale note on the original projection), so the transform lambda
+    * is constant-bounded per row at any corpus scale. */
+  private def orderPartPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
-  }
+      .groupBy("ok")
+      .agg(array_sort(array_distinct(collect_list("pk"))).as("ps"))
+      .select(col("ok"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+        "transform(slice(ps, i + 2, size(ps)), y -> named_struct('a', x, 'b', y))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("ok"))
+
+  private def coorderEdges(s: SparkSession, d: String): DataFrame =
+    orderPartPairs(s, d).select("a", "b").distinct()
 
   private val coorderCte =
     "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b " +
@@ -195,18 +217,21 @@ object GraphQueries {
     * that survives a power-law degree distribution. */
   /** The strong-tie co-order graph (canonical `a < b` pairs co-ordered
     * in ≥ 2 distinct orders) — ONE definition shared by [[labelProp]]
-    * and [[pageRank]] and kept textually in sync with both oracle
-    * CTEs, so the graph the two analytics run on cannot drift apart. */
-  private def strongTieEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-      .agg(countDistinct(col("x.ok")).as("no"))
+    * and [[pageRank]] (via [[orderPartPairs]], the same generator as
+    * [[coorderEdges]]), so the graph the analytics run on cannot
+    * drift apart. The oracle CTEs keep the equivalent self-join form;
+    * equivalence is enforced by the hash gate on every consumer row,
+    * not by textual identity. */
+  private def strongTieEdges(s: SparkSession, d: String): DataFrame =
+    // (a, b, ok) is distinct by construction in orderPartPairs, so the
+    // plain count equals the self-join form's countDistinct(ok) — and
+    // the count aggregate partial-aggregates map-side where a distinct
+    // count cannot.
+    orderPartPairs(s, d)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("no"))
       .filter(col("no") >= 2)
       .select("a", "b")
-  }
 
   /** The strong-tie edge CTE, verbatim twin of [[strongTieEdges]]. */
   private val strongTieCte =

@@ -450,8 +450,14 @@ object TextQueries {
     * corpus scale. */
   private def simhashNeardup(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringDistance.register(s)
-    val sim = graft.functions.TextFunctions
-      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64)
+    // Cut the signature table: it feeds THREE consumers (the chunk
+    // index and both verify back-joins), each of which otherwise
+    // re-runs the full per-bit weighted-sum signature chain (measured
+    // 3 × ~30 s of task time at sf0.1 — the whole query cost). Same
+    // boundary rule as jaccardPairs/dupNgramMass; the cut frame is
+    // narrow (id, 64-char signature).
+    val sim = graft.query.Checkpoints.cut(graft.functions.TextFunctions
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64), None)
     val chunks = sim
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("i"))
@@ -692,8 +698,20 @@ object TextQueries {
     * engine-exact. */
   private def dupNgramMass(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val h = windowHashesOf(docs)
-      .select(col("doc_id"), explode(col("whs")).as("wh"))
+    // Lineage-cut the hash projection BEFORE the explode (the
+    // substrDedupOf boundary rule) — for two measured reasons, not
+    // style: (1) `h` feeds both the occurrence count and the join
+    // probe, so the tokenize+hash pass otherwise runs once per
+    // branch; (2) far worse, InferFiltersFromGenerate synthesizes
+    // `size(whs) > 0 AND isnotnull(whs)` from the explode and
+    // predicate pushdown then inlines the `us`/`whs` projection
+    // aliases INTO the filter's per-window lambda — re-running the
+    // full regexp tokenize + per-word md5 chain once per window
+    // index, O(words²) per document. Measured: 139 s single-task at
+    // sf0.1 (the worst stage in the whole catalog sweep) vs ~0.4 s
+    // with the cut; the plan excerpt is in OPTIMIZATION_r14.md.
+    val whs = graft.query.Checkpoints.cut(windowHashesOf(docs), None)
+    val h = whs.select(col("doc_id"), explode(col("whs")).as("wh"))
     val counts = h.groupBy("wh").agg(count(lit(1)).as("c"))
     h.join(counts, "wh")
       .join(docs.select("doc_id", "source"), "doc_id")

@@ -158,8 +158,13 @@ object VectorQueries {
       everyNth: Int = 1, nTwins: Int = 4): DataFrame = {
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val twins = base
-      .filter(col("vec_id") % everyNth === 0)
+    // everyNth == 1 keeps every vector: skip the vacuous `% 1 === 0`
+    // filter — Catalyst does not fold it away, and its presence makes
+    // the twins subtree differ from the base subtree below the fan-out
+    // exchange, defeating ReuseExchange (the corpus was scanned and
+    // hashed twice per run, measured as two serial ~100 ms map jobs).
+    val twins = (if (everyNth == 1) base
+      else base.filter(col("vec_id") % everyNth === 0))
       .select(col("vec_id").as("bid"), col("e"),
         explode(sequence(lit(1), lit(nTwins))).as("t"))
       .select(

@@ -38,7 +38,15 @@ object GraphAlgos {
     * endpoint — out-degree capped at O(√m) — enumerate wedges at
     * out-edges, close against the edge set. Returns
     * (metric ∈ {edges, triangles}, n). */
-  def triangleCount(e: DataFrame): DataFrame = {
+  def triangleCount(e0: DataFrame): DataFrame = {
+    // The edge list feeds five consumers (degree union ×2, the
+    // oriented projection, the wedge-closure probe, the edge count) —
+    // cut it once so the caller's pair-generator subtree runs once,
+    // not once per consumer (measured ~25% of q_triangle_count at
+    // sf0.1; at any scale it is 4 saved re-derivations of the
+    // co-order projection). Same boundary rule as jaccardPairs /
+    // the Curation cuts.
+    val e = Checkpoints.cut(e0, None)
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg"))
@@ -48,7 +56,20 @@ object GraphAlgos {
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
+    // Pin the wedge-join exchange at session parallelism: AQE sizes
+    // post-shuffle partitions by INPUT bytes, and the oriented edge
+    // list is tiny relative to the wedge fan-out it generates —
+    // measured at sf0.1: a 3.2 MB input coalesced to 3 partitions
+    // that then carried 16.5 s of wedge+closure work (the slowest
+    // stage of the query). The explicit count keeps the exchange at
+    // full width; per-partition work stays even WITHOUT AQE skew
+    // splitting because the degree orientation above caps every src's
+    // out-degree at O(√m) — bounding per-key wedge work is exactly
+    // what the orientation is for. Both self-join sides read the same
+    // exchange (reused), so this adds no shuffle over the plain form.
+    val p = e.sparkSession.sparkContext.defaultParallelism
+    val wide = oriented.repartition(p, col("src"))
+    val wedges = wide.as("e1").join(wide.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
     val tri = wedges.join(e, Seq("a", "b"))

@@ -67,6 +67,18 @@ object Tables {
     else df
   }
 
+  /** [[fanout]] for an arbitrary exchange-free scan/projection plan an
+    * operator builds itself (e.g. the graph edge build's lineitem
+    * side). The width probe (`df.rdd.getNumPartitions`) is lazy-safe
+    * ONLY on plans without exchanges — probing a plan that already
+    * contains an exchange would execute its query stages under AQE
+    * just to count partitions; callers pass the pre-join projection. */
+  def widenScan(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
