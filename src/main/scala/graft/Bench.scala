@@ -590,8 +590,18 @@ object Bench {
           if (new java.io.File(abJar).isFile) "SPARK_GRAFT_AB=0" else s"no $abJar"})")
         s""","ab_skipped":true"""
       } else try {
+        // Sentinel set (round 14): the three round-13 drift sentinels
+        // PLUS the two heaviest headline queries and one micro-query
+        // control — the optimization round moved exactly the queries
+        // the old trio under-sampled (its ratio_median landed on the
+        // parity sentinel while the total moved −25%), and a ratio
+        // that cannot see the biggest movers answers "did this
+        // round's code change speed?" badly in both directions.
+        // Six queries keeps the A/B window short enough that linear
+        // drift still cancels under ABBA ordering.
         val abQueries = sys.env.getOrElse("SPARK_GRAFT_AB_QUERIES",
-          "q_embed_neardup_lsh,q_graph_level3,q_shuffle_join_agg")
+          "q_embed_neardup_lsh,q_graph_level3,q_shuffle_join_agg," +
+          "q_pipeline_e2e,q_ngram_jaccard,q_agg_stats")
         val launches = sys.env.getOrElse("SPARK_GRAFT_AB_LAUNCHES", "2").toInt
         val abRuns = sys.env.getOrElse("SPARK_GRAFT_AB_RUNS", "3").toInt
         val names = abQueries.split(",").map(_.trim).filter(_.nonEmpty).toSeq

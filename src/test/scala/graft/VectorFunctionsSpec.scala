@@ -31,12 +31,19 @@ class VectorFunctionsSpec extends SparkSpec {
   test("VecDot stays inside whole-stage codegen") {
     VectorFunctions.register(spark)
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val plan = emb.select(VectorFunctions.vecDot(
+    val df = emb.select(VectorFunctions.vecDot(
         col("embedding").cast("array<double>"),
         col("embedding").cast("array<double>")).as("d"))
-      .queryExecution.executedPlan.toString
-    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+    // The scan fan-out (Tables.fanout) adds an exchange below the
+    // projection, which makes the plan ADAPTIVE — and an adaptive
+    // plan only shows its WholeStageCodegen "*(n)" markers after
+    // execution finalizes it. Execute first, then assert on the
+    // final plan; the property checked is unchanged (the vecnorm2
+    // projection runs inside a codegen stage, wherever it sits).
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
     // SelfDotToNorm has rewritten the self-dot into vecnorm2 by now
-    assert(plan.contains("*(1) Project [vecnorm2"), plan.take(500))
+    assert("""\*\(\d+\) Project \[vecnorm2""".r.findFirstIn(plan).isDefined,
+      plan.take(800))
   }
 }
