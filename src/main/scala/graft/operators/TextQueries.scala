@@ -327,7 +327,11 @@ object TextQueries {
     * pins engine-internally, plus restart idempotence). */
   private def admissionLoop(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    // split probe reads ONE pruned column — the raw scan, not the
+    // fanned-out table (the fan-out exchange only pays off for the
+    // heavy tokenize consumers; max() would drag it in for nothing)
+    val split = Tables.load(s, d, "documents")
+      .agg(max("doc_id")).head.getLong(0) / 2
     val root = s"/tmp/graft_admission/${new java.io.File(d).getName}"
     graft.pipeline.Admission.reset(s, root)
     graft.pipeline.Admission.admit(docs.filter(col("doc_id") <= split), root, "d1")
@@ -347,7 +351,9 @@ object TextQueries {
     * inc labels at thirds. */
   private def admissionCompact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val mx = docs.agg(max("doc_id")).head.getLong(0)
+    // raw-scan split probe — same rationale as q_admission_loop's
+    val mx = Tables.load(s, d, "documents")
+      .agg(max("doc_id")).head.getLong(0)
     val (t1, t2) = (mx / 3, 2 * mx / 3)
     val root = s"/tmp/graft_admission_compact/${new java.io.File(d).getName}"
     graft.pipeline.Admission.reset(s, root)
@@ -380,7 +386,9 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    // raw-scan split probe — same rationale as q_admission_loop's
+    val split = Tables.load(s, d, "documents")
+      .agg(max("doc_id")).head.getLong(0) / 2
     val root = s"/tmp/graft_admission_semantic/${new java.io.File(d).getName}"
     graft.pipeline.Admission.reset(s, root)
     // `emb` passes UNFILTERED both times: it is the feature store
@@ -457,7 +465,8 @@ object TextQueries {
     // boundary rule as jaccardPairs/dupNgramMass; the cut frame is
     // narrow (id, 64-char signature).
     val sim = graft.query.Checkpoints.cut(graft.functions.TextFunctions
-      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64), None)
+      .simhashBits(Tables.documents(s, d), "doc_id", "text", bits = 64),
+      graft.query.Checkpoints.dirFromConf(s))
     val chunks = sim
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("i"))
@@ -710,7 +719,8 @@ object TextQueries {
     // index, O(words²) per document. Measured: 139 s single-task at
     // sf0.1 (the worst stage in the whole catalog sweep) vs ~0.4 s
     // with the cut; the plan excerpt is in OPTIMIZATION_r14.md.
-    val whs = graft.query.Checkpoints.cut(windowHashesOf(docs), None)
+    val whs = graft.query.Checkpoints.cut(windowHashesOf(docs),
+      graft.query.Checkpoints.dirFromConf(s))
     val h = whs.select(col("doc_id"), explode(col("whs")).as("wh"))
     val counts = h.groupBy("wh").agg(count(lit(1)).as("c"))
     h.join(counts, "wh")

@@ -75,10 +75,16 @@ object VectorQueries {
     matryoshkaSearch(Tables.embeddings(s, d), "vec_id", "embedding", 0L)
   }
 
-  /** Brute-force cosine top-10 against the vec_id=0 query vector. */
+  /** Brute-force cosine top-10 against the vec_id=0 query vector.
+    * Reads the RAW scan, not the fanned-out table: the per-row work is
+    * two dim-64 dots against a broadcast vector feeding a bounded
+    * TakeOrdered — far cheaper than the fan-out exchange it would ride
+    * (the round-14 fan-out cost this 0.2 s query 21%, its only
+    * regression; the heavy SRP/near-dup consumers keep the fan-out).
+    * At scale the scan splits by itself, so this is a no-op there. */
   private def cosineTopk(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.load(s, d, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qe"))
     emb.crossJoin(broadcast(q))

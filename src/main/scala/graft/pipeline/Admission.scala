@@ -112,6 +112,50 @@ object Admission {
   private def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Run INDEPENDENT Spark actions of one admission step concurrently
+    * (optimization guide §2.6 "overlap independent jobs"): the loop's
+    * wall clock is a chain of 100-600 ms jobs whose task work is far
+    * smaller than their scheduling latency, so actions with no data
+    * dependency — state writes to distinct directories, the text and
+    * vector decision chains — are submitted from a small driver pool
+    * and back-fill each other's scheduling gaps and task tails. The
+    * pool is created PER CALL (threads inherit the caller's job
+    * group/description exactly; nothing leaks across queries) and the
+    * first failure is rethrown with its original exception. */
+  private def inParallel[A](work: Seq[() => A]): Seq[A] =
+    if (work.sizeIs <= 1) work.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      try {
+        val futs = work.map(w =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            def call(): A = w()
+          }))
+        futs.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+          })
+      } finally pool.shutdown()
+    }
+
+  /** Two-sided [[inParallel]] with precise types. */
+  private def par2[A, B](a: () => A, b: () => B): (A, B) = {
+    val r = inParallel[Any](Seq(a, b))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+
+  /** Run `body` under a Spark job description (guide §1.5 — the label
+    * shows up in QueryProfile/UI so the loop's many small jobs stay
+    * attributable), restoring the caller's label after. Descriptions
+    * are thread-local, so the parallel thunks label independently. */
+  private def labeled[A](s: SparkSession, desc: String)(body: => A): A = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** First parquet data file under `dir` (recursive), if any — used to
     * sniff the SCHEMA of stored state without assuming its layout. */
   private def firstParquetFile(fs: FileSystem, dir: Path): Option[Path] = {
@@ -502,44 +546,58 @@ object Admission {
     // every live segment of that kind. index/digests are written even
     // when empty on a real fold; the optional kinds (semidx/vecs)
     // only where inputs exist.
-    for (kind <- KeyedKinds) {
+    // One fold write per kind, all into DISTINCT new-segment paths with
+    // no cross-kind data dependency — overlapped (guide §2.6; the
+    // manifest rename below stays the single commit point, so the
+    // crash story is unchanged: until it lands every parallel write is
+    // an orphan). Frame construction (driver-side listing/planning)
+    // happens inside each thunk and is independent per kind too.
+    val keyedFolds: Seq[() => Unit] = KeyedKinds.flatMap { kind =>
       val schema = schemaOf(kind, idCol)
       val withInc = StructType(schema.fields :+ StructField("inc", StringType))
       val dirs = foldIdsByKind(kind).map(id => s"$root/$kind/inc=$id")
-      val incRows =
-        if (dirs.isEmpty) None
-        else Some(s.read.option("basePath", s"$root/$kind").schema(withInc)
-          .parquet(dirs: _*)
-          .withColumn("inc", col("inc").cast("string"))
-          .select(withInc.fieldNames.map(col).toIndexedSeq: _*))
-      val segFrames =
-        if (!major) Nil
-        else st.segments.filter(seg => segHasKind(s, root, kind, seg))
-          .map(seg => segTable(s, root, kind, st, seg))
-      val parts = segFrames ++ incRows.toSeq
       // index/digests are force-written (even empty) only when real
       // NEW increments folded — a legacy-corpus-only sweep must not
       // mint empty keyed segments
       val forceEmpty =
         (kind == "index" || kind == "digests") && unfolded.nonEmpty
-      if (parts.nonEmpty || forceEmpty)
-        writeKeyedSegment(s, root, kind, newId, effBuckets, idCol,
-          parts.reduceOption(_ unionByName _).getOrElse(
-            s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)))
+      val anySegs = major &&
+        st.segments.exists(seg => segHasKind(s, root, kind, seg))
+      if (dirs.isEmpty && !anySegs && !forceEmpty) None
+      else Some(() => labeled(s, s"compact: fold $kind -> s$newId") {
+        val incRows =
+          if (dirs.isEmpty) None
+          else Some(s.read.option("basePath", s"$root/$kind").schema(withInc)
+            .parquet(dirs: _*)
+            .withColumn("inc", col("inc").cast("string"))
+            .select(withInc.fieldNames.map(col).toIndexedSeq: _*))
+        val segFrames =
+          if (!major) Nil
+          else st.segments.filter(seg => segHasKind(s, root, kind, seg))
+            .map(seg => segTable(s, root, kind, st, seg))
+        val parts = segFrames ++ incRows.toSeq
+        if (parts.nonEmpty || forceEmpty)
+          writeKeyedSegment(s, root, kind, newId, effBuckets, idCol,
+            parts.reduceOption(_ unionByName _).getOrElse(
+              s.createDataFrame(s.sparkContext.emptyRDD[Row], withInc)))
+      }: Unit)
     }
     // corpus payload: schema is the caller's, so read each increment
     // dir on its own and tag `inc` as a literal (partition-value
     // inference would strip a numeric id's leading zeros)
-    val corpusIncFrames = foldIdsByKind("corpus").sorted
-      .map(id => s.read.parquet(s"$root/corpus/inc=$id")
-        .withColumn("inc", lit(id)))
-    val corpusSegFrames =
-      if (!major) Nil
-      else st.segments.map(seg => segDataPath(root, "corpus", seg))
-        .filter(p => fs.exists(new Path(p)))
-        .map(s.read.parquet(_))
-    (corpusSegFrames ++ corpusIncFrames).reduceOption(_ unionByName _).foreach(
-      _.write.mode("overwrite").parquet(basePath(root, "corpus", newId)))
+    val corpusFold: () => Unit = () => labeled(s, s"compact: fold corpus -> s$newId") {
+      val corpusIncFrames = foldIdsByKind("corpus").sorted
+        .map(id => s.read.parquet(s"$root/corpus/inc=$id")
+          .withColumn("inc", lit(id)))
+      val corpusSegFrames =
+        if (!major) Nil
+        else st.segments.map(seg => segDataPath(root, "corpus", seg))
+          .filter(p => fs.exists(new Path(p)))
+          .map(s.read.parquet(_))
+      (corpusSegFrames ++ corpusIncFrames).reduceOption(_ unionByName _).foreach(
+        _.write.mode("overwrite").parquet(basePath(root, "corpus", newId)))
+    }
+    inParallel(keyedFolds :+ corpusFold)
     val extraFolded = foldIdsByKind.values.flatten.toSet -- unfolded.toSet
     val segments =
       if (major) Seq(Segment(newId, st.folded ++ unfolded))
@@ -634,12 +692,18 @@ object Admission {
         .join(seenIndex.select("band", "sig"), Seq("band", "sig"), "left_semi")
         .select(idCol)
       // (5) within-increment near-dup, greedy: a band collision with a
-      // smaller id of this increment rejects the larger id
-      val withinLosers = idx.select(col(idCol).as("gr_b"), col("band"), col("sig"))
-        .join(idx.select(col(idCol).as("gr_a"), col("band"), col("sig")),
+      // smaller id of this increment rejects the larger id — i.e. an
+      // id loses iff it exceeds its (band, sig) group's MINIMUM. The
+      // min is a partial-aggregating groupBy joined back on the same
+      // key (one co-partitioned exchange), replacing the previous
+      // a<b self-join, whose output was QUADRATIC in the size of a
+      // hot signature group — a viral duplicate cluster at corpus
+      // scale is exactly where that form dies. Same loser set.
+      val withinLosers = idx
+        .join(idx.groupBy("band", "sig").agg(min(idCol).as("gr_min")),
           Seq("band", "sig"))
-        .filter(col("gr_a") < col("gr_b"))
-        .select(col("gr_b").as(idCol))
+        .filter(col(idCol) > col("gr_min"))
+        .select(idCol)
       fk.select(idCol)
         .join(crossLosers.union(withinLosers), Seq(idCol), "left_anti")
     }
@@ -659,18 +723,43 @@ object Admission {
     val seenDigests = readSeen(s, root, "digests", idCol, incId)
     val (freshKeysPlan, incIndexOf, admittedIdsOf) = admitPlan(
       newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
-    // decision tables materialize BEFORE state writes
-    val freshKeys = freshKeysPlan.localCheckpoint()
-    val incIndex = incIndexOf(freshKeys).localCheckpoint()
+    // decision tables with MULTIPLE consumers materialize before any
+    // state write; `admittedIds` has exactly one consumer (the corpus
+    // write below), so it stays lazy and computes inside that write's
+    // job — one job barrier saved per increment, same work either way.
+    // Its plan reads the PRE-update seen state (readSeen snapshotted
+    // the inc dirs on the driver and excludes this increment), which
+    // no concurrent write below touches.
+    val freshKeys = labeled(s, s"admit $incId: fresh-keys") {
+      freshKeysPlan.localCheckpoint()
+    }
+    val incIndex = labeled(s, s"admit $incId: inc-index") {
+      incIndexOf(freshKeys).localCheckpoint()
+    }
     val freshDigests = freshKeys.select("digest")
-    val admittedIds = admittedIdsOf(incIndex, freshKeys).localCheckpoint()
+    // single consumer (the corpus write) — stays lazy: the admitted-id
+    // anti-join chain computes inside that write's job (one job
+    // barrier saved; its plan reads only materialized tables plus the
+    // pre-update seen state, which the parallel index write never
+    // touches)
+    val admittedIds = admittedIdsOf(incIndex, freshKeys)
 
-    // state writes — every plan below reads only newDocs + materialized
-    // decision tables, never a state directory
-    newDocs.join(admittedIds, Seq(idCol), "left_semi")
-      .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
-    incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
-    freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
+    // state writes: corpus and index land in distinct directories and
+    // depend only on materialized tables + newDocs — overlapped
+    // (guide §2.6). `digests` stays LAST and alone: it is [[compact]]'s
+    // increment-commit marker, so digests-committed ⇒ every other kind
+    // committed too — the barrier before it preserves that contract.
+    inParallel[Unit](Seq(
+      () => labeled(s, s"admit $incId: write corpus") {
+        newDocs.join(admittedIds, Seq(idCol), "left_semi")
+          .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
+      },
+      () => labeled(s, s"admit $incId: write index") {
+        incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
+      }))
+    labeled(s, s"admit $incId: write digests") {
+      freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
+    }
     s.read.parquet(s"$root/corpus/inc=$incId")
   }
 
@@ -846,45 +935,58 @@ object Admission {
       newDocs, seenIndex, seenDigests, idCol, textCol, shingleN, k, rowsPerBand)
     // decision tables materialize BEFORE state writes (same boundary
     // rule as [[admit]])
-    val freshKeys = freshKeysPlan.localCheckpoint()
-    val incIndex = incIndexOf(freshKeys).localCheckpoint()
+    val freshKeys = labeled(s, s"admit $incId: fresh-keys") {
+      freshKeysPlan.localCheckpoint()
+    }
     val freshDigests = freshKeys.select("digest")
-    val textAdmitted = admittedIdsOf(incIndex, freshKeys)
-
-    // semantic decision tables: vectors of the fresh docs (norm
-    // precomputed once — linear work) and their SRP bucket rows
-    val incVecs = emb
-      .select(col(idCol), col(vecCol).cast("array<double>").as("e"))
-      .join(freshKeys.select(idCol), Seq(idCol), "left_semi")
-      .withColumn("n", sqrt(vf.vecDot(col("e"), col("e"))))
-      .localCheckpoint()
-    val incSem = graft.query.AnnLsh
-      .bucketedMulti(incVecs.select(col(idCol), col("e")), "e",
-        dim, nBits, nTables)
-      .select(col(idCol), col("table"), col("bucket"))
-      .localCheckpoint()
-    // the per-root codebook: load, or train on THIS increment's
-    // vectors (the first that carries any) and persist — parquet's
-    // _SUCCESS is the commit marker, and the write precedes every
-    // vecs/ row encoded against it
     val cbSchema = StructType(Seq(StructField("sub", IntegerType),
       StructField("c_code", IntegerType),
       StructField("cvec", ArrayType(DoubleType))))
-    val incHasVecs = !incVecs.isEmpty
-    val cb: DataFrame =
-      if (haveCb) s.read.schema(cbSchema).parquet(pqcbPath(root))
-        .localCheckpoint()
-      else if (!incHasVecs)
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], cbSchema)
-      else {
-        val (cent, _) = graft.operators.VectorQueries.pqTrain(
-          incVecs.select(col(idCol).as("vec_id"), col("e").as("embedding")),
-          k = pqK, iters = 2, nSub = nSub, subDim = subDim)
-        cent.select(col("sub").cast("int").as("sub"),
-            col("c_code").cast("int").as("c_code"), col("cvec"))
-          .write.mode("overwrite").parquet(pqcbPath(root))
-        s.read.schema(cbSchema).parquet(pqcbPath(root)).localCheckpoint()
-      }
+    // The TEXT chain (shingle + minhash signatures of the fresh docs)
+    // and the VECTOR chain (norms, SRP buckets, PQ codebook) share no
+    // data past `freshKeys` — overlap them (guide §2.6): the text
+    // chain is one heavy tokenize job, the vector chain a string of
+    // small codebook jobs whose wall clock is mostly scheduling.
+    val (incIndex, (incVecs, incSem, incHasVecs, cb, cbNew)) = par2(
+      () => labeled(s, s"admit $incId: inc-index") {
+        incIndexOf(freshKeys).localCheckpoint()
+      },
+      () => labeled(s, s"admit $incId: vector chain") {
+        // semantic decision tables: vectors of the fresh docs (norm
+        // precomputed once — linear work) and their SRP bucket rows
+        val incVecs = emb
+          .select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+          .join(freshKeys.select(idCol), Seq(idCol), "left_semi")
+          .withColumn("n", sqrt(vf.vecDot(col("e"), col("e"))))
+          .localCheckpoint()
+        val incSem = graft.query.AnnLsh
+          .bucketedMulti(incVecs.select(col(idCol), col("e")), "e",
+            dim, nBits, nTables)
+          .select(col(idCol), col("table"), col("bucket"))
+          .localCheckpoint()
+        // the per-root codebook: load, or train on THIS increment's
+        // vectors (the first that carries any). A fresh codebook is
+        // used directly from its materialized frame; its parquet
+        // commit (the _SUCCESS marker every vecs/ row must follow)
+        // lands in the first write phase below, still strictly before
+        // the vecs/ write.
+        val incHasVecs = !incVecs.isEmpty
+        val (cb, cbNew): (DataFrame, Boolean) =
+          if (haveCb) (s.read.schema(cbSchema).parquet(pqcbPath(root))
+            .localCheckpoint(), false)
+          else if (!incHasVecs)
+            (s.createDataFrame(s.sparkContext.emptyRDD[Row], cbSchema), false)
+          else {
+            val (cent, _) = graft.operators.VectorQueries.pqTrain(
+              incVecs.select(col(idCol).as("vec_id"), col("e").as("embedding")),
+              k = pqK, iters = 2, nSub = nSub, subDim = subDim)
+            (cent.select(col("sub").cast("int").as("sub"),
+                col("c_code").cast("int").as("c_code"), col("cvec"))
+              .localCheckpoint(), true)
+          }
+        (incVecs, incSem, incHasVecs, cb, cbNew)
+      }: (DataFrame, DataFrame, Boolean, DataFrame, Boolean))
+    val textAdmitted = admittedIdsOf(incIndex, freshKeys)
     // cross near-dup, three stages, decisions EXACT end-to-end:
     // (1) candidates are equi-join bucket collisions (the seen side a
     //     bucketed segment scan post-compact) — never all-pairs;
@@ -920,26 +1022,59 @@ object Admission {
       .filter(vf.vecDot(col("ea"), col("eb")) /
         (col("na") * col("nb")) >= cosThreshold)
       .select(col("sb").as(idCol))
-    val admittedIds = textAdmitted
-      .join(crossSemLosers.union(withinSemLosers), Seq(idCol), "left_anti")
-      .localCheckpoint()
-
-    // state writes — `digests` stays LAST: it is [[compact]]'s
-    // increment-commit marker, so digests-committed ⇒ every other
-    // kind (corpus, semidx, vecs, index) is committed too
-    newDocs.join(admittedIds, Seq(idCol), "left_semi")
-      .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
-    // an increment with NO embedding rows writes no semantic state:
+    // Phase 1 (all overlapped, guide §2.6): the three loser legs —
+    // text anti-join chain, cross-semantic verify, within-semantic
+    // verify — are independent anti/semi-join chains of several AQE
+    // stage-jobs each (the cross leg alone is ~10 sequential stages:
+    // candidate distinct, ADC explode+join+aggregate, feature-store
+    // fetch, exact verify), and every state write with no ordering
+    // constraint lands in its own directory. The only intra-phase
+    // order — the codebook's parquet _SUCCESS marker must precede
+    // every vecs/ row encoded against it — is kept by running
+    // (codebook write → vecs write) sequentially WITHIN one thunk.
+    // An increment with NO embedding rows writes no semantic state:
     // an empty vecs/inc from a codebook-less first increment would
     // otherwise look like (and previously tripped) the legacy guard,
-    // bricking the root before the first real vectors ever arrive
-    if (incHasVecs) {
-      incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
-      pqEncodeVecs(incVecs, cb, idCol, nSub, subDim)
-        .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
+    // bricking the root before the first real vectors ever arrive.
+    val writes: Seq[() => Any] = Seq(
+      () => labeled(s, s"admit $incId: write index") {
+        incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
+      }) ++
+      (if (incHasVecs) Seq(
+        () => labeled(s, s"admit $incId: write semidx") {
+          incSem.write.mode("overwrite").parquet(s"$root/semidx/inc=$incId")
+        },
+        () => labeled(s, s"admit $incId: write codebook+vecs") {
+          if (cbNew) cb.write.mode("overwrite").parquet(pqcbPath(root))
+          pqEncodeVecs(incVecs, cb, idCol, nSub, subDim)
+            .write.mode("overwrite").parquet(s"$root/vecs/inc=$incId")
+        }) else Nil)
+    val legs: Seq[() => Any] = Seq(
+      () => labeled(s, s"admit $incId: text admitted") {
+        textAdmitted.localCheckpoint()
+      },
+      () => labeled(s, s"admit $incId: sem cross losers") {
+        crossSemLosers.localCheckpoint()
+      },
+      () => labeled(s, s"admit $incId: sem within losers") {
+        withinSemLosers.localCheckpoint()
+      })
+    val phase1 = inParallel(legs ++ writes)
+    val admittedIds = phase1(0).asInstanceOf[DataFrame]
+      .join(phase1(1).asInstanceOf[DataFrame]
+        .union(phase1(2).asInstanceOf[DataFrame]), Seq(idCol), "left_anti")
+
+    // Phase 2: the corpus write consumes the three small materialized
+    // id lists; `digests` stays LAST and alone — it is [[compact]]'s
+    // increment-commit marker, so digests-committed ⇒ every other kind
+    // (corpus, semidx, vecs, index) is committed too.
+    labeled(s, s"admit $incId: write corpus") {
+      newDocs.join(admittedIds, Seq(idCol), "left_semi")
+        .write.mode("overwrite").parquet(s"$root/corpus/inc=$incId")
     }
-    incIndex.write.mode("overwrite").parquet(s"$root/index/inc=$incId")
-    freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
+    labeled(s, s"admit $incId: write digests") {
+      freshDigests.write.mode("overwrite").parquet(s"$root/digests/inc=$incId")
+    }
     s.read.parquet(s"$root/corpus/inc=$incId")
   }
 

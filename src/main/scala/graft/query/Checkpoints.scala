@@ -29,6 +29,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object Checkpoints {
 
+  /** Cluster opt-in for OPERATOR-INTERNAL lineage cuts (the cut sites
+    * a caller cannot reach through an API parameter — triangle-count's
+    * edge cut, simhash's signature cut, dup-ngram's window-hash cut):
+    * when `spark.graft.checkpointDir` is set on the session, those
+    * cuts become reliable checkpoints under it; unset (the local
+    * default, and the bench's) they stay executor-local
+    * localCheckpoints. This closes the round-14 gap where Curation/BFS
+    * threaded a durable dir but the three operator-level cuts were
+    * hardcoded executor-local — on a 1000-node 100 TB run an executor
+    * loss killed exactly those queries instead of replaying. */
+  def dirFromConf(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.checkpointDir").filter(_.nonEmpty)
+
   /** The requested dir, scheme-qualified the same way SparkContext
     * stores it (`file:/...`, `hdfs://nn/...`), so installed-dir
     * comparisons are exact — a bare-string prefix check never matches

@@ -180,6 +180,29 @@ class BenchHarnessSpec extends SparkSpec {
     samples.foreach(l => assert(l.externalSys >= 0.0))
   }
 
+  test("AbStats trimmed ratios reject one contended launch, keep a " +
+      "real regression") {
+    import Bench.AbStats
+    // the round-14 driver anomaly in miniature: prev's second launch
+    // landed in a contention window (3-5x the quiet floor). The raw
+    // median flips the verdict; the trimmed median does not.
+    val prevDirty = Seq(1.0, 1.1, 1.05, 4.4, 3.6, 5.1)
+    val curQuiet = Seq(1.0, 0.95, 1.02, 1.04, 0.98, 1.01)
+    val (rt, rr, _, nTrim) = AbStats.ratios(prevDirty, curQuiet)
+    assert(rt > 0.9 && rt < 1.15, s"trimmed ratio should read parity: $rt")
+    assert(rr < 0.5, s"raw median should show the flip the trim fixes: $rr")
+    assert(nTrim == 3)
+    // a GENUINE >tol regression must never be trimmed into parity:
+    // the slow side falls back untrimmed rather than lose every sample
+    val prevFast = Seq(1.0, 1.02, 0.98)
+    val curSlow = Seq(3.5, 3.6, 3.4) // all above 2.5x the pooled floor
+    val (rt2, _, rf2, _) = AbStats.ratios(prevFast, curSlow)
+    assert(rt2 > 3.0, s"real regression must survive trimming: $rt2")
+    assert(rf2 > 3.0)
+    // floor ratio is min/min
+    assert(math.abs(AbStats.ratios(Seq(2.0, 4.0), Seq(1.0, 9.0))._3 - 0.5) < 1e-9)
+  }
+
   test("AbRunner resolves the catalog reflectively and times real runs") {
     // the reflection path is what lets the SAME runner class execute
     // against a round-old binary (no compile-time linkage) — pin that

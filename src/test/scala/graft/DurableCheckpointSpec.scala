@@ -99,4 +99,25 @@ class DurableCheckpointSpec extends SparkSpec {
     assert(durable == local)
     assert(checkpointFiles(dir) > 0, "reliable checkpoint wrote nothing")
   }
+
+  test("spark.graft.checkpointDir makes operator-internal cuts durable " +
+      "with identical results") {
+    import spark.implicits._
+    // triangleCount's edge cut is operator-internal (no API parameter
+    // reaches it); the session conf is the cluster opt-in. Two
+    // triangles sharing vertex 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L),
+      (4L, 5L)).toDF("a", "b")
+    def counts() = graft.query.GraphAlgos.triangleCount(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val local = counts()
+    assert(local.contains(("triangles", 2L)))
+    val dir = freshDir("conf")
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    try {
+      assert(counts() == local)
+      assert(checkpointFiles(dir) > 0,
+        "conf-driven reliable checkpoint wrote nothing")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
