@@ -161,6 +161,17 @@ object TextFunctions {
     * shows it. Callers of the public API never need this. */
   private[graft] def jaccardPairsPlan(sh: DataFrame, idCol: String,
       threshold: Double, maxDf: Int = Int.MaxValue): (DataFrame, () => Unit) = {
+    // NOT pre-partitioned on `shingle`, deliberately (round-15
+    // measured rejection of the "merge the df-ceiling and doc-array
+    // exchanges" idea): persisting `sh.repartition(col("shingle"))` so
+    // the df aggregate and the kept-flag join share one exchange
+    // regressed every consumer 11-17% in a same-session A/B
+    // (q_ngram_jaccard 1.13→1.32 s, q_dedup_clusters 1.85→2.05 s,
+    // q_pipeline_e2e ~+5%) — the aggregate's PARTIAL map-side pass
+    // shuffles only per-partition distinct shingle counts, far fewer
+    // bytes than the raw shingle rows the repartition moves
+    // (optimization guide §2.3 "aggregate before you shuffle"), and
+    // locally the join side broadcasts `kept` anyway.
     val cached = sh.persist()
     // shared-capable shingles: 2 ≤ df ≤ maxDf
     val kept = cached.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -94,6 +94,54 @@ case class VecNorm2(child: Expression)
     copy(child = newChild)
 }
 
+/** Squared L2 distance Σ(aᵢ−bᵢ)² as a tight codegen'd loop — the
+  * k-means / PQ assignment hot path. The `aggregate(zip_with(a, b,
+  * (x, y) -> (x−y)·(x−y)), 0D, (acc, v) -> acc + v)` form it replaces
+  * allocates an intermediate array and evaluates TWO interpreted
+  * lambdas per element (higher-order functions never enter
+  * whole-stage codegen); the accumulation order here is the identical
+  * left fold (s += (aᵢ−bᵢ)² in index order, starting from 0.0), so
+  * every result is BIT-IDENTICAL to the lambda form and the DuckDB
+  * oracles that unroll it — argmin/rounding decisions cannot move. */
+case class VecSqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All SRP (signed-random-projection) bucket assignments of a vector
   * in ONE pass: for each of `nTables` tables, the `nBits` hyperplane
   * dot-product signs packed into an int bucket id. Returns
@@ -202,6 +250,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[VecDot].getName, VectorFunctions.fnName),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
     e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.sqDistName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecSqDist].getName, VectorFunctions.sqDistName),
+      (exprs: Seq[Expression]) => VecSqDist(exprs(0), exprs(1))))
+    e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(StringDistance.fnName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HammingDist].getName, StringDistance.fnName),
@@ -218,6 +271,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 object VectorFunctions {
   val fnName = "graft_vec_dot"
   val srpName = "graft_srp_buckets"
+  val sqDistName = "graft_vec_sqdist"
 
   /** Idempotently register the expression with the session's function
     * registry (the supported way to reach a custom Expression from the
@@ -244,6 +298,10 @@ object VectorFunctions {
           SrpBuckets(exprs(0), planes,
             intOf(exprs(2)), intOf(exprs(3)), intOf(exprs(4)))
         }, "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(sqDistName)))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        sqDistName, exprs => VecSqDist(exprs(0), exprs(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm
@@ -252,6 +310,11 @@ object VectorFunctions {
   /** Dot product of two array<double> columns via the native expression.
     * Call [[register]] on the session first. */
   def vecDot(a: Column, b: Column): Column = call_function(fnName, a, b)
+
+  /** Squared L2 distance of two array<double> columns ([[VecSqDist]] —
+    * bit-identical to the aggregate(zip_with(...)) left fold it
+    * replaces). Call [[register]] on the session first. */
+  def vecSqDist(a: Column, b: Column): Column = call_function(sqDistName, a, b)
 
   /** All nTables SRP bucket ids of a vector column in one fused pass
     * (see [[SrpBuckets]]). `planes` is indexed [table × bit][dim].

@@ -29,6 +29,10 @@ object VectorQueries {
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
 
+  /** Codegen'd squared L2 ([[graft.functions.VecSqDist]]) — replaces
+    * the interpreted aggregate(zip_with(...)) fold bit-identically. */
+  private def sqd(a: Column, b: Column): Column = VectorFunctions.vecSqDist(a, b)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Matryoshka (MRL) two-stage retrieval (Kusupati et al., NeurIPS
@@ -464,8 +468,9 @@ object VectorQueries {
     val span = array_max(e) - array_min(e)
     val codes = transform(e, x => floor((x - lo) / span * 255.0 + 0.5))
     val deq = transform(codes, c => lo + c * span / 255.0)
-    val errSq = expr("aggregate(zip_with(eD, deq, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)")
-    val normSq = expr("aggregate(eD, 0D, (acc, v) -> acc + v * v)")
+    val errSq = sqd(col("eD"), col("deq"))
+    val normSq = dot(col("eD"), col("eD")) // SelfDotToNorm: one pass
+    VectorFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), e.as("eD"), deq.as("deq"))
       .select(col("vec_id"),
@@ -652,18 +657,20 @@ object VectorQueries {
 
   /** Per-(vector, subspace) code assignment: (vec_id, sub, code, d2)
     * — argmin residual via `min(struct(d2, label))`, never a window. */
-  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame = emb
+  private def pqCodes(emb: DataFrame, cb: DataFrame): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    emb
     .select(col("vec_id"), asDouble(col("embedding")).as("e"))
     .crossJoin(broadcast(cb))
     .select(col("vec_id"), col("c_label"), col("e"), col("cvec"),
       explode(sequence(lit(0), lit(7))).as("sub"))
-    .withColumn("d2", expr(
-      "aggregate(zip_with(slice(e, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
-      "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+    .withColumn("d2", sqd(expr("slice(e, sub * 8 + 1, 8)"),
+      expr("slice(cvec, sub * 8 + 1, 8)")))
     .groupBy("vec_id", "sub")
     .agg(min(struct(col("d2"), col("c_label"))).as("best"))
     .select(col("vec_id"), col("sub"),
       col("best.c_label").as("code"), col("best.d2").as("d2"))
+  }
 
   private def pqEncode(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -697,9 +704,8 @@ object VectorQueries {
     pqCodes(emb, cb)
       .join(broadcast(cb.withColumnRenamed("c_label", "code")), "code")
       .crossJoin(broadcast(q))
-      .withColumn("qd2", expr(
-        "aggregate(zip_with(slice(qe, sub * 8 + 1, 8), slice(cvec, sub * 8 + 1, 8), " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("qd2", sqd(expr("slice(qe, sub * 8 + 1, 8)"),
+        expr("slice(cvec, sub * 8 + 1, 8)")))
       .groupBy("vec_id").agg(sum("qd2").as("adc"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), round(sqrt(col("adc")), 4).as("adc_dist"))
@@ -726,6 +732,7 @@ object VectorQueries {
   private[graft] def pqTrain(emb: DataFrame, k: Int, iters: Int,
       vecCol: String = "embedding", nSub: Int = 8, subDim: Int = 8)
       : (DataFrame, DataFrame) = {
+    VectorFunctions.register(emb.sparkSession)
     val pts = emb
       .select(col("vec_id"), asDouble(col(vecCol)).as("e"))
       .select(col("vec_id"),
@@ -743,9 +750,7 @@ object VectorQueries {
         transform(col("cs"), x => x.getField("m")).as("cvec"))
     def assignTo(cent: DataFrame): DataFrame = pts
       .join(broadcast(cent), Seq("sub"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), " +
-        "0D, (acc, v) -> acc + v)"))
+      .withColumn("d2", sqd(col("sv"), col("cvec")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("c_code"))).as("best"))
       .select(col("vec_id"), col("sub"),
@@ -770,10 +775,9 @@ object VectorQueries {
     * against the exact ranking (docs/ann_recall.md). */
   private[graft] def adcDistances(codes: DataFrame, cent: DataFrame,
       q: Array[Double]): DataFrame = {
+    VectorFunctions.register(cent.sparkSession)
     val qd = cent.withColumn("qe", typedLit(q))
-      .withColumn("qd2", expr(
-        "aggregate(zip_with(slice(qe, sub * 8 + 1, 8), cvec, " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("qd2", sqd(expr("slice(qe, sub * 8 + 1, 8)"), col("cvec")))
       .select(col("sub"), col("c_code").as("code"), col("qd2"))
     codes.join(broadcast(qd), Seq("sub", "code"))
       .groupBy("vec_id").agg(sum("qd2").as("adc"))
@@ -899,9 +903,7 @@ object VectorQueries {
       .select(col("cluster"),
         expr("zip_with(qe, cvec, (a, b) -> a - b)").as("qr"))
     val qd = qres.crossJoin(broadcast(centT))
-      .withColumn("qd2", expr(
-        "aggregate(zip_with(slice(qr, sub * 8 + 1, 8), cvec, " +
-        "(a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("qd2", sqd(expr("slice(qr, sub * 8 + 1, 8)"), col("cvec")))
       .select(col("cluster"), col("sub"), col("c_code").as("code"), col("qd2"))
     codes
       .join(asgC.select("vec_id", "cluster"), Seq("vec_id"))

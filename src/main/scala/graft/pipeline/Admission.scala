@@ -788,9 +788,10 @@ object Admission {
         explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("e"))
       .withColumn("sv", expr(s"slice(e, sub * $subDim + 1, $subDim)"))
       .join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), " +
-        "0D, (acc, v) -> acc + v)"))
+      // codegen'd squared L2 — bit-identical to the zip_with fold it
+      // replaces ([[graft.functions.VecSqDist]])
+      .withColumn("d2", graft.functions.VectorFunctions
+        .vecSqDist(col("sv"), col("cvec")))
       .groupBy(col(idCol), col("n"), col("sub"))
       .agg(min(struct(col("d2"), col("c_code"))).as("best"))
       .groupBy(col(idCol), col("n"))
@@ -821,9 +822,10 @@ object Admission {
         explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("e"))
       .withColumn("qsv", expr(s"slice(e, sub * $subDim + 1, $subDim)"))
       .join(broadcast(cb), Seq("sub"))
+      // codegen'd dot — same left fold as the zip_with product form
       .select(col(idCol), col("sub"), col("c_code"),
-        expr("aggregate(zip_with(qsv, cvec, (a, b) -> a * b), " +
-          "0D, (acc, v) -> acc + v)").as("pdot"))
+        graft.functions.VectorFunctions.vecDot(col("qsv"), col("cvec"))
+          .as("pdot"))
     cand
       .join(seenVecs.select(col(idCol).as("seen_id"), col("code"),
         col("n").as("sn"), col("r").as("sr")), Seq("seen_id"))

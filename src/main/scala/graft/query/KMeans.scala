@@ -60,6 +60,17 @@ object KMeans {
     val tieKey =
       if (tieDecimals >= 0) round(col("graft_sim"), tieDecimals)
       else col("graft_sim")
+    // The row_number window stays, deliberately (round-15 measured
+    // rejection): replacing it with a partial-aggregating
+    // max(struct(tieKey, −cluster, sim, cluster, e)) — the winner-
+    // identical argmax — regressed every consumer ~20% in a
+    // same-session A/B (q_kmeans_run 1.07→1.29 s, q_ivf_trained
+    // 1.21→1.46 s, q_ivfpq_search 3.6→4.4 s): Max over a struct
+    // carrying the 64-dim vector payload falls back to interpreted
+    // ordering and buffer copying, costing more than the window's
+    // n·k-row shuffle+sort saves at these k. The window's per-key
+    // group is k rows (the broadcast centroid count), so it is NOT a
+    // hub-size liability at scale.
     v.drop(clusterCol, "sim")
       .crossJoin(broadcast(cent.withColumnRenamed(clusterCol, "graft_c")))
       .withColumn("graft_sim",
