@@ -25,9 +25,16 @@ object Tables {
     * decision; memoized because the fixture layout cannot change
     * mid-session and the probe costs a plan. */
   private val scanParts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
-  private def plannedParts(s: SparkSession, dir: String, name: String): Int =
-    scanParts.computeIfAbsent(s"$dir/$name",
+  private def plannedParts(s: SparkSession, dir: String, name: String): Int = {
+    // memo key includes the layout-relevant session config: a later
+    // session with different maxPartitionBytes/parallelism (tests vs
+    // bench in one JVM) must re-probe, not reuse a stale count
+    // (round-14 advice item 3)
+    val layout = s"${s.conf.get("spark.sql.files.maxPartitionBytes", "")}|" +
+      s"${s.sparkContext.defaultParallelism}"
+    scanParts.computeIfAbsent(s"$dir/$name@$layout",
       _ => load(s, dir, name).rdd.getNumPartitions)
+  }
 
   /** Scale-adaptive scan fan-out (optimization guide §1.2 step 1 /
     * §2.5 "input skew: one huge unsplittable file … repartition
@@ -65,18 +72,6 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     if (plannedParts(s, dir, name) < target) df.repartition(target, col(key))
     else df
-  }
-
-  /** [[fanout]] for an arbitrary exchange-free scan/projection plan an
-    * operator builds itself (e.g. the graph edge build's lineitem
-    * side). The width probe (`df.rdd.getNumPartitions`) is lazy-safe
-    * ONLY on plans without exchanges — probing a plan that already
-    * contains an exchange would execute its query stages under AQE
-    * just to count partitions; callers pass the pre-join projection. */
-  def widenScan(df: DataFrame, key: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
